@@ -1,0 +1,603 @@
+"""Driver-side DataStore: the mutable catalog + freeze/push/mount verbs.
+
+This mirrors the reference's ``DataStore`` API (core/datastore.go) and
+``INodeDB`` (core/nodedb.go). Mutations are single-writer driver-side —
+exactly the reference's model (one BoltDB writer) — while *queries* over
+the catalog are DataFrames (catalog/queries.py) so they distribute at
+catalog scale. ``nodes_df()`` exports the current state; persistence is
+versioned parquet snapshots (Spark has no point updates; the reference's
+own snapshot model maps onto versioned overwrite).
+
+Semantics preserved from the reference (SURVEY.md §7.5):
+- rename destructively replaces dest     (core/datastore.go:820-832)
+- rmdir of non-empty dir refused         (core/nodedb.go:259-267)
+- '.'/'..' rows in listings              (core/nodedb.go:768-776)
+- name charset regex                     (core/datastore.go:21)
+- dirty bit propagates to root, bid=NULL (core/nodedb.go:286-315)
+- freeze memoized via bid IS NOT NULL    (core/datastore.go:1123-1125)
+- mount target must be an empty dir      (core/nodedb.go:382-408)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import secrets
+import time
+from dataclasses import dataclass, field, replace
+
+from pufs_spark.catalog import errors as E
+from pufs_spark.sources.cas import Freezer, bid_of_bytes
+from pufs_spark.sources.remote import RemoteStore, new_lease_expiry
+
+ROOT_INODE = 1  # reference: core/nodedb.go:13
+MAX_INODES = 10_000_000  # reference: core/datastore.go:148
+VALID_NAME = re.compile(r"^[A-Za-z0-9.~#$@ ()+_.-]+$")  # core/datastore.go:21
+
+
+@dataclass
+class RemoteSource:
+    kind: str  # 'gcs' | 'url'
+    bucket: str | None = None
+    key: str | None = None
+    generation: int | None = None
+    url: str | None = None
+    etag: str | None = None
+    size: int | None = None
+
+
+@dataclass
+class Node:
+    inode: int
+    parent: int
+    name: str
+    is_dir: bool
+    size: int = 0
+    mtime: float = 0.0
+    is_dirty: bool = False
+    bid: str | None = None
+    deferred: bool = False
+    local_path: str | None = None
+    remote_source: RemoteSource | None = None
+
+
+@dataclass
+class DirEntry:
+    """L2/L3 row (reference: api/api.proto:9-24)."""
+
+    inode: int
+    name: str
+    is_dirty: bool
+    is_dir: bool
+    size: int
+    mtime: float
+    bid: str | None
+    populated_region_count: int = 0
+    populated_size: int = 0
+
+
+def encode_dir_manifest(entries: list[tuple[str, bool, str, int]]) -> bytes:
+    """Deterministic replacement for the reference's gob ``Dir`` encoding
+    (core/datastore.go:981-997): one ``name\\tis_dir\\tbid\\tsize`` line per
+    child, sorted by name. A dir's BID is sha256 of this — keeping the
+    Merkle property (child BIDs embedded) while being reproducible from
+    Spark SQL (sha2 over a sorted string_agg) and DuckDB alike."""
+    lines = [
+        f"{name}\t{1 if is_dir else 0}\t{bid}\t{size}"
+        for name, is_dir, bid, size in sorted(entries)
+    ]
+    return ("\n".join(lines) + "\n").encode() if lines else b""
+
+
+def decode_dir_manifest(data: bytes) -> list[tuple[str, bool, str, int]]:
+    out = []
+    for line in data.decode().splitlines():
+        name, is_dir, bid, size = line.split("\t")
+        out.append((name, is_dir == "1", bid, int(size)))
+    return out
+
+
+class DataStore:
+    """One store = one catalog + one local CAS + optional remote."""
+
+    def __init__(
+        self,
+        root_dir: str,
+        remote: RemoteStore | None = None,
+        clock=time.time,
+    ):
+        self.root_dir = root_dir
+        self.freezer = Freezer(os.path.join(root_dir, "freezer"))
+        self.staging_dir = os.path.join(root_dir, "staging")
+        os.makedirs(self.staging_dir, exist_ok=True)
+        self.remote = remote
+        self.clock = clock
+        self.pushed: set[str] = set()  # bids known to exist remotely
+        self.nodes: dict[int, Node] = {
+            ROOT_INODE: Node(
+                inode=ROOT_INODE,
+                parent=ROOT_INODE,
+                name="",
+                is_dir=True,
+                is_dirty=True,
+                mtime=clock(),
+            )
+        }
+        self.children: dict[int, dict[str, int]] = {ROOT_INODE: {}}
+        self._next_inode = ROOT_INODE + 1
+
+    # ------------------------------------------------------------------
+    # P-series: lookups (reference: core/nodedb.go:78-102,487-510)
+    # ------------------------------------------------------------------
+
+    def get_node(self, inode: int) -> Node:
+        """P2. Overlays live stat size/mtime for writable files
+        (reference: core/nodedb.go:86-99)."""
+        node = self.nodes.get(inode)
+        if node is None:
+            raise E.NotFoundError(f"inode {inode}")
+        if node.local_path is not None and os.path.exists(node.local_path):
+            st = os.stat(node.local_path)
+            node = replace(node, size=st.st_size, mtime=st.st_mtime)
+        return node
+
+    def get_node_id(self, parent: int, name: str) -> int:
+        """P1, with the reference's '.'/'..' handling
+        (core/datastore.go:342-373)."""
+        if name == ".":
+            return parent
+        if name == "..":
+            return self.get_node(parent).parent
+        pnode = self.get_node(parent)
+        if not pnode.is_dir:
+            raise E.NotDirError(pnode.name)
+        self._ensure_children_loaded(parent)
+        child = self.children.get(parent, {}).get(name)
+        if child is None:
+            raise E.NotFoundError(f"{name} under inode {parent}")
+        return child
+
+    def node_exists(self, parent: int, name: str) -> bool:
+        """P4."""
+        try:
+            self.get_node_id(parent, name)
+            return True
+        except E.CatalogError:
+            return False
+
+    def get_parent(self, inode: int) -> int:
+        """P7."""
+        return self.get_node(inode).parent
+
+    @staticmethod
+    def split_path(path: str) -> list[str]:
+        """P5 helper (reference: core/datastore.go:1334-1353)."""
+        return [c for c in path.split("/") if c not in ("",)]
+
+    def resolve_path(self, path: str, parent: int = ROOT_INODE) -> int:
+        """P5: per-component P1 loop (reference:
+        core/datastore.go:1355-1370)."""
+        inode = parent
+        for comp in self.split_path(path):
+            inode = self.get_node_id(inode, comp)
+        return inode
+
+    def getattr(self, inode: int) -> dict:
+        """P3: mode derivation (reference: fs/mount.go:541-572)."""
+        n = self.get_node(inode)
+        if n.is_dir:
+            mode = 0o775
+        elif n.local_path is not None:
+            mode = 0o664
+        else:
+            mode = 0o444  # frozen => read-only
+        return {
+            "inode": n.inode,
+            "mode": mode,
+            "is_dir": n.is_dir,
+            "size": n.size,
+            "mtime": n.mtime,
+        }
+
+    # ------------------------------------------------------------------
+    # L-series: listings (reference: core/nodedb.go:758-791,
+    # core/datastore.go:391-466)
+    # ------------------------------------------------------------------
+
+    def get_dir_contents(self, inode: int, include_dots: bool = False):
+        """L1: [(name, inode)] sorted by name."""
+        node = self.get_node(inode)
+        if not node.is_dir:
+            raise E.NotDirError(node.name)
+        self._ensure_children_loaded(inode)
+        out = []
+        if include_dots:
+            out += [(".", inode), ("..", node.parent)]
+        out += sorted(self.children.get(inode, {}).items())
+        return out
+
+    def walk_dir_contents(self, inode: int) -> list[DirEntry]:
+        """L2: listing joined with node records."""
+        out = []
+        for name, child in self.get_dir_contents(inode):
+            n = self.get_node(child)
+            out.append(
+                DirEntry(
+                    inode=n.inode,
+                    name=name,
+                    is_dirty=n.is_dirty,
+                    is_dir=n.is_dir,
+                    size=n.size,
+                    mtime=n.mtime,
+                    bid=n.bid,
+                )
+            )
+        return out
+
+    def _ensure_children_loaded(self, inode: int) -> None:
+        """L5: lazy child materialization from a dir block (reference:
+        core/datastore.go:519-578). The remote-listing arm (L4) is wired
+        via link_remote_listing."""
+        node = self.nodes.get(inode)
+        if node is None or not node.deferred:
+            return
+        if node.bid is not None:
+            data = self._fetch_block(node.bid)
+            for name, is_dir, bid, size in decode_dir_manifest(data):
+                self._insert(
+                    Node(
+                        inode=self._alloc_inode(),
+                        parent=inode,
+                        name=name,
+                        is_dir=is_dir,
+                        size=size,
+                        mtime=node.mtime,
+                        is_dirty=False,
+                        bid=bid,
+                        deferred=is_dir,
+                    ),
+                    mark_dirty=False,
+                )
+        self.nodes[inode] = replace(node, deferred=False)
+
+    # ------------------------------------------------------------------
+    # M-series: mutations (reference: core/nodedb.go:202-436,730-751,
+    # core/datastore.go:741-979)
+    # ------------------------------------------------------------------
+
+    def _alloc_inode(self) -> int:
+        """M9 (sequential instead of the reference's circular probe)."""
+        if self._next_inode > MAX_INODES:
+            raise E.TooManyInodesError(str(MAX_INODES))
+        inode = self._next_inode
+        self._next_inode += 1
+        return inode
+
+    @staticmethod
+    def _validate_name(name: str) -> None:
+        """P6 (reference: core/datastore.go:1315-1320)."""
+        if not VALID_NAME.match(name):
+            raise E.InvalidNameError(repr(name))
+
+    def _mark_dirty_to_root(self, inode: int) -> None:
+        """M8: ancestor invalidation (reference: core/nodedb.go:286-315).
+        dirty ⇒ bid NULL; stops early because dirty is upward-closed."""
+        while True:
+            node = self.nodes[inode]
+            if node.is_dirty and node.bid is None and inode != ROOT_INODE:
+                break
+            self.nodes[inode] = replace(node, is_dirty=True, bid=None)
+            if inode == ROOT_INODE:
+                break
+            inode = node.parent
+
+    def _insert(self, node: Node, mark_dirty: bool = True) -> Node:
+        parent = self.get_node(node.parent)
+        if not parent.is_dir:
+            raise E.NotDirError(parent.name)
+        self._validate_name(node.name)
+        if node.name in self.children.setdefault(node.parent, {}):
+            raise E.ExistsError(node.name)
+        self.nodes[node.inode] = node
+        self.children[node.parent][node.name] = node.inode
+        if node.is_dir:
+            self.children.setdefault(node.inode, {})
+        if mark_dirty:
+            self._mark_dirty_to_root(node.parent)
+        return node
+
+    def mkdir(self, parent: int, name: str) -> int:
+        """M1."""
+        self._ensure_children_loaded(parent)
+        node = self._insert(
+            Node(
+                inode=self._alloc_inode(),
+                parent=parent,
+                name=name,
+                is_dir=True,
+                is_dirty=True,
+                mtime=self.clock(),
+            )
+        )
+        return node.inode
+
+    def create_writable(self, parent: int, name: str) -> int:
+        """M2: node backed by a staging temp file (S6)."""
+        self._ensure_children_loaded(parent)
+        path = os.path.join(self.staging_dir, secrets.token_hex(8))
+        open(path, "wb").close()
+        node = self._insert(
+            Node(
+                inode=self._alloc_inode(),
+                parent=parent,
+                name=name,
+                is_dir=False,
+                is_dirty=True,
+                mtime=self.clock(),
+                local_path=path,
+            )
+        )
+        return node.inode
+
+    def write(self, inode: int, data: bytes, offset: int = 0) -> None:
+        """M10: write into the staging file."""
+        node = self.nodes[inode]
+        if node.local_path is None:
+            raise E.IsDirError("not a writable file")
+        with open(node.local_path, "r+b") as f:
+            f.seek(offset)
+            f.write(data)
+        self._mark_dirty_to_root(node.parent)
+
+    def truncate(self, inode: int, size: int) -> None:
+        node = self.nodes[inode]
+        if node.local_path is None:
+            raise E.IsDirError("not a writable file")
+        os.truncate(node.local_path, size)
+        self._mark_dirty_to_root(node.parent)
+
+    def add_immutable_bytes(self, parent: int, name: str, data: bytes) -> int:
+        """M3: bytes → CAS → frozen node (reference:
+        core/datastore.go:874-910)."""
+        self._ensure_children_loaded(parent)
+        bid = self.freezer.add_bytes(data)
+        node = self._insert(
+            Node(
+                inode=self._alloc_inode(),
+                parent=parent,
+                name=name,
+                is_dir=False,
+                size=len(data),
+                mtime=self.clock(),
+                is_dirty=False,
+                bid=bid,
+            )
+        )
+        return node.inode
+
+    def link_remote(
+        self, parent: int, name: str, source: RemoteSource, is_dir: bool = False
+    ) -> int:
+        """M4/M5: register a remote object or prefix; dirs get
+        deferred child fetch (reference: core/nodedb.go:591-703).
+        Synthetic BID = sha256 of the pinned identity string."""
+        self._ensure_children_loaded(parent)
+        if source.kind == "gcs":
+            ident = f"{source.bucket}/{source.key}:{source.generation}"
+        else:
+            ident = f"{source.url}:{source.etag}"
+        node = self._insert(
+            Node(
+                inode=self._alloc_inode(),
+                parent=parent,
+                name=name,
+                is_dir=is_dir,
+                size=source.size or 0,
+                mtime=self.clock(),
+                is_dirty=False,
+                bid=None if is_dir else bid_of_bytes(ident.encode()),
+                deferred=is_dir,
+                remote_source=source,
+            )
+        )
+        return node.inode
+
+    def rename(self, src_parent: int, src_name: str, dst_parent: int, dst_name: str):
+        """M6: destructive move (reference: core/datastore.go:798-839)."""
+        self._validate_name(dst_name)
+        inode = self.get_node_id(src_parent, src_name)
+        self._ensure_children_loaded(dst_parent)
+        existing = self.children.get(dst_parent, {}).get(dst_name)
+        if existing is not None:
+            self._remove_recursive(dst_parent, dst_name, existing)
+        del self.children[src_parent][src_name]
+        self.children[dst_parent][dst_name] = inode
+        self.nodes[inode] = replace(
+            self.nodes[inode], parent=dst_parent, name=dst_name
+        )
+        self._mark_dirty_to_root(src_parent)
+        self._mark_dirty_to_root(dst_parent)
+
+    def _remove_subtree_entry(self, parent: int, name: str, inode: int) -> None:
+        del self.children[parent][name]
+        self.nodes.pop(inode, None)
+        self.children.pop(inode, None)
+
+    def _remove_recursive(self, parent: int, name: str, inode: int) -> None:
+        for cname, child in list(self.children.get(inode, {}).items()):
+            self._remove_recursive(inode, cname, child)
+        self._remove_subtree_entry(parent, name, inode)
+
+    def remove(self, parent: int, name: str) -> None:
+        """M7: unlink/rmdir; refuses non-empty dirs (reference:
+        core/nodedb.go:241-284)."""
+        inode = self.get_node_id(parent, name)
+        node = self.get_node(inode)
+        if node.is_dir:
+            self._ensure_children_loaded(inode)
+            if self.children.get(inode):
+                raise E.DirNotEmptyError(name)
+        if node.local_path is not None and os.path.exists(node.local_path):
+            os.unlink(node.local_path)
+        self._remove_subtree_entry(parent, name, inode)
+        self._mark_dirty_to_root(parent)
+
+    # ------------------------------------------------------------------
+    # Data plane: reads through the CAS (S7/S9 + full-block fetch; the
+    # sparse chunked path lives in sources/sparse.py)
+    # ------------------------------------------------------------------
+
+    def _fetch_block(self, bid: str) -> bytes:
+        if self.freezer.has_block(bid):
+            return self.freezer.get_bytes(bid)
+        if self.remote is None:
+            raise E.NotFoundError(f"block {bid}")
+        data = self.remote.get_block(bid)
+        got = self.freezer.add_bytes(data)
+        assert got == bid, f"remote block hash mismatch: {got} != {bid}"
+        self.pushed.add(bid)
+        return data
+
+    def read(self, inode: int, offset: int = 0, length: int | None = None) -> bytes:
+        node = self.get_node(inode)
+        if node.is_dir:
+            raise E.IsDirError(node.name)
+        if node.local_path is not None:
+            with open(node.local_path, "rb") as f:
+                f.seek(offset)
+                return f.read(length) if length is not None else f.read()
+        if node.bid is None:
+            raise E.NotFoundError(f"no content for inode {inode}")
+        data = self._fetch_block(node.bid)
+        end = None if length is None else offset + length
+        return data[offset:end]
+
+    def read_path(self, path: str) -> bytes:
+        return self.read(self.resolve_path(path))
+
+    # ------------------------------------------------------------------
+    # F-series: freeze / push / mount (reference:
+    # core/datastore.go:999-1217)
+    # ------------------------------------------------------------------
+
+    def freeze(self, inode: int = ROOT_INODE) -> str:
+        """F1: bottom-up Merkle snapshot, memoized on bid IS NOT NULL
+        (reference: core/datastore.go:1116-1199). Driver recursion is
+        fine here (FS trees are shallow); the distributed level-wise
+        variant for huge catalogs is plans/merkle.freeze_nodes_df."""
+        node = self.get_node(inode)
+        if node.bid is not None:
+            return node.bid  # memoized: unchanged subtree
+        if not node.is_dir:
+            assert node.local_path is not None, "file with no bid nor content"
+            bid = self.freezer.add_file(node.local_path)
+            size = os.path.getsize(node.local_path)
+            self.nodes[inode] = replace(
+                self.nodes[inode],
+                bid=bid,
+                size=size,
+                is_dirty=False,
+                local_path=None,
+            )
+            os.unlink(node.local_path)
+            return bid
+        entries = []
+        for name, child in sorted(self.children.get(inode, {}).items()):
+            cbid = self.freeze(child)
+            cnode = self.get_node(child)
+            entries.append((name, cnode.is_dir, cbid, cnode.size))
+        manifest = encode_dir_manifest(entries)
+        bid = self.freezer.add_bytes(manifest)
+        self.nodes[inode] = replace(self.nodes[inode], bid=bid, is_dirty=False)
+        return bid
+
+    def collect_unpushed(self, inode: int = ROOT_INODE) -> list[str]:
+        """F2: DFS collecting bids not yet pushed; skips remote-sourced
+        file nodes (reference: core/datastore.go:1074-1114)."""
+        out: list[str] = []
+        seen: set[str] = set()
+
+        def visit(i: int) -> None:
+            node = self.get_node(i)
+            if not node.is_dir and node.remote_source is not None:
+                return  # already lives remotely
+            if node.bid is None or node.bid in seen:
+                return
+            seen.add(node.bid)
+            if node.is_dir and not node.deferred:
+                for child in self.children.get(i, {}).values():
+                    visit(child)
+            if not self._is_pushed(node.bid):
+                out.append(node.bid)
+
+        visit(inode)
+        return out
+
+    def _is_pushed(self, bid: str) -> bool:
+        if bid in self.pushed:
+            return True
+        if self.remote is not None and self.remote.has_block(bid):
+            self.pushed.add(bid)
+            return True
+        return False
+
+    def push(self, label: str, inode: int = ROOT_INODE) -> str:
+        """F3: freeze → collect unpushed → upload → bind label
+        (reference: core/datastore.go:999-1072). Uploads here are
+        sequential driver-side; the distributed path
+        (plans/merkle.push_blocks) does foreachPartition uploads."""
+        if self.remote is None:
+            raise E.CatalogError("no remote configured")
+        root_bid = self.freeze(inode)
+        for bid in self.collect_unpushed(inode):
+            self.remote.put_block_if_absent(bid, self.freezer.get_bytes(bid))
+            self.pushed.add(bid)
+        self.remote.set_root(label, root_bid)
+        self.remote.set_lease(secrets.token_hex(8), new_lease_expiry(self.clock()))
+        return root_bid
+
+    def mount_by_label(self, parent: int, name: str, label: str) -> int:
+        """F4: attach a published snapshot as a lazily-expanded subtree
+        (reference: core/datastore.go:214-312)."""
+        if self.remote is None:
+            raise E.CatalogError("no remote configured")
+        try:
+            bid = self.remote.get_root(label)
+        except KeyError:
+            raise E.NotFoundError(f"label {label}") from None
+        return self.mount_bid(parent, name, bid)
+
+    def mount_bid(self, parent: int, name: str, bid: str) -> int:
+        """F4/F7: target created as (or must be) an empty dir."""
+        self._ensure_children_loaded(parent)
+        existing = self.children.get(parent, {}).get(name)
+        if existing is not None:
+            node = self.get_node(existing)
+            if not node.is_dir:
+                raise E.NotMountPointError(name)
+            self._ensure_children_loaded(existing)
+            if self.children.get(existing):
+                raise E.NotMountPointError(f"{name} not empty")
+            self.nodes[existing] = replace(
+                node, bid=bid, deferred=True, is_dirty=False
+            )
+            return existing
+        node = self._insert(
+            Node(
+                inode=self._alloc_inode(),
+                parent=parent,
+                name=name,
+                is_dir=True,
+                mtime=self.clock(),
+                is_dirty=False,
+                bid=bid,
+                deferred=True,
+            ),
+            mark_dirty=False,
+        )
+        return node.inode
+
+    def unmount(self, parent: int, name: str) -> None:
+        """F5: drop the mounted subtree (children may be unexpanded)."""
+        inode = self.get_node_id(parent, name)
+        self._remove_recursive(parent, name, inode)

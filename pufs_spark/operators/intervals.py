@@ -1,0 +1,174 @@
+"""Interval algebra over (key, start, end) DataFrames.
+
+Reference kernel: region/region.go — a per-block sorted disjoint
+interval set with Add (union-merge), GetMissing (difference),
+TotalLength/Count (stats), GetFirstMissingRegion / GetNextStart.
+
+Spark-first shape: the *mask* is not an in-memory structure but a view —
+the gaps-and-islands merge of an append-only ``regions`` log
+(reference's ``.regions`` files, core/freezer.go:420-509). All ops are
+window + aggregate compositions that scale out per key; the per-key sort
+the windows imply is exactly the reference's per-block sorted set, kept
+distributed. Intervals are half-open [start, end); adjacent intervals
+merge (reference Add semantics, region/region.go:74-124).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+KEY = "bid"
+
+
+def merge_intervals(df: DataFrame, key: str = KEY) -> DataFrame:
+    """R2: union-merge an interval log into a disjoint sorted mask.
+
+    Gaps-and-islands: a row starts a new island iff its start lies
+    strictly past the running max end of all earlier rows (ties/adjacent
+    merge). One shuffle on ``key``; everything else stays in the same
+    partitioning.
+    """
+    w = Window.partitionBy(key).orderBy("start", "end")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    island = F.sum(
+        F.when(
+            F.col("start") > F.coalesce(prev_max_end, F.lit(-(1 << 62))), 1
+        ).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("_island", island)
+        .groupBy(key, "_island")
+        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
+        .drop("_island")
+    )
+
+
+def coverage_stats(mask: DataFrame, key: str = KEY) -> DataFrame:
+    """R3/A1: per-key (populated_region_count, populated_size).
+    ``mask`` must be disjoint (pass through merge_intervals first)."""
+    return mask.groupBy(key).agg(
+        F.count(F.lit(1)).alias("populated_region_count"),
+        F.sum(F.col("end") - F.col("start")).alias("populated_size"),
+    )
+
+
+def missing_regions(
+    mask: DataFrame, queries: DataFrame, key: str = KEY, qid: str = "qid"
+) -> DataFrame:
+    """R1: per query [qstart, qend), the sub-ranges NOT covered by the
+    mask → rows (key, qid, start, end).
+
+    Join each query with its overlapping mask intervals (a range join —
+    at scale, pre-bucket both sides by key so it's co-partitioned), then
+    a lag-window sweep finds the gaps, including head and tail.
+    ``mask`` must be disjoint.
+    """
+    q = queries.select(
+        F.col(key), F.col(qid), F.col("qstart"), F.col("qend")
+    )
+    j = q.join(
+        mask.select(key, "start", "end"),
+        on=[
+            q[key] == mask[key],
+            F.col("start") < F.col("qend"),
+            F.col("end") > F.col("qstart"),
+        ],
+        how="left",
+    ).select(q[key], qid, "qstart", "qend", "start", "end")
+
+    w = Window.partitionBy(key, qid).orderBy("start")
+    # Gap before this interval: [max(qstart, prev_end), clipped_start)
+    prev_end = F.lag("end").over(w)
+    gap_start = F.greatest(F.coalesce(prev_end, F.col("qstart")), F.col("qstart"))
+    clipped_start = F.greatest(F.col("start"), F.col("qstart"))
+    head_gaps = (
+        j.where(F.col("start").isNotNull())
+        .withColumn("gstart", gap_start)
+        .withColumn("gend", clipped_start)
+        .where(F.col("gend") > F.col("gstart"))
+        .select(key, qid, F.col("gstart").alias("start"), F.col("gend").alias("end"))
+    )
+    # Tail gap after the last covered byte (or the whole query when no
+    # interval overlaps it).
+    tail_gaps = (
+        j.groupBy(key, qid, "qstart", "qend")
+        # least() skips NULLs, so guard: unmatched queries must keep
+        # max_end NULL to report the whole range missing.
+        .agg(
+            F.max(
+                F.when(
+                    F.col("end").isNotNull(),
+                    F.least(F.col("end"), F.col("qend")),
+                )
+            ).alias("max_end")
+        )
+        .withColumn("gstart", F.coalesce(F.col("max_end"), F.col("qstart")))
+        .where(F.col("gstart") < F.col("qend"))
+        .select(
+            key, qid, F.col("gstart").alias("start"), F.col("qend").alias("end")
+        )
+    )
+    return head_gaps.unionByName(tail_gaps)
+
+
+def add_region(log: DataFrame, additions: DataFrame, key: str = KEY) -> DataFrame:
+    """R2 entry point: append to the log then re-merge (the mask is a
+    view; compaction = materializing merge_intervals back to storage)."""
+    return merge_intervals(log.unionByName(additions), key)
+
+
+def first_missing(
+    mask: DataFrame, queries: DataFrame, key: str = KEY, qid: str = "qid"
+) -> DataFrame:
+    """R4a: the first gap of each query range (top-1 per key via
+    row_number)."""
+    gaps = missing_regions(mask, queries, key, qid)
+    w = Window.partitionBy(key, qid).orderBy("start")
+    return (
+        gaps.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def next_start(mask: DataFrame, positions: DataFrame, key: str = KEY) -> DataFrame:
+    """R4b: smallest interval start >= position, per key."""
+    j = positions.join(mask, key, "left").where(
+        F.col("start") >= F.col("position")
+    )
+    return j.groupBy(key, "position").agg(F.min("start").alias("next_start"))
+
+
+def align_chunks(
+    queries: DataFrame, chunk_size: int, max_size_col: str | None = None
+) -> DataFrame:
+    """R5: round [qstart, qend) out to chunk boundaries (reference
+    chunk = 200KB, core/datastore.go:106; alignment
+    core/freezer.go:131-138). Clamps qend to the block size when given."""
+    out = queries.withColumn(
+        "qstart", (F.floor(F.col("qstart") / chunk_size) * chunk_size).cast("long")
+    ).withColumn(
+        "qend", (F.ceil(F.col("qend") / chunk_size) * chunk_size).cast("long")
+    )
+    if max_size_col:
+        out = out.withColumn("qend", F.least(F.col("qend"), F.col(max_size_col)))
+    return out
+
+
+def validate_mask(mask: DataFrame, key: str = KEY) -> DataFrame:
+    """Invariant check (reference region.Validate,
+    region/region.go:126-139): rows where ordering/disjointness is
+    violated — empty result = valid."""
+    w = Window.partitionBy(key).orderBy("start")
+    prev_end = F.lag("end").over(w)
+    return (
+        mask.withColumn("_prev_end", prev_end)
+        .where(
+            (F.col("end") <= F.col("start"))
+            | (F.col("_prev_end").isNotNull() & (F.col("start") < F.col("_prev_end")))
+        )
+        .drop("_prev_end")
+    )

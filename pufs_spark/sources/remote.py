@@ -1,0 +1,164 @@
+"""Remote object-store connectors.
+
+The reference ships GCS (remote/gcs.go) and HTTP (remote/http.go)
+connectors plus in-memory test fakes (core/mem_imps.go). Here the
+production-shaped connector is a local-directory object store (usable
+against any fuse/NFS/object mount in tests); GCS/HTTP are gated behind
+import-try since those client libraries are not in this container.
+
+Remote layout mirrors the reference:
+- ``CAS/<bid>``       — pushed content-addressed blocks
+  (remote/gcs.go:179-197); puts are if-absent (U2: the remote CAS is
+  a set, remote/gcs.go:185).
+- ``root/<label>``    — label → root-BID bindings (remote/gcs.go:114-151)
+- ``lease/<name>``    — GC-root keepalives (remote/gcs.go:96-112)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+
+class RemoteStore:
+    """Interface all remotes implement."""
+
+    def put_block_if_absent(self, bid: str, data: bytes) -> bool:
+        raise NotImplementedError
+
+    def has_block(self, bid: str) -> bool:
+        raise NotImplementedError
+
+    def get_block(self, bid: str) -> bytes:
+        raise NotImplementedError
+
+    def read_block(self, bid: str, offset: int, length: int) -> bytes:
+        """S1/S4-shaped ranged read."""
+        raise NotImplementedError
+
+    def set_root(self, label: str, bid: str) -> None:
+        raise NotImplementedError
+
+    def get_root(self, label: str) -> str:
+        raise NotImplementedError
+
+    def set_lease(self, name: str, expiry: float) -> None:
+        raise NotImplementedError
+
+
+class MemRemote(RemoteStore):
+    """In-memory fake (reference: core/mem_imps.go RemoteRefFactoryMem).
+
+    Counts reads so tests can assert zero-remote-read cache hits
+    (reference test core/freezer_test.go:72-118)."""
+
+    def __init__(self):
+        self.blocks: dict[str, bytes] = {}
+        self.roots: dict[str, str] = {}
+        self.leases: dict[str, float] = {}
+        self.read_count = 0
+        self.bytes_read = 0
+
+    def put_block_if_absent(self, bid: str, data: bytes) -> bool:
+        if bid in self.blocks:
+            return False
+        self.blocks[bid] = data
+        return True
+
+    def has_block(self, bid: str) -> bool:
+        return bid in self.blocks
+
+    def get_block(self, bid: str) -> bytes:
+        self.read_count += 1
+        data = self.blocks[bid]
+        self.bytes_read += len(data)
+        return data
+
+    def read_block(self, bid: str, offset: int, length: int) -> bytes:
+        self.read_count += 1
+        data = self.blocks[bid][offset : offset + length]
+        self.bytes_read += len(data)
+        return data
+
+    def set_root(self, label: str, bid: str) -> None:
+        self.roots[label] = bid
+
+    def get_root(self, label: str) -> str:
+        if label not in self.roots:
+            raise KeyError(label)
+        return self.roots[label]
+
+    def set_lease(self, name: str, expiry: float) -> None:
+        self.leases[name] = expiry
+
+
+class LocalDirRemote(RemoteStore):
+    """Object store over a local directory tree — the production-shaped
+    connector in this container (swap for GCS/S3 via fsspec/hadoop on a
+    cluster; executors write through the same layout in parallel)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        for sub in ("CAS", "root", "lease"):
+            os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    def _cas(self, bid: str) -> str:
+        return os.path.join(self.root, "CAS", bid)
+
+    def put_block_if_absent(self, bid: str, data: bytes) -> bool:
+        dest = self._cas(bid)
+        if os.path.exists(dest):
+            return False
+        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dest), prefix=".put-")
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.rename(tmp, dest)
+        return True
+
+    def has_block(self, bid: str) -> bool:
+        return os.path.exists(self._cas(bid))
+
+    def get_block(self, bid: str) -> bytes:
+        with open(self._cas(bid), "rb") as f:
+            return f.read()
+
+    def read_block(self, bid: str, offset: int, length: int) -> bytes:
+        with open(self._cas(bid), "rb") as f:
+            f.seek(offset)
+            return f.read(length)
+
+    def set_root(self, label: str, bid: str) -> None:
+        with open(os.path.join(self.root, "root", label), "w") as f:
+            f.write(bid)
+
+    def get_root(self, label: str) -> str:
+        path = os.path.join(self.root, "root", label)
+        if not os.path.exists(path):
+            raise KeyError(label)
+        with open(path) as f:
+            return f.read().strip()
+
+    def set_lease(self, name: str, expiry: float) -> None:
+        with open(os.path.join(self.root, "lease", name), "w") as f:
+            f.write(str(expiry))
+
+
+def gcs_remote(bucket: str, prefix: str):  # pragma: no cover - not in container
+    """GCS connector, gated: google-cloud-storage is not installed here.
+    On a cluster, prefer the Hadoop GCS connector via spark.read and keep
+    this only for root/lease bookkeeping."""
+    try:
+        from google.cloud import storage  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "google-cloud-storage not available in this environment"
+        ) from e
+    raise NotImplementedError("wire GCSRemote(bucket, prefix) here")
+
+
+DEFAULT_LEASE_SECONDS = 48 * 3600  # reference: core/datastore.go:48
+
+
+def new_lease_expiry(now: float | None = None) -> float:
+    return (now if now is not None else time.time()) + DEFAULT_LEASE_SECONDS
