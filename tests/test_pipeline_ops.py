@@ -1,0 +1,173 @@
+"""Dedup / text / similarity / multimodal operators on the driver
+testdata (documents + embeddings at sf0.001)."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pufs_spark.operators import dedup, multimodal, similarity, text
+from pufs_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def test_token_count_matches_python(spark, docs):
+    rows = text.token_count(docs).select("doc_id", "text", "n_tokens").take(50)
+    for r in rows:
+        assert r["n_tokens"] == len(r["text"].split()), r["text"]
+
+
+def test_quality_stats_ranges(spark, docs):
+    q = text.quality_stats(docs)
+    bad = q.where(
+        (F.col("alpha_ratio") < 0)
+        | (F.col("alpha_ratio") > 1)
+        | (F.col("stopword_ratio") < 0)
+        | (F.col("stopword_ratio") > 1)
+        | (F.col("mean_token_len") <= 0)
+    )
+    assert bad.count() == 0
+
+
+def test_lang_id_deterministic(spark, docs):
+    out = text.lang_id(docs).select("doc_id", "pred_lang")
+    assert out.count() == docs.count()
+    langs = {r["pred_lang"] for r in out.distinct().collect()}
+    assert langs <= set(text.STOPWORDS) | {"und"}
+
+
+def test_fingerprint_collapses_formatting(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello,   World!"), (2, "hello world"), (3, "different")],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: r["fp"] for r in text.fingerprint(df).collect()}
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["dup_count"] for r in dedup.exact_dedup(df).collect()}
+    assert out == {1: 2, 2: 1}
+
+
+def test_shingles_match_expected(spark):
+    df = spark.createDataFrame([(1, "abcdef"), (2, "abc")], "doc_id long, text string")
+    rows = {
+        r["doc_id"]: r["shingles"]
+        for r in dedup.with_shingles(df, k=5).collect()
+    }
+    assert rows[1] == ["abcde", "bcdef"]
+    assert rows[2] == []  # shorter than k
+
+
+def test_lsh_finds_known_near_dups(spark, docs):
+    """LSH+verify equals brute-force exact Jaccard at the threshold."""
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # brute force ground truth (shingles materialized once)
+    sh = dedup.with_shingles(docs).select("doc_id", "shingles").localCheckpoint()
+    a = sh.withColumnRenamed("doc_id", "a").withColumnRenamed("shingles", "sa")
+    b = sh.withColumnRenamed("doc_id", "b").withColumnRenamed("shingles", "sb")
+    truth = {
+        (r["a"], r["b"])
+        for r in a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn(
+            "j",
+            F.size(F.array_intersect("sa", "sb"))
+            / F.size(F.array_distinct(F.concat("sa", "sb"))),
+        )
+        .where(F.col("j") >= 0.7)
+        .collect()
+    }
+    assert truth, "testdata should contain injected near-dups"
+    assert got == truth
+
+
+def test_near_dup_groups_and_keep_first(spark, docs):
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7).localCheckpoint()
+    groups = dedup.near_dup_groups(pairs)
+    # every group id is the min doc_id of its group
+    bad = (
+        groups.groupBy("group_id")
+        .agg(F.min("doc_id").alias("mn"))
+        .where(F.col("group_id") != F.col("mn"))
+    )
+    assert bad.count() == 0
+    kept = dedup.dedup_keep_first(docs, pairs)
+    n_losers = groups.where(F.col("doc_id") != F.col("group_id")).count()
+    assert kept.count() == docs.count() - n_losers
+
+
+def test_simhash_near_dups_overlap_minhash(spark, docs):
+    sh_pairs = {
+        (r["a"], r["b"])
+        for r in dedup.simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    }
+    mh_pairs = {
+        (r["a"], r["b"])
+        for r in dedup.near_dup_pairs(docs, threshold=0.9).collect()
+    }
+    # strong near-dups should be caught by both signals
+    assert mh_pairs, "expected >0.9-jaccard pairs in testdata"
+    assert len(sh_pairs & mh_pairs) >= len(mh_pairs) // 2
+
+
+def test_brute_force_topk(spark, emb):
+    q = emb.where(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(q, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["cosine"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["neighbor_id"] != qid for r in rs)
+        assert all(-1.0001 <= s <= 1.0001 for s in sims)
+
+
+def test_lsh_topk_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(q, emb, k=1)
+    approx = similarity.lsh_topk(q, emb, k=1, n_tables=8, n_planes=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # random-hyperplane LSH on ~0.5-cosine neighbors: p(hit/table) ≈
+    # (1-θ/π)^4 ≈ 0.2, so 8 tables ⇒ recall ≈ 0.83; assert a safe floor
+    assert len(e & a) >= int(0.5 * len(e))
+
+
+def test_embedding_near_dup_pairs(spark, emb):
+    pairs = similarity.embedding_near_dup_pairs(emb, threshold=0.99)
+    for r in pairs.collect():
+        assert r["a"] < r["b"] and r["cosine"] >= 0.99
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=32)
+    feats = multimodal.extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 32
+    assert all(len(r["feature"]) == 16 for r in rows)
+    # deterministic: same content -> same hash+feature
+    again = {r["media_id"]: r["content_hash"] for r in feats.collect()}
+    assert {r["media_id"]: r["content_hash"] for r in rows} == again
+    stats = {r["kind"]: r["n"] for r in multimodal.media_stats(media).collect()}
+    assert stats == {"image": 16, "audio": 16}
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_images(media, 32, 32)
