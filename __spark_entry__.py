@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps SURVEY.md §2 operator ids (P/L/F/U/R/A/T series =
+the reference's surface; D/S/E/Q series = the engine's pipeline and
+relational generalizations) to Spark callables; ``oracle_sql()`` holds
+the DuckDB-equivalent SQL. Catalog-shaped queries run over a
+deterministic FS tree derived from the relational tables by BOTH
+engines (pufs_spark/plans/fstree.py documents the derivation).
 """
 
 from __future__ import annotations
@@ -12,27 +13,866 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pufs_spark.catalog import queries as catq
+from pufs_spark.operators import dedup, intervals, similarity, text
+from pufs_spark.plans import fstree, merkle
+from pufs_spark.streaming import monitor
+from pufs_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle SQL prefix: the derived FS tree + region log + merged mask
+# ---------------------------------------------------------------------------
+
+WITH_FS = (
+    "WITH "
+    + fstree.SQL_FS_NODES.strip().rstrip()
+    + ",\n"
+    + fstree.SQL_FS_REGIONS.strip()
+    + ",\n"
+    + fstree.SQL_FS_MASK.strip()
+)
+
+_STOP = text.STOPWORDS
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+# ---------------------------------------------------------------------------
+
+
+def q_p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: point child lookup (parent=region dir 2, name='NATION_0')."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return nodes.where(
+        (F.col("parent") == 2) & (F.col("name") == "NATION_0")
+    ).select("inode")
+
+
+def q_p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: point node fetch by inode."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return nodes.where(F.col("inode") == 100042).select(
+        "inode", "parent", "name", "is_dir", "size", "bid"
+    )
+
+
+def q_p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: getattr projection with derived mode (dir→0775, file→0444)."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return nodes.where(F.col("parent") == 10).select(
+        "inode",
+        F.when(F.col("is_dir"), F.lit(509))
+        .otherwise(F.lit(292))
+        .cast("int")
+        .alias("mode"),
+        "size",
+    )
+
+
+def q_p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/U3: existence via left-semi join — customer dirs that contain
+    at least one order file."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    dirs = nodes.where((F.col("inode") >= 100) & (F.col("inode") < 100000))
+    files = nodes.where(~F.col("is_dir")).select(
+        F.col("parent").alias("_fp")
+    )
+    return dirs.join(
+        files, dirs.inode == files._fp, "left_semi"
+    ).select("inode", "name")
+
+
+def q_p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: path resolution /AFRICA/NATION_0 via iterative joins."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    row = catq.resolve_path(nodes, "/AFRICA/NATION_0")
+    return row.select("inode", "parent", "name", "is_dir")
+
+
+def q_p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: name-charset validation filter over all node names."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return nodes.where(F.col("inode") != 1).select(
+        "inode",
+        F.col("name").rlike(r"^[A-Za-z0-9.~#$@ ()+_.-]+$").alias("valid"),
+    )
+
+
+def q_l1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: dir listing of region dir inode 4."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return catq.dir_listing(nodes, 4)
+
+
+def q_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: full-entry listing of nation dir inode 10."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return catq.walk_dir_contents(nodes, 10).select(
+        "inode", "name", "is_dir", "size", "bid"
+    )
+
+
+def _first_custdir(spark: SparkSession, sf_dir: str) -> int:
+    k = (
+        load_table(spark, sf_dir, "orders")
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+    )
+    return 100 + int(k)
+
+
+def q_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: extended listing (entries ⨝ merged-mask cache stats) of the
+    first customer dir that has orders."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    regions = fstree.fs_regions(spark, sf_dir)
+    parent = _first_custdir(spark, sf_dir)
+    return catq.extended_dir_contents(nodes, regions, parent).select(
+        "inode", "name", "is_dir", "size", "bid",
+        "populated_region_count", "populated_size",
+    )
+
+
+def q_l7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: catalog dump stats."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return nodes.groupBy("is_dir").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("size").alias("total_size")
+    )
+
+
+def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: distributed level-wise Merkle freeze — every dir's bid."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    frozen = merkle.freeze_nodes_df(nodes)
+    return frozen.where(F.col("is_dir")).select("inode", "bid")
+
+
+def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/U4: unpushed diff — file bids minus remote inventory
+    (inventory = even order keys) via left-anti join."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    inventory = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(F.lit("blk_"), F.col("o_orderkey")).alias("bid")
+    )
+    return merkle.unpushed(nodes.where(~F.col("is_dir")), inventory)
+
+
+def q_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: missing regions of [0, 32768) per sampled block."""
+    regions = fstree.fs_regions(spark, sf_dir)
+    mask = intervals.merge_intervals(regions)
+    orders = load_table(spark, sf_dir, "orders")
+    qs = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.concat(F.lit("blk_"), F.col("o_orderkey")).alias("bid"),
+        F.col("o_orderkey").cast("long").alias("qid"),
+        F.lit(0).cast("long").alias("qstart"),
+        F.lit(32768).cast("long").alias("qend"),
+    )
+    return intervals.missing_regions(mask, qs)
+
+
+def q_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: interval union — the merged disjoint mask."""
+    return intervals.merge_intervals(fstree.fs_regions(spark, sf_dir))
+
+
+def q_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: coverage stats over the merged mask."""
+    mask = intervals.merge_intervals(fstree.fs_regions(spark, sf_dir))
+    return intervals.coverage_stats(mask)
+
+
+def q_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: first missing region per sampled query."""
+    regions = fstree.fs_regions(spark, sf_dir)
+    mask = intervals.merge_intervals(regions)
+    orders = load_table(spark, sf_dir, "orders")
+    qs = orders.where(F.col("o_orderkey") % 100 == 0).select(
+        F.concat(F.lit("blk_"), F.col("o_orderkey")).alias("bid"),
+        F.col("o_orderkey").cast("long").alias("qid"),
+        F.lit(0).cast("long").alias("qstart"),
+        F.lit(1 << 20).cast("long").alias("qend"),
+    )
+    return intervals.first_missing(mask, qs)
+
+
+def q_r5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5: 200KB chunk alignment of read requests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = li.select(
+        F.concat(F.lit("blk_"), F.col("l_orderkey")).alias("bid"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("long").alias("qid"),
+        (F.floor(F.col("l_quantity")).cast("long") * 5000).alias("qstart"),
+        (
+            F.floor(F.col("l_quantity")).cast("long") * 5000
+            + F.floor(F.col("l_extendedprice")).cast("long")
+        ).alias("qend"),
+    )
+    return intervals.align_chunks(qs, 200 * 1024)
+
+
+def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: raw region-log stats per block (pre-merge)."""
+    regions = fstree.fs_regions(spark, sf_dir)
+    return regions.groupBy("bid").agg(
+        F.count(F.lit(1)).alias("log_rows"),
+        F.sum(F.col("end") - F.col("start")).alias("log_bytes"),
+    )
+
+
+def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: exact p50/p90/p99 of events.value per type (rank method —
+    identical formula on both engines; the production path would use
+    percentile_approx)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        WITH ranked AS (
+          SELECT event_type, value,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM events)
+        SELECT event_type,
+               max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+               max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+               max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+        FROM ranked GROUP BY event_type
+        """
+    )
+
+
+def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: recursive subtree aggregate — files+bytes per region dir."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    region_dirs = nodes.where(
+        (F.col("inode") >= 2) & (F.col("inode") < 10)
+    ).select(F.col("inode").alias("rnode"), F.col("name").alias("region_name"))
+    out = []
+    for row in region_dirs.collect():
+        sub = catq.descendants(nodes, row["rnode"])
+        out.append(
+            sub.where(~F.col("is_dir")).agg(
+                F.lit(row["region_name"]).alias("region_name"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum("size").alias("total_bytes"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: human-readable size rendering (integer-floor units)."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    size = F.col("size")
+    hsize = (
+        F.when(size >= 1 << 30, F.concat((size / (1 << 30)).cast("long"), F.lit("G")))
+        .when(size >= 1 << 20, F.concat((size / (1 << 20)).cast("long"), F.lit("M")))
+        .when(size >= 1 << 10, F.concat((size / (1 << 10)).cast("long"), F.lit("K")))
+        .otherwise(F.concat(size, F.lit("B")))
+    )
+    return nodes.where(~F.col("is_dir")).select("inode", hsize.alias("hsize"))
+
+
+def q_u1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: exact content-hash dedup over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+def q_u1n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1b: dedup over normalized text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_normalized(docs)
+
+
+def q_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: MinHash+LSH near-dup pairs, exact-verified at t=0.7 — output
+    equals the brute-force threshold join the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.near_dup_pairs(docs, threshold=0.7)
+
+
+def q_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: explicit n-gram Jaccard for a doc_id<100 block (all pairs)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    pairs = (
+        docs.select(F.col("doc_id").alias("a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("b")))
+        .where(F.col("a") < F.col("b"))
+    )
+    return dedup.jaccard_pairs(docs, pairs).where(F.col("jaccard") >= 0.3)
+
+
+def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: token counting + quality signals per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_stats(docs).select(
+        "doc_id", "n_tokens", "alpha_ratio", "space_ratio",
+        "punct_ratio", "mean_token_len", "stopword_ratio",
+    )
+
+
+def q_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: stopword-vote language id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.lang_id(docs).select("doc_id", "pred_lang")
+
+
+def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: normalized-text fingerprints."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.fingerprint(docs).select("doc_id", "fp")
+
+
+def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: brute-force cosine top-5 for vec_id%50==0 queries."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.brute_force_topk(qs, emb, k=5)
+
+
+def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: embedding-cosine near-dup pairs at t=0.45."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.45)
+
+
+def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1: gap-based sessionization of the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitor.sessionize(ev)
+
+
+def q_e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2: tumbling per-minute event rates."""
+    ev = load_table(spark, sf_dir, "events")
+    out = monitor.event_rate_per_minute(ev)
+    return out.select(
+        "minute_bucket", "event_type", "n", F.round("value_sum", 4).alias("value_sum")
+    )
+
+
+def q_e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3 (T7-shaped): last 5 events per user."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitor.last_k_events(ev, k=5).select("user_id", "event_id")
+
+
+def q_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1: TPC-H pricing summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: shipping-priority top 10 (join + agg + top-k)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .where(
+            (F.col("o_orderdate") < "1998-01-01")
+            & (F.col("l_shipdate") > "1998-01-01")
+        )
+    )
+    return (
+        j.groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5: revenue per nation for region ASIA, 1997 (6-way join)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .where(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: forecast revenue change (filter + single agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --- rows-only (non-SQL-expressible or engine-internal) ---
+
+
+def q_x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (LSH path) — rows-only check (stochastic recall
+    vs exact top-k is tested in tests/test_pipeline_ops.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.lsh_topk(qs, emb, k=5, n_planes=4, n_tables=8)
+
+
+def q_x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming-ball near-dup pairs (pandas-UDF path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup_pairs(docs, max_hamming=3)
+
+
+def q_x_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw MinHash signatures (engine-internal representation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs)
+    return sigs.select("doc_id", F.concat_ws(",", "sig").alias("sig_csv"))
+
+
+def q_x_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup connected components (iterative label propagation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.near_dup_pairs(docs, threshold=0.7).localCheckpoint()
+    return dedup.near_dup_groups(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Driver API
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the SURVEY §7.2 end-to-end slice — L3 extended listing
+    (catalog scan ⨝ node projection ⨝ merged-mask cache stats) on the
+    sf0.001 derived tree."""
+    return q_l3(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "P1_child_lookup": q_p1,
+        "P2_node_fetch": q_p2,
+        "P3_getattr": q_p3,
+        "P4_exists_semi_join": q_p4,
+        "P5_resolve_path": q_p5,
+        "P6_name_validation": q_p6,
+        "L1_dir_listing": q_l1,
+        "L2_walk_dir": q_l2,
+        "L3_extended_listing": q_l3,
+        "L7_catalog_stats": q_l7,
+        "F1_merkle_freeze": q_f1,
+        "F2_unpushed_diff": q_f2,
+        "R1_missing_regions": q_r1,
+        "R2_interval_union": q_r2,
+        "R3_coverage_stats": q_r3,
+        "R4_first_missing": q_r4,
+        "R5_chunk_align": q_r5,
+        "A1_block_log_stats": q_a1,
+        "A2_percentiles": q_a2,
+        "A3_subtree_agg": q_a3,
+        "A4_human_size": q_a4,
+        "U1_exact_dedup": q_u1,
+        "U1b_normalized_dedup": q_u1n,
+        "D1_minhash_lsh_neardup": q_d1,
+        "D2_ngram_jaccard": q_d2,
+        "T1_token_quality": q_t1,
+        "T2_lang_id": q_t2,
+        "T3_fingerprint": q_t3,
+        "S1_cosine_topk": q_s1,
+        "S2_embedding_neardup": q_s2,
+        "E1_sessionize": q_e1,
+        "E2_event_rate": q_e2,
+        "E3_last_k_events": q_e3,
+        "Q1_pricing_summary": q_q1,
+        "Q3_shipping_priority": q_q3,
+        "Q5_local_supplier": q_q5,
+        "Q6_forecast_revenue": q_q6,
+        # rows-only (no oracle entry):
+        "X1_lsh_topk": q_x_lsh_topk,
+        "X2_simhash_neardup": q_x_simhash,
+        "X3_minhash_signatures": q_x_minhash,
+        "X4_neardup_groups": q_x_neardup_groups,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tab = "chr(9)"
+    nl = "chr(10)"
+
+    def manifest_level(child_cte: str, lo: int, hi: int, is_dir_flag: str, size_expr: str):
+        return f"""
+  SELECT d.inode, d.parent, d.name,
+         sha256(coalesce(string_agg(c.name || {tab} || '{is_dir_flag}' || {tab} || c.bid || {tab} || {size_expr}, {nl} ORDER BY c.name) || {nl}, '')) AS bid
+  FROM fs_nodes d LEFT JOIN {child_cte} c ON c.parent = d.inode
+  WHERE d.inode >= {lo} AND d.inode < {hi}
+  GROUP BY d.inode, d.parent, d.name
+"""
+
+    stop = _STOP
+    langs = sorted(stop)
+    hits_cols = ",\n  ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_list(stop[lang])}, t))) AS h_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"h_{lang}" for lang in langs) + ")"
+    pred_chain = " ".join(
+        f"WHEN h_{lang} = {best} THEN '{lang}'" for lang in langs
+    )
+
+    shingles = (
+        "list_distinct([substring(text, i, 5) "
+        "for i in range(1, greatest(length(text) - 3, 1))])"
+    )
+
+    return {
+        "P1_child_lookup": WITH_FS
+        + " SELECT inode FROM fs_nodes WHERE parent = 2 AND name = 'NATION_0'",
+        "P2_node_fetch": WITH_FS
+        + " SELECT inode, parent, name, is_dir, size, bid FROM fs_nodes WHERE inode = 100042",
+        "P3_getattr": WITH_FS
+        + """ SELECT inode,
+                CAST(CASE WHEN is_dir THEN 509 ELSE 292 END AS INTEGER) AS mode,
+                size
+              FROM fs_nodes WHERE parent = 10""",
+        "P4_exists_semi_join": WITH_FS
+        + """ SELECT d.inode, d.name FROM fs_nodes d
+              WHERE d.inode >= 100 AND d.inode < 100000
+                AND EXISTS (SELECT 1 FROM fs_nodes f
+                            WHERE NOT f.is_dir AND f.parent = d.inode)""",
+        "P5_resolve_path": WITH_FS
+        + """ SELECT n.inode, n.parent, n.name, n.is_dir
+              FROM fs_nodes n JOIN fs_nodes p ON n.parent = p.inode
+              WHERE p.parent = 1 AND p.name = 'AFRICA' AND n.name = 'NATION_0'""",
+        "P6_name_validation": WITH_FS
+        + """ SELECT inode, regexp_full_match(name, '[A-Za-z0-9.~#$@ ()+_.-]+') AS valid
+              FROM fs_nodes WHERE inode <> 1""",
+        "L1_dir_listing": WITH_FS
+        + " SELECT name, inode FROM fs_nodes WHERE parent = 4 AND inode <> 1",
+        "L2_walk_dir": WITH_FS
+        + " SELECT inode, name, is_dir, size, bid FROM fs_nodes WHERE parent = 10 AND inode <> 1",
+        "L3_extended_listing": WITH_FS
+        + """, stats AS (
+              SELECT bid, count(*) AS populated_region_count,
+                     sum("end" - start) AS populated_size
+              FROM fs_mask GROUP BY bid)
+            SELECT n.inode, n.name, n.is_dir, n.size, n.bid,
+                   coalesce(s.populated_region_count, 0) AS populated_region_count,
+                   coalesce(s.populated_size, 0) AS populated_size
+            FROM fs_nodes n LEFT JOIN stats s ON n.bid = s.bid
+            WHERE n.parent = 100 + (SELECT min(o_custkey) FROM orders)""",
+        "L7_catalog_stats": WITH_FS
+        + " SELECT is_dir, count(*) AS n, sum(size) AS total_size FROM fs_nodes GROUP BY is_dir",
+        "F1_merkle_freeze": WITH_FS
+        + f""", files AS (SELECT * FROM fs_nodes WHERE NOT is_dir),
+            cust AS ({manifest_level('files', 100, 100000, '0', 'c.size')}),
+            nat AS ({manifest_level('cust', 10, 100, '1', "'0'")}),
+            reg AS ({manifest_level('nat', 2, 10, '1', "'0'")}),
+            root AS ({manifest_level('reg', 1, 2, '1', "'0'")})
+            SELECT inode, bid FROM cust
+            UNION ALL SELECT inode, bid FROM nat
+            UNION ALL SELECT inode, bid FROM reg
+            UNION ALL SELECT inode, bid FROM root""",
+        "F2_unpushed_diff": WITH_FS
+        + """ SELECT DISTINCT bid FROM fs_nodes
+              WHERE NOT is_dir AND bid IS NOT NULL
+              AND bid NOT IN (SELECT 'blk_' || o_orderkey FROM orders
+                              WHERE o_orderkey % 2 = 0)""",
+        "R1_missing_regions": WITH_FS
+        + """, q AS (SELECT 'blk_' || o_orderkey AS bid, CAST(o_orderkey AS BIGINT) AS qid,
+                          0::BIGINT AS qstart, 32768::BIGINT AS qend
+                   FROM orders WHERE o_orderkey % 100 = 0),
+            j AS (SELECT q.bid, q.qid, q.qstart, q.qend, m.start AS mstart, m."end" AS mend
+                  FROM q LEFT JOIN fs_mask m ON m.bid = q.bid
+                       AND m.start < q.qend AND m."end" > q.qstart),
+            head AS (
+              SELECT bid, qid,
+                     greatest(coalesce(lag(mend) OVER (PARTITION BY bid, qid ORDER BY mstart), qstart), qstart) AS gstart,
+                     greatest(mstart, qstart) AS gend
+              FROM j WHERE mstart IS NOT NULL),
+            tails AS (
+              SELECT bid, qid,
+                     coalesce(max(CASE WHEN mend IS NOT NULL THEN least(mend, qend) END), qstart) AS gstart,
+                     qend AS gend
+              FROM j GROUP BY bid, qid, qstart, qend)
+            SELECT bid, qid, gstart AS start, gend AS "end" FROM head WHERE gend > gstart
+            UNION ALL
+            SELECT bid, qid, gstart, gend FROM tails WHERE gstart < gend""",
+        "R2_interval_union": WITH_FS
+        + ' SELECT bid, start, "end" FROM fs_mask',
+        "R3_coverage_stats": WITH_FS
+        + """ SELECT bid, count(*) AS populated_region_count,
+                    sum("end" - start) AS populated_size
+              FROM fs_mask GROUP BY bid""",
+        "R4_first_missing": WITH_FS
+        + """, q AS (SELECT 'blk_' || o_orderkey AS bid, CAST(o_orderkey AS BIGINT) AS qid,
+                          0::BIGINT AS qstart, 1048576::BIGINT AS qend
+                   FROM orders WHERE o_orderkey % 100 = 0),
+            j AS (SELECT q.bid, q.qid, q.qstart, q.qend, m.start AS mstart, m."end" AS mend
+                  FROM q LEFT JOIN fs_mask m ON m.bid = q.bid
+                       AND m.start < q.qend AND m."end" > q.qstart),
+            head AS (
+              SELECT bid, qid,
+                     greatest(coalesce(lag(mend) OVER (PARTITION BY bid, qid ORDER BY mstart), qstart), qstart) AS gstart,
+                     greatest(mstart, qstart) AS gend
+              FROM j WHERE mstart IS NOT NULL),
+            tails AS (
+              SELECT bid, qid,
+                     coalesce(max(CASE WHEN mend IS NOT NULL THEN least(mend, qend) END), qstart) AS gstart,
+                     qend AS gend
+              FROM j GROUP BY bid, qid, qstart, qend),
+            gaps AS (
+              SELECT bid, qid, gstart AS start, gend AS "end" FROM head WHERE gend > gstart
+              UNION ALL
+              SELECT bid, qid, gstart, gend FROM tails WHERE gstart < gend)
+            SELECT bid, qid, start, "end"
+            FROM (SELECT *, row_number() OVER (PARTITION BY bid, qid ORDER BY start) AS rn FROM gaps)
+            WHERE rn = 1""",
+        "R5_chunk_align": """
+            SELECT 'blk_' || l_orderkey AS bid,
+                   CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS qid,
+                   CAST(floor(CAST(floor(l_quantity) AS BIGINT) * 5000 / 204800) * 204800 AS BIGINT) AS qstart,
+                   CAST(ceil((CAST(floor(l_quantity) AS BIGINT) * 5000
+                              + CAST(floor(l_extendedprice) AS BIGINT)) / 204800.0) * 204800 AS BIGINT) AS qend
+            FROM lineitem""",
+        "A1_block_log_stats": WITH_FS
+        + """ SELECT bid, count(*) AS log_rows, sum("end" - start) AS log_bytes
+              FROM fs_regions GROUP BY bid""",
+        "A2_percentiles": """
+            WITH ranked AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY value, event_id) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM events)
+            SELECT event_type,
+                   max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN value END) AS p50,
+                   max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN value END) AS p90,
+                   max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN value END) AS p99
+            FROM ranked GROUP BY event_type""",
+        "A3_subtree_agg": """
+            SELECT r.r_name AS region_name,
+                   count(o.o_orderkey) AS n_files,
+                   sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS total_bytes
+            FROM region r
+            JOIN nation n ON n.n_regionkey = r.r_regionkey
+            JOIN customer c ON c.c_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY r.r_name""",
+        "A4_human_size": WITH_FS
+        + """ SELECT inode,
+                CASE WHEN size >= 1073741824 THEN CAST(size // 1073741824 AS VARCHAR) || 'G'
+                     WHEN size >= 1048576 THEN CAST(size // 1048576 AS VARCHAR) || 'M'
+                     WHEN size >= 1024 THEN CAST(size // 1024 AS VARCHAR) || 'K'
+                     ELSE CAST(size AS VARCHAR) || 'B' END AS hsize
+              FROM fs_nodes WHERE NOT is_dir""",
+        "U1_exact_dedup": """
+            SELECT sha256(text) AS fp, min(doc_id) AS doc_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY sha256(text)""",
+        "U1b_normalized_dedup": """
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS nt
+              FROM documents)
+            SELECT sha256(nt) AS fp, min(doc_id) AS doc_id, count(*) AS dup_count
+            FROM norm GROUP BY sha256(nt)""",
+        "D1_minhash_lsh_neardup": f"""
+            WITH d AS (SELECT doc_id, {shingles} AS sh FROM documents)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""",
+        "D2_ngram_jaccard": f"""
+            WITH d AS (SELECT doc_id, {shingles} AS sh FROM documents WHERE doc_id < 100)
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   len(list_intersect(a.sh, b.sh))::DOUBLE
+                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.3""",
+        "T1_token_quality": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+                     CASE WHEN length(text) = 0 THEN 1 ELSE length(text) END AS nz
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / nz AS alpha_ratio,
+                   length(regexp_replace(text, '[^ ]', '', 'g')) / nz AS space_ratio,
+                   length(regexp_replace(text, '[^.,;:!?]', '', 'g')) / nz AS punct_ratio,
+                   coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                     / (CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END) AS mean_token_len,
+                   len(list_filter(toks, x -> list_contains({_sql_list(stop['en'])}, lower(x))))
+                     / (CASE WHEN len(toks) = 0 THEN 1 ELSE len(toks) END) AS stopword_ratio
+            FROM t""",
+        "T2_lang_id": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE list_transform(regexp_split_to_array(trim(text), '\\s+'), x -> lower(x)) END AS toks
+              FROM documents),
+            h AS (SELECT doc_id,
+              {hits_cols}
+              FROM t)
+            SELECT doc_id,
+                   CASE WHEN {best} = 0 THEN 'und' {pred_chain} END AS pred_lang
+            FROM h""",
+        "T3_fingerprint": """
+            SELECT doc_id,
+                   sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents""",
+        "S1_cosine_topk": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+            s AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_dot_product(q.v, c.v)
+                     / (CASE WHEN q.nrm * c.nrm = 0 THEN 1.0 ELSE q.nrm * c.nrm END) AS cosine
+              FROM n q JOIN n c ON q.vec_id <> c.vec_id
+              WHERE q.vec_id % 50 = 0)
+            SELECT query_id, neighbor_id, rank, cosine
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+            WHERE rank <= 5""",
+        "S2_embedding_neardup": """
+            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   list_dot_product(a.v, b.v)
+                   / (CASE WHEN a.nrm * b.nrm = 0 THEN 1.0 ELSE a.nrm * b.nrm END) AS cosine
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v)
+                  / (CASE WHEN a.nrm * b.nrm = 0 THEN 1.0 ELSE a.nrm * b.nrm END) >= 0.45""",
+        "E1_sessionize": """
+            WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+            g AS (SELECT user_id, tus,
+                         CASE WHEN lag(tus) OVER w IS NULL
+                               OR tus - lag(tus) OVER w > 1800000000
+                              THEN 1 ELSE 0 END AS new_s
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+            s AS (SELECT user_id, tus,
+                         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                  FROM g)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(tus) AS session_start_us, max(tus) AS session_end_us
+            FROM s GROUP BY user_id, session_id""",
+        "E2_event_rate": """
+            SELECT CAST(floor(epoch_us(ts) / 60000000) AS BIGINT) AS minute_bucket,
+                   event_type, count(*) AS n,
+                   round(sum(value), 4) AS value_sum
+            FROM events GROUP BY 1, 2""",
+        "E3_last_k_events": """
+            SELECT user_id, event_id
+            FROM (SELECT user_id, event_id,
+                         row_number() OVER (PARTITION BY user_id
+                                            ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn <= 5""",
+        "Q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        "Q3_shipping_priority": """
+            SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+        "Q5_local_supplier": """
+            SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA' AND s_nationkey = c_nationkey
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+            GROUP BY n_name""",
+        "Q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24""",
+    }

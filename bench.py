@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline queries from ``__spark_entry__.queries()`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ...}
+
+Each query is forced to full execution with a noop sink (no driver
+collect — measures the distributed plan, not Arrow transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from pufs_spark.session import get_spark  # noqa: E402
+
+# Headline set: catalog slice (L3), Merkle freeze (F1), interval mask
+# (R2), dedup exact + near-dup (U1/D1), text quality (T1), similarity
+# (S1), sessionization (E1), and the relational Q-series.
+HEADLINE = [
+    "L3_extended_listing",
+    "F1_merkle_freeze",
+    "R1_missing_regions",
+    "R2_interval_union",
+    "U1_exact_dedup",
+    "D1_minhash_lsh_neardup",
+    "T1_token_quality",
+    "T2_lang_id",
+    "S1_cosine_topk",
+    "E1_sessionize",
+    "E2_event_rate",
+    "Q1_pricing_summary",
+    "Q3_shipping_priority",
+    "Q5_local_supplier",
+    "Q6_forecast_revenue",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="pufs_spark_bench")
+    qs = entrymod.queries()
+
+    # Warm the JVM + parquet footers once so per-query numbers measure
+    # the plan, not session startup.
+    force(qs["Q6_forecast_revenue"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.monotonic()
+        force(qs[name](spark, sf_dir))
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,11 +90,11 @@ def walk_dir_contents(nodes: DataFrame, parent: int) -> DataFrame:
     node record rides on the edge row, so the reference's
     listing⨝node join (core/datastore.go:391-443) collapses into a
     filtered projection — the join reappears in L3."""
+    wanted = ["inode", "name", "is_dirty", "is_dir", "size", "mtime", "bid"]
+    cols = [c for c in wanted if c in nodes.columns]
     return (
         nodes.where((F.col("parent") == parent) & (F.col("inode") != ROOT_INODE))
-        .select(
-            "inode", "name", "is_dirty", "is_dir", "size", "mtime", "bid"
-        )
+        .select(cols)
         .orderBy("name")
     )
 
@@ -117,7 +117,10 @@ def extended_dir_contents(
             "populated_size",
             F.coalesce(F.col("populated_size"), F.lit(0)).cast("long"),
         )
-        .select([f.name for f in schemas.DIR_ENTRY.fields])
+        .select(
+            [f.name for f in schemas.DIR_ENTRY.fields if f.name in entries.columns]
+            + ["populated_region_count", "populated_size"]
+        )
         .orderBy("name")
     )
 

@@ -67,6 +67,10 @@ fs_regions AS (
 """
 
 # Disjoint merged mask (R2) as a DuckDB CTE (gaps-and-islands).
+# The inner DISTINCT is load-bearing: with exact-duplicate log rows the
+# two stacked windows may order tied rows differently between passes, so
+# the row carrying prev_max=NULL can land mid-partition and falsely
+# start a new island. Duplicates are a no-op for union semantics anyway.
 SQL_FS_MASK = """
 fs_mask AS (
     SELECT bid, min(start) AS start, max("end") AS "end"
@@ -82,7 +86,7 @@ fs_mask AS (
                    max("end") OVER (PARTITION BY bid ORDER BY start, "end"
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS prev_max
-            FROM fs_regions
+            FROM (SELECT DISTINCT bid, start, "end" FROM fs_regions)
         )
     )
     GROUP BY bid, island

@@ -1,0 +1,113 @@
+"""Transfer/event monitoring — the reference's stats surface (T5-T7:
+transfer snapshots core/freezer.go:544-559, rate estimation
+region/pending.go:177-222, history ring core/freezer.go:88-97), plus
+the event-stream operators a monitoring pipeline needs (sessionization,
+tumbling rates). Batch DataFrame implementations here; readstream-based
+live variants in stream_rates()."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
+
+
+def sessionize(
+    events: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_us: int = DEFAULT_SESSION_GAP_US,
+) -> DataFrame:
+    """Gap-based sessions: a new session starts when the inter-event
+    gap exceeds ``gap_us``. Returns one row per session with bounds and
+    counts. Same gaps-and-islands shape as the interval mask (R2)."""
+    tus = F.unix_micros(F.col(ts_col))
+    w = Window.partitionBy(key).orderBy(tus, F.col(id_col))
+    prev = F.lag(tus).over(w)
+    new_s = F.when(
+        prev.isNull() | ((tus - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    sid = F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        events.withColumn("_tus", tus)
+        .withColumn("session_id", sid)
+        .groupBy(key, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("_tus").alias("session_start_us"),
+            F.max("_tus").alias("session_end_us"),
+        )
+    )
+
+
+def event_rate_per_minute(
+    events: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Tumbling 1-minute counts+value sums per event type (T6-shaped)."""
+    minute = (F.unix_micros(F.col(ts_col)) / 60_000_000).cast("long")
+    return (
+        events.withColumn("minute_bucket", minute)
+        .groupBy("minute_bucket", type_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+
+
+def transfer_rates(
+    transfer_events: DataFrame, key: str = "bid"
+) -> DataFrame:
+    """T6: per-block transfer rate from an event log with (ts, bid,
+    offset): bytes/sec = (max-min offset) / (max-min ts)."""
+    tus = F.unix_micros(F.col("ts"))
+    return (
+        transfer_events.withColumn("_tus", tus)
+        .groupBy(key)
+        .agg(
+            (F.max("offset") - F.min("offset")).alias("bytes_moved"),
+            ((F.max("_tus") - F.min("_tus")) / 1e6).alias("elapsed_s"),
+        )
+        .withColumn(
+            "bytes_per_s",
+            F.when(F.col("elapsed_s") > 0, F.col("bytes_moved") / F.col("elapsed_s")),
+        )
+    )
+
+
+def last_k_events(
+    events: DataFrame,
+    k: int = 32,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """T7: history ring — last k events per key (ties broken by id)."""
+    w = Window.partitionBy(key).orderBy(
+        F.col(ts_col).desc(), F.col(id_col).desc()
+    )
+    return (
+        events.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def stream_rates(spark, events_path: str, checkpoint: str):
+    """T5 live variant: Structured Streaming over a growing event-log
+    directory — 1-minute windowed counts with a 2-minute watermark.
+    Returns the streaming DataFrame; caller starts the query."""
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .parquet(events_path)
+    )
+    return (
+        stream.withWatermark("ts", "2 minutes")
+        .groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
