@@ -80,48 +80,43 @@ def minhash_signatures(
     """(id, sig array<long>): sig_j = min over shingles of
     (a_j * x + b_j) mod (2^31-1), x = xxhash64(shingle) mod (2^31-1).
 
-    One F.aggregate pass over the hashed-shingle array: the accumulator
-    is the running min per permutation, so each shingle is hashed once
-    and touched num_hashes times. (The naive per-permutation array_min
-    form inlines the whole shingle pipeline into every permutation after
-    projection collapse — num_hashes× recompute, ~30× slower measured.)
-    Narrow map, no shuffle.
+    Shape: explode shingles → hash each ONCE in a projection → one
+    groupBy(id) with num_hashes scalar-literal min aggregates. The
+    aggregation boundary stops projection collapse, so the shingle
+    pipeline is never duplicated per permutation (the naive
+    per-permutation array_min form recomputes it num_hashes×, ~30×
+    slower measured; an F.aggregate running-min variant avoids that but
+    pays per-element array allocation and literal-array indexing, ~2×
+    slower than this). Map-side partial aggregation keeps the shuffle at
+    docs × num_hashes longs per partition regardless of document size.
     """
     rnd = __import__("random").Random(seed)
     params = [
         (rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31))
         for _ in range(num_hashes)
     ]
-    params_a = F.array(*[F.lit(a).cast("long") for a, _ in params])
-    params_b = F.array(*[F.lit(b).cast("long") for _, b in params])
-    base = F.transform(
-        shingle_col(text_col, k), lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31))
+    exploded = df.select(
+        F.col(id_col), F.explode_outer(shingle_col(text_col, k)).alias("_s")
     )
-    init = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_hashes)
-    idx = F.sequence(F.lit(1), F.lit(num_hashes))
-    running = F.aggregate(
-        base,
-        init,
-        lambda acc, x: F.zip_with(
-            acc,
-            idx,
-            lambda m, j: F.least(
-                m,
-                F.pmod(
-                    x * F.element_at(params_a, j.cast("int"))
-                    + F.element_at(params_b, j.cast("int")),
-                    F.lit(MERSENNE31),
-                ),
-            ),
-        ),
+    hashed = exploded.select(
+        id_col, F.pmod(F.xxhash64("_s"), F.lit(MERSENNE31)).alias("_x")
     )
-    # pmod(_, M) < M always, so an untouched accumulator slot (== M)
-    # means the shingle set was empty → -1 sentinel (matches prior API).
-    sig = F.transform(
-        running,
-        lambda v: F.when(v == F.lit(MERSENNE31), F.lit(-1).cast("long")).otherwise(v),
+    aggs = [
+        F.min(
+            F.pmod(F.col("_x") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
+        ).alias(f"_m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    g = hashed.groupBy(id_col).agg(*aggs)
+    # explode_outer keeps empty-shingle docs as a NULL row → NULL mins
+    # → -1 sentinel (matches prior API).
+    sig = F.array(
+        *[
+            F.coalesce(F.col(f"_m{i}"), F.lit(-1)).cast("long")
+            for i in range(num_hashes)
+        ]
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return g.select(F.col(id_col), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(

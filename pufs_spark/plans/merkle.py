@@ -25,27 +25,42 @@ from pufs_spark.catalog.datastore import ROOT_INODE
 
 
 def with_depth(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
-    """Annotate each node with its depth (root=0) via iterative
-    broadcast joins, one per level — batched, never per-row."""
-    frontier = nodes.where(F.col("inode") == ROOT_INODE).select(
-        "inode", F.lit(0).alias("depth")
+    """Annotate each node with its depth (root=0) via pointer doubling:
+    ceil(log2(max_depth)) self-joins, each advancing every node's
+    ancestor pointer 2^i hops (root self-loops at distance 0, so
+    converged rows are fixpoints). No driver actions, and — unlike
+    level-synchronous BFS — no frontier broadcast, so it holds at
+    billion-node catalogs where a frontier is itself huge."""
+    reach = nodes.select(
+        "inode",
+        F.col("parent").alias("anc"),
+        F.when(F.col("inode") == ROOT_INODE, F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("int")
+        .alias("depth"),
     )
-    all_levels = frontier
-    for d in range(1, max_depth + 1):
-        frontier = (
-            nodes.join(
-                F.broadcast(
-                    frontier.select(F.col("inode").alias("_p"))
-                ),
-                F.col("parent") == F.col("_p"),
-            )
-            .where(F.col("inode") != ROOT_INODE)
-            .select("inode", F.lit(d).alias("depth"))
+    rounds = max(1, (max_depth - 1).bit_length())
+    reach = reach.localCheckpoint()
+    for _ in range(rounds):
+        hop = reach.select(
+            F.col("inode").alias("_j"),
+            F.col("anc").alias("_janc"),
+            F.col("depth").alias("_jd"),
         )
-        if frontier.isEmpty():
+        # Checkpoint each round: the self-join otherwise doubles the
+        # lineage per round (2^rounds copies of the base scan).
+        reach = (
+            reach.join(hop, F.col("anc") == F.col("_j"))
+            .select(
+                "inode",
+                F.col("_janc").alias("anc"),
+                (F.col("depth") + F.col("_jd")).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+        if reach.where(F.col("anc") != ROOT_INODE).isEmpty():
             break
-        all_levels = all_levels.unionByName(frontier)
-    return nodes.join(all_levels, "inode")
+    return nodes.join(reach.select("inode", "depth"), "inode")
 
 
 def _manifest_line():
@@ -87,23 +102,46 @@ def freeze_level(dirs_at_level: DataFrame, children: DataFrame) -> DataFrame:
 def freeze_nodes_df(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
     """F1 distributed: returns nodes with dir bids filled bottom-up.
     File nodes must already carry bids (content hashing happens at
-    ingest: sha2 over binaryFile content — see ingest_files)."""
-    spark = nodes.sparkSession
-    leveled = with_depth(nodes, max_depth).cache()
+    ingest: sha2 over binaryFile content — see ingest_files).
+
+    Each level's (inode, bid) result is localCheckpoint'd: level d's
+    bids feed both level d-1's manifests and the final output, and
+    Spark does not share common subplans across DataFrame references,
+    so without materialization the per-level work multiplies ~2^levels.
+    The checkpointed frames are dir-count-sized, not catalog-sized."""
+    leveled = with_depth(nodes, max_depth).persist()
     max_d = leveled.agg(F.max("depth")).collect()[0][0] or 0
-    frozen = leveled.where(~F.col("is_dir") | F.col("bid").isNotNull())
-    for d in range(max_d - 1 if max_d else 0, -1, -1):
-        dirs = leveled.where((F.col("depth") == d) & F.col("is_dir")).drop(
-            "bid"
-        )
-        kids = frozen.where(F.col("depth") == d + 1)
-        bids = freeze_level(dirs, kids)
-        dirs_with_bids = dirs.join(bids, "inode").select(*frozen.columns)
-        frozen = frozen.where(
-            ~((F.col("depth") == d) & F.col("is_dir"))
-        ).unionByName(dirs_with_bids)
-        _ = spark
-    return frozen.drop("depth")
+    prev_dir_bids: DataFrame | None = None
+    level_bids: list[DataFrame] = []
+    for d in range(max_d, -1, -1):
+        dirs = leveled.where((F.col("depth") == d) & F.col("is_dir"))
+        file_kids = leveled.where(
+            (F.col("depth") == d + 1) & ~F.col("is_dir")
+        ).select("parent", "name", "is_dir", "size", "bid")
+        if prev_dir_bids is not None:
+            dir_kids = (
+                leveled.where((F.col("depth") == d + 1) & F.col("is_dir"))
+                .drop("bid")
+                .join(prev_dir_bids, "inode")
+                .select("parent", "name", "is_dir", "size", "bid")
+            )
+            kids = file_kids.unionByName(dir_kids)
+        else:
+            kids = file_kids
+        bids = freeze_level(dirs, kids).localCheckpoint()
+        level_bids.append(bids)
+        prev_dir_bids = bids
+    all_dir_bids = level_bids[0]
+    for b in level_bids[1:]:
+        all_dir_bids = all_dir_bids.unionByName(b)
+    files = leveled.where(~F.col("is_dir"))
+    dirs_out = (
+        leveled.where(F.col("is_dir"))
+        .drop("bid")
+        .join(all_dir_bids, "inode")
+        .select(*files.columns)
+    )
+    return files.unionByName(dirs_out).drop("depth")
 
 
 def ingest_files(binary_df: DataFrame) -> DataFrame:
