@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pufs_spark.catalog import queries as catq
-from pufs_spark.operators import dedup, intervals, similarity, text
+from pufs_spark.operators import dedup, intervals, multimodal, similarity, text
 from pufs_spark.plans import fstree, merkle
 from pufs_spark.streaming import monitor
 from pufs_spark.tables import load_table
@@ -468,7 +468,195 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: parent projection for one inode."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    return nodes.where(F.col("inode") == 100042).select("parent")
+
+
+def q_u3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: hasChunk membership — file bids present in the remote
+    inventory (left-semi join)."""
+    nodes = fstree.fs_nodes(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    inventory = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        F.concat(F.lit("blk_"), F.col("o_orderkey")).alias("bid")
+    )
+    return (
+        nodes.where(~F.col("is_dir"))
+        .join(inventory, "bid", "left_semi")
+        .select("bid")
+        .distinct()
+    )
+
+
+def q_r6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: region-log append + re-merge (compaction view): the mask
+    after new ranges land in the log."""
+    regions = fstree.fs_regions(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    adds = orders.where(F.col("o_orderkey") % 10 == 0).select(
+        F.concat(F.lit("blk_"), F.col("o_orderkey")).alias("bid"),
+        F.lit(0).cast("long").alias("start"),
+        F.lit(2048).cast("long").alias("end"),
+    )
+    return intervals.add_region(regions, adds)
+
+
+def q_e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 (T6): per-key transfer-rate estimate from an event log."""
+    ev = load_table(spark, sf_dir, "events")
+    te = ev.select(
+        "ts",
+        F.concat(F.lit("u_"), F.col("user_id")).alias("bid"),
+        F.col("value").alias("offset"),
+    )
+    out = monitor.transfer_rates(te)
+    return out.select(
+        "bid",
+        F.round("bytes_moved", 6).alias("bytes_moved"),
+        F.round("elapsed_s", 6).alias("elapsed_s"),
+        F.round("bytes_per_s", 4).alias("bytes_per_s"),
+    )
+
+
+def q_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: typed-metadata media stats over binary payload columns."""
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.media_stats(multimodal.media_from_documents(docs))
+
+
+def q_m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: mapInPandas feature-extraction plumbing — the deterministic
+    outputs (content hash, byte count) are oracle-checked; the stubbed
+    decode's feature vector is exercised by tests, not the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.media_from_documents(docs)
+    return multimodal.extract_features(media).select(
+        "media_id", "content_hash", "n_bytes"
+    )
+
+
+def q_w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking window — top-3 orders by totalprice per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey", "o_orderkey", "rnk",
+            F.round("o_totalprice", 2).alias("totalprice"),
+        )
+    )
+
+
+def q_w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: analytic window with a running frame — cumulative spend per
+    customer in order-date order."""
+    orders = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+def q_g1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: ROLLUP aggregation over nation x market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    )
+    return (
+        j.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("c_acctbal"), 2).alias("acctbal_sum"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("(all)")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("(all)")).alias("segment"),
+            "n",
+            "acctbal_sum",
+        )
+    )
+
+
+def q_g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: CUBE aggregation over order status x priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+
+
+def q_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4-shaped: EXISTS decorrelated to a left-semi join — orders with
+    at least one deep-discount line, counted per priority."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    deep = li.where(F.col("l_discount") >= 0.09).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        orders.where(
+            (F.col("o_orderdate") >= "1997-07-01")
+            & (F.col("o_orderdate") < "1997-10-01")
+        )
+        .join(deep, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: JSON extraction — parse events.props and aggregate the
+    extracted field per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 # --- rows-only (non-SQL-expressible or engine-internal) ---
+
+
+def q_x_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (coarse quantizer + probes) — rows-only; recall vs
+    exact top-k is tested in tests/test_pipeline_ops.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    return similarity.ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=4)
 
 
 def q_x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -519,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "P4_exists_semi_join": q_p4,
         "P5_resolve_path": q_p5,
         "P6_name_validation": q_p6,
+        "P7_parent_of": q_p7,
         "L1_dir_listing": q_l1,
         "L2_walk_dir": q_l2,
         "L3_extended_listing": q_l3,
@@ -530,12 +719,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "R3_coverage_stats": q_r3,
         "R4_first_missing": q_r4,
         "R5_chunk_align": q_r5,
+        "R6_log_compaction": q_r6,
         "A1_block_log_stats": q_a1,
         "A2_percentiles": q_a2,
         "A3_subtree_agg": q_a3,
         "A4_human_size": q_a4,
         "U1_exact_dedup": q_u1,
         "U1b_normalized_dedup": q_u1n,
+        "U3_has_chunk": q_u3,
         "D1_minhash_lsh_neardup": q_d1,
         "D2_ngram_jaccard": q_d2,
         "T1_token_quality": q_t1,
@@ -546,8 +737,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "E1_sessionize": q_e1,
         "E2_event_rate": q_e2,
         "E3_last_k_events": q_e3,
+        "E4_transfer_rates": q_e4,
+        "M1_media_stats": q_m1,
+        "M2_media_features": q_m2,
+        "W1_rank_per_group": q_w1,
+        "W2_running_frame": q_w2,
+        "G1_rollup": q_g1,
+        "G2_cube": q_g2,
+        "J1_json_extract": q_j1,
         "Q1_pricing_summary": q_q1,
         "Q3_shipping_priority": q_q3,
+        "Q4_exists_priority": q_q4,
         "Q5_local_supplier": q_q5,
         "Q6_forecast_revenue": q_q6,
         # rows-only (no oracle entry):
@@ -555,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X2_simhash_neardup": q_x_simhash,
         "X3_minhash_signatures": q_x_minhash,
         "X4_neardup_groups": q_x_neardup_groups,
+        "X5_ivf_topk": q_x_ivf,
     }
 
 
@@ -690,6 +891,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT bid, qid, start, "end"
             FROM (SELECT *, row_number() OVER (PARTITION BY bid, qid ORDER BY start) AS rn FROM gaps)
             WHERE rn = 1""",
+        "P7_parent_of": WITH_FS
+        + " SELECT parent FROM fs_nodes WHERE inode = 100042",
+        "U3_has_chunk": WITH_FS
+        + """ SELECT DISTINCT bid FROM fs_nodes
+              WHERE NOT is_dir AND bid IN
+                (SELECT 'blk_' || o_orderkey FROM orders WHERE o_orderkey % 2 = 0)""",
+        "R6_log_compaction": WITH_FS
+        + """, adds AS (
+              SELECT 'blk_' || o_orderkey AS bid, 0::BIGINT AS start,
+                     2048::BIGINT AS "end"
+              FROM orders WHERE o_orderkey % 10 = 0),
+            comb AS (SELECT * FROM fs_regions UNION ALL SELECT * FROM adds)
+            SELECT bid, start, "end" FROM ("""
+        + fstree.sql_islands("comb")
+        + ") t",
+        "E4_transfer_rates": """
+            WITH te AS (
+              SELECT 'u_' || user_id AS bid, epoch_us(ts) AS tus, value AS "offset"
+              FROM events),
+            agg AS (
+              SELECT bid,
+                     max("offset") - min("offset") AS bytes_moved,
+                     (max(tus) - min(tus)) / 1e6 AS elapsed_s
+              FROM te GROUP BY bid)
+            SELECT bid, round(bytes_moved, 6) AS bytes_moved,
+                   round(elapsed_s, 6) AS elapsed_s,
+                   round(CASE WHEN elapsed_s > 0 THEN bytes_moved / elapsed_s END, 4)
+                     AS bytes_per_s
+            FROM agg""",
+        "M1_media_stats": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   count(*) AS n, sum(strlen(text)) AS total_bytes
+            FROM documents GROUP BY 1""",
+        "M2_media_features": """
+            SELECT doc_id AS media_id, sha256(text) AS content_hash,
+                   strlen(text) AS n_bytes
+            FROM documents""",
+        "W1_rank_per_group": """
+            SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS totalprice
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+                  FROM orders)
+            WHERE rnk <= 3""",
+        "W2_running_frame": """
+            SELECT o_custkey, o_orderkey,
+                   round(sum(o_totalprice) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+            FROM orders""",
+        "G1_rollup": """
+            SELECT coalesce(n_name, '(all)') AS nation,
+                   coalesce(c_mktsegment, '(all)') AS segment,
+                   count(*) AS n, round(sum(c_acctbal), 2) AS acctbal_sum
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP (n_name, c_mktsegment)""",
+        "G2_cube": """
+            SELECT coalesce(o_orderstatus, '(all)') AS status,
+                   coalesce(o_orderpriority, '(all)') AS priority,
+                   count(*) AS n, round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "J1_json_extract": """
+            SELECT event_type,
+                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_avg,
+                   count(*) AS n
+            FROM events GROUP BY event_type""",
+        "Q4_exists_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+              AND o_orderdate < TIMESTAMP '1997-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_discount >= 0.09)
+            GROUP BY o_orderpriority""",
         "R5_chunk_align": """
             SELECT 'blk_' || l_orderkey AS bid,
                    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS qid,

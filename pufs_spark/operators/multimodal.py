@@ -148,6 +148,31 @@ def synthetic_media(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFra
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
 
 
+def media_from_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media derivation from the documents table (both
+    engines can derive it, so mapInPandas plumbing becomes
+    oracle-checkable): content = UTF-8 bytes of text, kind cycles
+    image/audio/video by id."""
+    kind = (
+        F.when(F.col(id_col) % 3 == 0, F.lit("image"))
+        .when(F.col(id_col) % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("content"),
+        F.struct(
+            kind.alias("kind"),
+            F.lit(None).cast("string").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Typed-metadata aggregation: per kind, count + payload bytes."""
     return media.groupBy(F.col("meta.kind").alias("kind")).agg(

@@ -185,6 +185,83 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroid_stride: int | None = None,
+) -> DataFrame:
+    """ANN via an IVF-style coarse quantizer: a deterministic sample of
+    corpus vectors serves as centroids; every corpus vector is assigned
+    to its nearest centroid (inverted list), queries probe their
+    ``n_probe`` nearest lists, and candidates re-rank exactly.
+
+    All joins are centroid-keyed equality joins; the centroid set is
+    tiny and broadcast. At scale: centroids ~ sqrt(N) via k-means on a
+    sample — the assignment/probe/re-rank plan is unchanged."""
+    stride = centroid_stride or 97  # deterministic sample of corpus ids
+    cent = (
+        corpus.where((F.col(id_col) % stride) == 0)
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv")
+        )
+    )
+
+    def assign(df, id_alias, keep_n):
+        sim = (
+            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("_v"))
+            .crossJoin(F.broadcast(cent))
+            .withColumn("_csim", cosine_sim_col("_v", "_cv"))
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("_csim").desc(), F.col("centroid_id")
+        )
+        return (
+            sim.withColumn("_cr", F.row_number().over(w))
+            .where(F.col("_cr") <= keep_n)
+            .select(id_alias, "_v", "centroid_id")
+        )
+
+    inv = assign(corpus, "neighbor_id", 1).withColumnRenamed("_v", "_nv")
+    probes = assign(queries, "query_id", n_probe).withColumnRenamed("_v", "_qv")
+    cand = (
+        probes.join(inv, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_nv")
+        .distinct()
+    )
+    sim = cand.withColumn(
+        "cosine",
+        cosine_sim_col("_qv", "_nv")
+        / (
+            F.sqrt(
+                F.aggregate(
+                    _as_double(F.col("_qv")), F.lit(0.0), lambda a, x: a + x * x
+                )
+            )
+            * F.sqrt(
+                F.aggregate(
+                    _as_double(F.col("_nv")), F.lit(0.0), lambda a, x: a + x * x
+                )
+            )
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

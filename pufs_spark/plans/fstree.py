@@ -66,13 +66,16 @@ fs_regions AS (
 )
 """
 
-# Disjoint merged mask (R2) as a DuckDB CTE (gaps-and-islands).
-# The inner DISTINCT is load-bearing: with exact-duplicate log rows the
-# two stacked windows may order tied rows differently between passes, so
-# the row carrying prev_max=NULL can land mid-partition and falsely
-# start a new island. Duplicates are a no-op for union semantics anyway.
-SQL_FS_MASK = """
-fs_mask AS (
+def sql_islands(src: str) -> str:
+    """DuckDB gaps-and-islands merge over a (bid, start, end) CTE named
+    ``src`` — the oracle twin of operators.intervals.merge_intervals.
+
+    The inner DISTINCT is load-bearing: with exact-duplicate log rows
+    the two stacked windows may order tied rows differently between
+    passes, so the row carrying prev_max=NULL can land mid-partition and
+    falsely start a new island. Duplicates are a no-op for union
+    semantics anyway."""
+    return f"""
     SELECT bid, min(start) AS start, max("end") AS "end"
     FROM (
         SELECT bid, start, "end",
@@ -86,12 +89,15 @@ fs_mask AS (
                    max("end") OVER (PARTITION BY bid ORDER BY start, "end"
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) AS prev_max
-            FROM (SELECT DISTINCT bid, start, "end" FROM fs_regions)
+            FROM (SELECT DISTINCT bid, start, "end" FROM {src})
         )
     )
     GROUP BY bid, island
-)
 """
+
+
+# Disjoint merged mask (R2) as a DuckDB CTE (gaps-and-islands).
+SQL_FS_MASK = "\nfs_mask AS (" + sql_islands("fs_regions") + ")\n"
 
 
 def fs_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:

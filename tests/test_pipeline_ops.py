@@ -171,3 +171,37 @@ def test_multimodal_plumbing(spark):
     assert stats == {"image": 16, "audio": 16}
     with pytest.raises(NotImplementedError):
         multimodal.resize_images(media, 32, 32)
+
+
+def test_ivf_topk_recall(spark, emb):
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(q, emb, k=1)
+    approx = similarity.ivf_topk(q, emb, k=1, n_centroids=16, n_probe=8)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing half the lists should recover most exact top-1 neighbors
+    assert len(e & a) >= int(0.5 * len(e))
+
+
+def test_ivf_topk_shape(spark, emb):
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_topk(q, emb, k=5, n_centroids=8, n_probe=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        assert r["query_id"] != r["neighbor_id"]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_media_from_documents_roundtrip(spark, docs):
+    media = multimodal.media_from_documents(docs)
+    feats = multimodal.extract_features(media).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import hashlib
+
+    for r in feats:
+        expect = hashlib.sha256(texts[r["media_id"]].encode()).hexdigest()
+        assert r["content_hash"] == expect
+        assert r["n_bytes"] == len(texts[r["media_id"]].encode())
