@@ -95,19 +95,70 @@ def last_k_events(
     )
 
 
-def stream_rates(spark, events_path: str, checkpoint: str):
+def stream_rates(spark, events_path: str, max_files_per_trigger: int | None = None):
     """T5 live variant: Structured Streaming over a growing event-log
     directory — 1-minute windowed counts with a 2-minute watermark.
     Returns the streaming DataFrame; caller starts the query."""
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts timestamp, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .parquet(events_path)
+    reader = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
     )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(events_path)
     return (
         stream.withWatermark("ts", "2 minutes")
         .groupBy(F.window("ts", "1 minute"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def stateful_transfer_status(transfer_stream):
+    """T5 as a CUSTOM STATEFUL streaming operator: per-bid transfer
+    state (event count, min/max offset) maintained across micro-batches
+    with applyInPandasWithState, emitting an updated snapshot per bid
+    per batch — the live analog of the reference's
+    GetActiveTransferStatus (core/freezer.go:544-559), whose state the
+    reference also keys by block.
+
+    Input stream schema: (bid string, ts timestamp, offset double)."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "bid string, n_events long, min_offset double, max_offset double, "
+        "bytes_moved double"
+    )
+    state_schema = "n long, mn double, mx double"
+
+    def update(key, pdfs, state):
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdfs:
+            offs = pdf["offset"].astype(float)
+            if len(offs) == 0:
+                continue
+            n += int(len(offs))
+            bmn, bmx = float(offs.min()), float(offs.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((n, mn, mx))
+        yield pd.DataFrame(
+            [
+                {
+                    "bid": key[0],
+                    "n_events": n,
+                    "min_offset": mn,
+                    "max_offset": mx,
+                    "bytes_moved": (mx - mn) if mn is not None else 0.0,
+                }
+            ]
+        )
+
+    return transfer_stream.groupBy("bid").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

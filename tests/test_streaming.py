@@ -1,0 +1,108 @@
+"""Structured Streaming tests: windowed rates over a file stream and
+the custom stateful transfer tracker (applyInPandasWithState), both
+driven to completion with availableNow triggers."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pufs_spark.streaming import monitor
+from pufs_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Events re-written as micro-second timestamps so the stream's
+    declared schema matches (raw testdata parquet is TIMESTAMP(NANOS))."""
+    spark = None  # resolved lazily via the session fixture in each test
+    return str(tmp_path_factory.mktemp("events_stream"))
+
+
+def _write_events(spark, path: str, n_files: int = 4) -> None:
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(n_files).write.mode("overwrite").parquet(path)
+
+
+def _run_to_end(sdf, name: str):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update" if name == "tstate" else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_rates_matches_batch(spark, events_dir):
+    _write_events(spark, events_dir)
+    sdf = monitor.stream_rates(spark, events_dir)
+    q = _run_to_end(sdf, "rates")
+    got = {
+        (r["window"]["start"], r["event_type"]): r["n"]
+        for r in spark.sql("SELECT * FROM rates").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    expect = {
+        (r["w"]["start"], r["event_type"]): r["n"]
+        for r in ev.groupBy(
+            F.window("ts", "1 minute").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    q.stop()
+    assert got == expect
+    assert len(got) > 10
+
+
+def test_stateful_transfer_status(spark, tmp_path):
+    """Multi-batch stateful aggregation: state carries across
+    micro-batches (maxFilesPerTrigger=1 forces several batches)."""
+    ev = load_table(spark, SF_DIR, "events")
+    te = ev.select(
+        "ts",
+        F.concat(F.lit("u_"), F.col("user_id") % 5).alias("bid"),
+        F.col("value").alias("offset"),
+    )
+    path = str(tmp_path / "transfers")
+    te.repartition(3).write.parquet(path)
+
+    stream = (
+        spark.readStream.schema("ts timestamp, bid string, offset double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    sdf = monitor.stateful_transfer_status(stream)
+    q = _run_to_end(sdf, "tstate")
+    rows = spark.sql("SELECT * FROM tstate").collect()
+    q.stop()
+
+    # final snapshot per bid (monotone state: max n_events) == exact
+    # batch aggregate
+    last = {}
+    for r in rows:
+        if r["bid"] not in last or r["n_events"] > last[r["bid"]]["n_events"]:
+            last[r["bid"]] = r
+    expect = {
+        r["bid"]: r
+        for r in te.groupBy("bid")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("offset").alias("mn"),
+            F.max("offset").alias("mx"),
+        )
+        .collect()
+    }
+    assert set(last) == set(expect)
+    for bid, r in last.items():
+        e = expect[bid]
+        assert r["n_events"] == e["n_events"]
+        assert r["min_offset"] == pytest.approx(e["mn"])
+        assert r["max_offset"] == pytest.approx(e["mx"])
+        assert r["bytes_moved"] == pytest.approx(e["mx"] - e["mn"])
