@@ -56,6 +56,12 @@ class SparseFreezer:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(os.path.join(root, "chunks"), exist_ok=True)
+        # per-instance merged-mask cache: replaying log segments costs a
+        # glob + file reads per call, which dominates hot read paths.
+        # Writers update it incrementally; cross-process writers are
+        # picked up by constructing a fresh SparseFreezer (same contract
+        # as the reference's one-freezer-per-process mask).
+        self._mask_cache: dict[str, list[tuple[int, int]]] = {}
 
     def _data_path(self, bid: str) -> str:
         return os.path.join(self.root, "chunks", bid)
@@ -83,7 +89,11 @@ class SparseFreezer:
 
     def regions(self, bid: str) -> list[tuple[int, int]]:
         """Merged disjoint mask for one block (R2, driver-side)."""
-        return merge_ranges(self.log_records(bid))
+        cached = self._mask_cache.get(bid)
+        if cached is None:
+            cached = merge_ranges(self.log_records(bid))
+            self._mask_cache[bid] = cached
+        return cached
 
     def missing(self, bid: str, start: int, end: int) -> list[tuple[int, int]]:
         """R1 driver-side: gaps of [start, end) not in the mask."""
@@ -129,6 +139,10 @@ class SparseFreezer:
     def log_range(self, bid: str, start: int, end: int) -> None:
         with open(self.new_segment_path(bid), "wb") as f:
             f.write(_REC.pack(start, end))
+        if bid in self._mask_cache:
+            self._mask_cache[bid] = merge_ranges(
+                self._mask_cache[bid] + [(start, end)]
+            )
 
     def write_range(self, bid: str, start: int, data: bytes) -> None:
         """Positioned write + own log segment append (no locks)."""
@@ -255,6 +269,21 @@ def ensure_cached(
     short remote reads self-clamp at end-of-block. Idempotent: re-runs
     fetch nothing. Returns {'chunks_fetched', 'bytes_fetched'}."""
     freezer = SparseFreezer(freezer_root)
+    # Driver fast-path: a hot read's request set is tiny; if every
+    # requested range is already covered, answer without a Spark job
+    # (the reference's in-memory mask check, core/freezer.go:602-612).
+    head = requests.select("bid", "qstart", "qend").limit(1001).collect()
+    if len(head) <= 1000:
+        covered = all(
+            not freezer.missing(
+                r["bid"],
+                (r["qstart"] // chunk_size) * chunk_size,
+                -(-(r["qend"] + readahead) // chunk_size) * chunk_size,
+            )
+            for r in head
+        )
+        if covered:
+            return {"chunks_fetched": 0, "bytes_fetched": 0}
     plan = plan_fetches(spark, freezer, requests, chunk_size, readahead, sizes)
 
     def fetch(rows):
