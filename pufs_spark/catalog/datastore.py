@@ -601,3 +601,72 @@ class DataStore:
         """F5: drop the mounted subtree (children may be unexpanded)."""
         inode = self.get_node_id(parent, name)
         self._remove_recursive(parent, name, inode)
+
+    def prefetch_subtree(self, inode: int = ROOT_INODE) -> int:
+        """Materialize every file block under ``inode`` into the local
+        CAS (the whole-tree warm-up the reference's walktree benchmark
+        exercises). Returns blocks fetched."""
+        n = 0
+        stack = [inode]
+        while stack:
+            i = stack.pop()
+            for _, child in self.get_dir_contents(i):
+                node = self.get_node(child)
+                if node.is_dir:
+                    stack.append(child)
+                elif node.bid is not None and not self.freezer.has_block(node.bid):
+                    self._fetch_block(node.bid)
+                    n += 1
+        return n
+
+    # ------------------------------------------------------------------
+    # Export for the `pufs` Spark data source
+    # ------------------------------------------------------------------
+
+    def export_catalog(self, out_path: str, expand: bool = True) -> int:
+        """Write the catalog as one parquet file with a precomputed full
+        ``path`` per node (the per-component resolution loop paid once
+        at export, not per query). ``expand`` forces lazy subtrees to
+        materialize first so a mounted label exports completely. The
+        file is what sources/datasource.PufsDataSource scans. Returns
+        the number of rows written."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if expand:
+            stack = [ROOT_INODE]
+            while stack:
+                inode = stack.pop()
+                for _, child in self.get_dir_contents(inode):
+                    if self.get_node(child).is_dir:
+                        stack.append(child)
+
+        paths: dict[int, str] = {ROOT_INODE: "/"}
+        rows = []
+
+        def visit(inode: int) -> None:
+            for name, child in self.get_dir_contents(inode):
+                base = paths[inode]
+                p = (base if base != "/" else "") + "/" + name
+                paths[child] = p
+                n = self.get_node(child)
+                rows.append((p, child, n.parent, n.name, n.is_dir, n.size, n.bid))
+                if n.is_dir:
+                    visit(child)
+
+        visit(ROOT_INODE)
+        rows.append(("/", ROOT_INODE, ROOT_INODE, "", True, 0,
+                     self.nodes[ROOT_INODE].bid))
+        table = pa.table(
+            {
+                "path": [r[0] for r in rows],
+                "inode": pa.array([r[1] for r in rows], pa.int64()),
+                "parent": pa.array([r[2] for r in rows], pa.int64()),
+                "name": [r[3] for r in rows],
+                "is_dir": [r[4] for r in rows],
+                "size": pa.array([r[5] for r in rows], pa.int64()),
+                "bid": [r[6] for r in rows],
+            }
+        )
+        pq.write_table(table, out_path)
+        return len(rows)

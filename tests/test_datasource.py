@@ -1,0 +1,123 @@
+"""`pufs` Python Data Source tests: vanilla spark.read over a frozen
+tree must return exactly the bytes that were published — including
+through a push → mount-on-fresh-store round trip (the reference's
+golden E2E, core/functional_test.go:12-52, consumed via Spark)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pufs_spark.catalog.datastore import ROOT_INODE, DataStore
+from pufs_spark.sources.datasource import PufsDataSource
+from pufs_spark.sources.remote import MemRemote
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    spark.dataSource.register(PufsDataSource)
+
+
+def _build_store(tmp_path, n_dirs=5, n_files=4):
+    ds = DataStore(str(tmp_path / "store"), remote=MemRemote())
+    contents = {}
+    for d in range(n_dirs):
+        di = ds.mkdir(ROOT_INODE, f"d{d}")
+        for f in range(n_files):
+            payload = f"payload {d}/{f} ".encode() * (d + f + 1)
+            ds.add_immutable_bytes(di, f"f{f}.dat", payload)
+            contents[f"/d{d}/f{f}.dat"] = payload
+    ds.freeze()
+    return ds, contents
+
+
+def test_scan_returns_exact_bytes(spark, tmp_path):
+    ds, contents = _build_store(tmp_path)
+    cat = str(tmp_path / "catalog.parquet")
+    ds.export_catalog(cat)
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("cas", ds.freezer.chunks_dir)
+        .load()
+    )
+    rows = {r["path"]: r for r in df.collect()}
+    assert set(rows) == set(contents)
+    for p, payload in contents.items():
+        assert bytes(rows[p]["content"]) == payload
+        assert rows[p]["size"] == len(payload)
+
+
+def test_subtree_filter_and_partitioning(spark, tmp_path):
+    ds, contents = _build_store(tmp_path)
+    cat = str(tmp_path / "catalog.parquet")
+    ds.export_catalog(cat)
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("cas", ds.freezer.chunks_dir)
+        .option("path", "/d2")
+        .option("filesperpartition", 2)
+        .load()
+    )
+    got = sorted(r["path"] for r in df.collect())
+    assert got == sorted(p for p in contents if p.startswith("/d2/"))
+    assert df.rdd.getNumPartitions() == 2  # 4 files / 2 per partition
+
+
+def test_metadata_only_scan_skips_cas(spark, tmp_path):
+    """content=false must not open CAS blocks (verified by deleting
+    them) — metadata-only scans stay metadata-only."""
+    ds, contents = _build_store(tmp_path, n_dirs=2, n_files=2)
+    cat = str(tmp_path / "catalog.parquet")
+    ds.export_catalog(cat)
+    for bid in ds.freezer.list_bids():
+        os.unlink(ds.freezer._path(bid))
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("cas", ds.freezer.chunks_dir)
+        .option("content", "false")
+        .load()
+        .select("path", "size", "bid")
+    )
+    assert df.count() == len(contents)
+
+
+def test_push_mount_spark_read_roundtrip(spark, tmp_path):
+    """Golden E2E consumed via Spark: publish on store A, mount on a
+    fresh store B, export B's catalog, scan with spark.read, aggregate
+    with plain DataFrame ops."""
+    remote = MemRemote()
+    a = DataStore(str(tmp_path / "a"), remote=remote)
+    di = a.mkdir(ROOT_INODE, "data")
+    expected_total = 0
+    for i in range(6):
+        payload = bytes([i]) * (100 + i)
+        a.add_immutable_bytes(di, f"part{i}.bin", payload)
+        expected_total += len(payload)
+    a.push("release-1")
+
+    b = DataStore(str(tmp_path / "b"), remote=remote)
+    mnt = b.mount_by_label(ROOT_INODE, "mnt", "release-1")
+    assert b.prefetch_subtree(mnt) == 6  # pull file blocks into B's CAS
+    cat = str(tmp_path / "b_catalog.parquet")
+    n = b.export_catalog(cat)
+    assert n > 6  # dirs + files
+
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("cas", b.freezer.chunks_dir)
+        .option("path", "/mnt/data")
+        .load()
+    )
+    agg = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).alias("bytes"),
+    ).collect()[0]
+    assert agg["n"] == 6
+    assert agg["bytes"] == expected_total
