@@ -648,6 +648,109 @@ def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14-shaped: promo revenue share — conditional aggregation over a
+    fact ⨝ broadcast-dim join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.where(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-09-01")
+    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0)))
+            / F.sum(rev),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped: supplier account concentration per nation, filtered
+    by a scalar subquery over the global total."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("acctbal"))
+    )
+    total = supp.agg(F.sum("s_acctbal").alias("t"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .where(F.col("acctbal") > 0.02 * F.col("t"))
+        .select("n_name", "acctbal")
+    )
+
+
+def q_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17-shaped: small-quantity outlier revenue — correlated avg
+    subquery decorrelated to a window over the join key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
+    flagged = li.withColumn("avg_qty", F.avg("l_quantity").over(w)).where(
+        F.col("l_quantity") < 0.5 * F.col("avg_qty")
+    )
+    return flagged.agg(
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+    )
+
+
+def q_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18-shaped: large-volume orders — HAVING on a grouped sum, then
+    top-10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15-shaped: top supplier(s) by revenue — aggregate, then keep the
+    max via a second scalar aggregate (ties preserved)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("m"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"), "s_name", "total_revenue"
+        )
+    )
+
+
 # --- rows-only (non-SQL-expressible or engine-internal) ---
 
 
@@ -750,6 +853,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "Q4_exists_priority": q_q4,
         "Q5_local_supplier": q_q5,
         "Q6_forecast_revenue": q_q6,
+        "Q11_supplier_concentration": q_q11,
+        "Q14_promo_revenue": q_q14,
+        "Q15_top_supplier": q_q15,
+        "Q17_small_qty_revenue": q_q17,
+        "Q18_large_orders": q_q18,
         # rows-only (no oracle entry):
         "X1_lsh_topk": q_x_lsh_topk,
         "X2_simhash_neardup": q_x_simhash,
@@ -1153,4 +1261,48 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "Q11_supplier_concentration": """
+            SELECT n_name, round(sum(s_acctbal), 2) AS acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY n_name
+            HAVING round(sum(s_acctbal), 2) >
+                   0.02 * (SELECT sum(s_acctbal) FROM supplier)""",
+        "Q14_promo_revenue": """
+            SELECT round(
+                     100 * sum(CASE WHEN p_type = 'PROMO'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6)
+                   AS promo_revenue_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-06-01'
+              AND l_shipdate < TIMESTAMP '1997-09-01'""",
+        "Q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                AND l_shipdate < TIMESTAMP '1997-04-01'
+              GROUP BY l_suppkey)
+            SELECT s_suppkey AS suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+        "Q17_small_qty_revenue": """
+            WITH flagged AS (
+              SELECT l_extendedprice
+              FROM (SELECT l_extendedprice, l_quantity,
+                           avg(l_quantity) OVER (PARTITION BY l_partkey) AS avg_qty
+                    FROM lineitem)
+              WHERE l_quantity < 0.5 * avg_qty)
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly FROM flagged""",
+        "Q18_large_orders": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice,
+                   round(sum_qty, 2) AS sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING sum(l_quantity) > 150) big
+              ON o_orderkey = big.l_orderkey
+            ORDER BY sum_qty DESC, o_orderkey LIMIT 10""",
     }

@@ -99,10 +99,19 @@ def freeze_level(dirs_at_level: DataFrame, children: DataFrame) -> DataFrame:
     )
 
 
-def freeze_nodes_df(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
+def freeze_nodes_df(
+    nodes: DataFrame, max_depth: int = 64, memoized: bool = False
+) -> DataFrame:
     """F1 distributed: returns nodes with dir bids filled bottom-up.
     File nodes must already carry bids (content hashing happens at
     ingest: sha2 over binaryFile content — see ingest_files).
+
+    ``memoized=True`` is the reference's dirty-bit pruning
+    (core/datastore.go:1123-1125): dirs that already carry a bid are
+    returned as-is and only null-bid (dirty) paths re-hash — safe
+    because every mutation nulls bids up to the root (M8), so a set bid
+    implies an unchanged subtree. An incremental freeze then touches
+    only the dirty paths' levels.
 
     Each level's (inode, bid) result is localCheckpoint'd: level d's
     bids feed both level d-1's manifests and the final output, and
@@ -115,6 +124,9 @@ def freeze_nodes_df(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
     level_bids: list[DataFrame] = []
     for d in range(max_d, -1, -1):
         dirs = leveled.where((F.col("depth") == d) & F.col("is_dir"))
+        if memoized:
+            pre = dirs.where(F.col("bid").isNotNull()).select("inode", "bid")
+            dirs = dirs.where(F.col("bid").isNull())
         file_kids = leveled.where(
             (F.col("depth") == d + 1) & ~F.col("is_dir")
         ).select("parent", "name", "is_dir", "size", "bid")
@@ -128,7 +140,10 @@ def freeze_nodes_df(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
             kids = file_kids.unionByName(dir_kids)
         else:
             kids = file_kids
-        bids = freeze_level(dirs, kids).localCheckpoint()
+        bids = freeze_level(dirs, kids)
+        if memoized:
+            bids = bids.unionByName(pre)
+        bids = bids.localCheckpoint()
         level_bids.append(bids)
         prev_dir_bids = bids
     all_dir_bids = level_bids[0]

@@ -67,3 +67,41 @@ def test_fs_regions_mask(spark):
     assert intervals.validate_mask(mask).count() == 0
     # overlapping line slots must have merged: fewer mask rows than log rows
     assert mask.count() < regions.count()
+
+
+def test_memoized_freeze_skips_frozen_subtrees(spark, tmp_path):
+    """Dirty-bit pruning: a dir with a pre-set bid is returned as-is
+    (proven by a sentinel no hash could produce); null-bid dirs
+    recompute — ancestors of the sentinel embed it (differ from a clean
+    freeze), unrelated dirs match the clean freeze exactly."""
+    ds = DataStore(str(tmp_path / "s"), remote=MemRemote())
+    a = ds.mkdir(ROOT_INODE, "a")
+    b = ds.mkdir(a, "b")
+    c = ds.mkdir(ROOT_INODE, "c")
+    ds.add_immutable_bytes(b, "f1", b"one")
+    ds.add_immutable_bytes(c, "f2", b"two")
+    ds.freeze()
+    nodes = queries.nodes_df(spark, ds)
+
+    clean = nodes.withColumn(
+        "bid", F.when(F.col("is_dir"), F.lit(None)).otherwise(F.col("bid"))
+    )
+    expected = {
+        r["inode"]: r["bid"]
+        for r in merkle.freeze_nodes_df(clean).where("is_dir").collect()
+    }
+
+    patched = clean.withColumn(
+        "bid",
+        F.when(F.col("inode") == b, F.lit("SENTINEL")).otherwise(F.col("bid")),
+    )
+    out = {
+        r["inode"]: r["bid"]
+        for r in merkle.freeze_nodes_df(patched, memoized=True)
+        .where("is_dir")
+        .collect()
+    }
+    assert out[b] == "SENTINEL"          # frozen subtree untouched
+    assert out[c] == expected[c]          # dirty sibling recomputed
+    assert out[a] != expected[a]          # ancestors embed the sentinel
+    assert out[ROOT_INODE] != expected[ROOT_INODE]
