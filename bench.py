@@ -39,10 +39,14 @@ HEADLINE = [
     "S1_cosine_topk",
     "E1_sessionize",
     "E2_event_rate",
+    "M2_media_features",
+    "W1_rank_per_group",
     "Q1_pricing_summary",
     "Q3_shipping_priority",
     "Q5_local_supplier",
     "Q6_forecast_revenue",
+    "Q14_promo_revenue",
+    "Q18_large_orders",
 ]
 
 

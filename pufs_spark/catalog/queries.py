@@ -105,8 +105,17 @@ def extended_dir_contents(
     """L3: L2 ⨝ per-block cache stats (reference:
     core/datastore.go:445-466 + freezer.go:249-263). ``regions`` is the
     raw append-only log; the merged-mask aggregate happens here."""
-    stats = intervals.coverage_stats(intervals.merge_intervals(regions))
     entries = walk_dir_contents(nodes, parent)
+    # Semi-join the log down to the listing's blocks BEFORE the merge:
+    # the mask window then sorts a dozen blocks' intervals, not the
+    # whole table's — the difference between a per-listing job and a
+    # full-log shuffle at lake scale.
+    listed = regions.join(
+        F.broadcast(entries.select("bid").where(F.col("bid").isNotNull())),
+        "bid",
+        "left_semi",
+    )
+    stats = intervals.coverage_stats(intervals.merge_intervals(listed))
     return (
         entries.join(F.broadcast(stats), "bid", "left")
         .withColumn(
