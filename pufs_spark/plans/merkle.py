@@ -177,6 +177,56 @@ def unpushed(frozen_nodes: DataFrame, remote_inventory: DataFrame) -> DataFrame:
     return local.join(remote_inventory, "bid", "left_anti")
 
 
+def block_edges(frozen: DataFrame) -> DataFrame:
+    """The Merkle DAG as an edge table: (parent_bid, child_bid) for
+    every dir manifest → member. Derived from a frozen catalog (no
+    manifest decoding — the tree IS the graph)."""
+    dirs = frozen.where(F.col("is_dir") & F.col("bid").isNotNull()).select(
+        F.col("inode").alias("_di"), F.col("bid").alias("parent_bid")
+    )
+    return (
+        frozen.where(F.col("bid").isNotNull())
+        .join(dirs, F.col("parent") == F.col("_di"))
+        .where(F.col("inode") != F.col("_di"))  # root self-edge
+        .select("parent_bid", F.col("bid").alias("child_bid"))
+        .distinct()
+    )
+
+
+def reachable_bids(
+    edges: DataFrame, roots: DataFrame, max_depth: int = 64
+) -> DataFrame:
+    """All bids reachable from the live root set — level-synchronous
+    BFS over the edge table, batch per level, frontier deduped against
+    the seen set (shared subtrees visited once). Returns (bid)."""
+    seen = roots.select("bid").distinct().localCheckpoint()
+    frontier = seen
+    for _ in range(max_depth):
+        frontier = (
+            edges.join(
+                frontier.withColumnRenamed("bid", "parent_bid"), "parent_bid"
+            )
+            .select(F.col("child_bid").alias("bid"))
+            .distinct()
+            .join(seen, "bid", "left_anti")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        seen = seen.unionByName(frontier).localCheckpoint()
+    return seen
+
+
+def gc_candidates(all_blocks: DataFrame, reachable: DataFrame) -> DataFrame:
+    """F6's designed-but-unbuilt GC (reference comment core/types.go:59):
+    blocks no live root can reach — a left-anti join. Deleting them is a
+    foreachPartition of the store's delete; leases guard racing
+    publishers (reference: remote/gcs.go:96-112)."""
+    return all_blocks.select("bid").distinct().join(
+        reachable, "bid", "left_anti"
+    )
+
+
 def push_blocks(to_push: DataFrame, remote_factory, freezer_root: str) -> int:
     """F3 distributed upload: foreachPartition put-if-absent. The
     factory is a picklable zero-arg callable building a RemoteStore on

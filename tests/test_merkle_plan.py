@@ -105,3 +105,53 @@ def test_memoized_freeze_skips_frozen_subtrees(spark, tmp_path):
     assert out[c] == expected[c]          # dirty sibling recomputed
     assert out[a] != expected[a]          # ancestors embed the sentinel
     assert out[ROOT_INODE] != expected[ROOT_INODE]
+
+
+def test_gc_traces_reachability(spark, tmp_path):
+    """Freeze a tree, publish, then drop a subtree and refreeze: GC
+    must flag exactly the dropped subtree's unshared blocks."""
+    ds = DataStore(str(tmp_path / "s"), remote=MemRemote())
+    keep = ds.mkdir(ROOT_INODE, "keep")
+    drop = ds.mkdir(ROOT_INODE, "drop")
+    ds.add_immutable_bytes(keep, "k.dat", b"keep-bytes")
+    ds.add_immutable_bytes(drop, "d.dat", b"drop-bytes")
+    ds.add_immutable_bytes(drop, "shared.dat", b"shared")
+    ds.add_immutable_bytes(keep, "shared2.dat", b"shared")  # same content!
+    ds.freeze()
+    all_bids_v1 = {n.bid for n in ds.nodes.values() if n.bid}
+
+    nodes_v1 = queries.nodes_df(spark, ds)
+    edges = merkle.block_edges(nodes_v1)
+    root_bid = ds.nodes[ROOT_INODE].bid
+    roots = spark.createDataFrame([(root_bid,)], "bid string")
+    reachable = merkle.reachable_bids(edges, roots)
+    got = {r["bid"] for r in reachable.collect()}
+    assert got == all_bids_v1  # everything reachable from the live root
+
+    # drop the subtree, refreeze → v2 root
+    ds.remove(drop, "d.dat")
+    ds.remove(drop, "shared.dat")
+    ds.remove(ROOT_INODE, "drop")
+    ds.freeze()
+    nodes_v2 = queries.nodes_df(spark, ds)
+    v2_bids = {n.bid for n in ds.nodes.values() if n.bid}
+
+    all_blocks = spark.createDataFrame(
+        [(b,) for b in sorted(all_bids_v1 | v2_bids)], "bid string"
+    )
+    live = merkle.reachable_bids(
+        merkle.block_edges(nodes_v2),
+        spark.createDataFrame([(ds.nodes[ROOT_INODE].bid,)], "bid string"),
+    )
+    garbage = {r["bid"] for r in merkle.gc_candidates(all_blocks, live).collect()}
+
+    drop_file_bid = [b for b in all_bids_v1 if b not in v2_bids]
+    # the shared-content block must survive (still referenced by keep/)
+    import hashlib
+
+    shared_bid = hashlib.sha256(b"shared").hexdigest()
+    assert shared_bid not in garbage
+    assert hashlib.sha256(b"drop-bytes").hexdigest() in garbage
+    assert hashlib.sha256(b"keep-bytes").hexdigest() not in garbage
+    # garbage is exactly v1-only blocks (old manifests + dropped file)
+    assert garbage == set(drop_file_bid)
