@@ -251,25 +251,26 @@ def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: recursive subtree aggregate — files+bytes per region dir."""
+    """A3: recursive subtree aggregate — files+bytes per region dir.
+    One multi-root BFS plan with the origin root carried on the
+    frontier; no driver loop over roots."""
     nodes = fstree.fs_nodes(spark, sf_dir)
     region_dirs = nodes.where(
         (F.col("inode") >= 2) & (F.col("inode") < 10)
-    ).select(F.col("inode").alias("rnode"), F.col("name").alias("region_name"))
-    out = []
-    for row in region_dirs.collect():
-        sub = catq.descendants(nodes, row["rnode"])
-        out.append(
-            sub.where(~F.col("is_dir")).agg(
-                F.lit(row["region_name"]).alias("region_name"),
-                F.count(F.lit(1)).alias("n_files"),
-                F.sum("size").alias("total_bytes"),
-            )
+    ).select(
+        F.col("inode").alias("root_inode"), F.col("name").alias("region_name")
+    )
+    sub = catq.descendants_multi(nodes, region_dirs)
+    return (
+        nodes.where(~F.col("is_dir"))
+        .join(sub, "inode")
+        .join(F.broadcast(region_dirs), "root_inode")
+        .groupBy("region_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("size").alias("total_bytes"),
         )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+    )
 
 
 def q_a4(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,6 +180,36 @@ def descendants(nodes: DataFrame, root: int, max_depth: int = 64) -> DataFrame:
     return nodes.join(out.distinct(), "inode")
 
 
+def descendants_multi(
+    nodes: DataFrame, roots: DataFrame, max_depth: int = 64
+) -> DataFrame:
+    """A3 support: descendants of MANY roots in one plan — the frontier
+    carries its origin root, so N subtree aggregations need one BFS, not
+    N driver-looped jobs. ``roots`` must have (root_inode); returns
+    (inode, root_inode) for every node under any root (exclusive)."""
+    frontier = roots.select(
+        F.col("root_inode").alias("_cur"), "root_inode"
+    )
+    acc: DataFrame | None = None
+    for _ in range(max_depth):
+        frontier = (
+            nodes.join(
+                F.broadcast(frontier), F.col("parent") == F.col("_cur")
+            )
+            .where(F.col("inode") != ROOT_INODE)
+            .select(F.col("inode").alias("_cur"), "root_inode")
+            .localCheckpoint()
+        )
+        if frontier.isEmpty():
+            break
+        step = frontier.select(F.col("_cur").alias("inode"), "root_inode")
+        acc = step if acc is None else acc.unionByName(step)
+    if acc is None:
+        spark = nodes.sparkSession
+        return spark.createDataFrame([], "inode long, root_inode long")
+    return acc
+
+
 def unpushed_bids(nodes: DataFrame, pushed: DataFrame, root: int) -> DataFrame:
     """F2/U4 distributed: bids reachable from root that are not in the
     remote inventory — a left-anti join (the reference's DFS + IsPushed
