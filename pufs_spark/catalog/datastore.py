@@ -105,12 +105,15 @@ class DataStore:
         root_dir: str,
         remote: RemoteStore | None = None,
         clock=time.time,
+        lister=None,
     ):
         self.root_dir = root_dir
         self.freezer = Freezer(os.path.join(root_dir, "freezer"))
         self.staging_dir = os.path.join(root_dir, "staging")
         os.makedirs(self.staging_dir, exist_ok=True)
         self.remote = remote
+        self.lister = lister  # prefix listing + ranged reads (L4/S2)
+        self.block_sources: dict[str, str] = {}  # synthetic bid → remote key
         self.clock = clock
         self.pushed: set[str] = set()  # bids known to exist remotely
         self.nodes: dict[int, Node] = {
@@ -235,9 +238,9 @@ class DataStore:
         return out
 
     def _ensure_children_loaded(self, inode: int) -> None:
-        """L5: lazy child materialization from a dir block (reference:
-        core/datastore.go:519-578). The remote-listing arm (L4) is wired
-        via link_remote_listing."""
+        """L5: lazy child materialization from a dir block, and L4: from
+        a one-level remote listing (reference: core/datastore.go:519-617
+        — the same deferred flag gates both arms)."""
         node = self.nodes.get(inode)
         if node is None or not node.deferred:
             return
@@ -255,6 +258,37 @@ class DataStore:
                         is_dirty=False,
                         bid=bid,
                         deferred=is_dir,
+                    ),
+                    mark_dirty=False,
+                )
+        elif node.remote_source is not None:
+            if self.lister is None:
+                raise E.CatalogError(
+                    f"deferred remote dir {node.name} but no lister configured"
+                )
+            src = node.remote_source
+            for name, is_dir, size in self.lister.list_prefix(src.key or ""):
+                child_key = ((src.key or "").rstrip("/") + "/" + name).lstrip("/")
+                child_src = replace(src, key=child_key, size=size)
+                bid = None
+                if not is_dir:
+                    # synthetic BID over the pinned identity (reference:
+                    # core/nodedb.go:557-572)
+                    ident = f"{src.bucket}/{child_key}:{src.generation}"
+                    bid = bid_of_bytes(ident.encode())
+                    self.block_sources[bid] = child_key
+                self._insert(
+                    Node(
+                        inode=self._alloc_inode(),
+                        parent=inode,
+                        name=name,
+                        is_dir=is_dir,
+                        size=size,
+                        mtime=node.mtime,
+                        is_dirty=False,
+                        bid=bid,
+                        deferred=is_dir,
+                        remote_source=child_src,
                     ),
                     mark_dirty=False,
                 )
@@ -403,13 +437,19 @@ class DataStore:
         return node.inode
 
     def rename(self, src_parent: int, src_name: str, dst_parent: int, dst_name: str):
-        """M6: destructive move (reference: core/datastore.go:798-839)."""
+        """M6: destructive move (reference: core/datastore.go:798-839).
+        Deviation, found by the property tests: a directory destination
+        is REFUSED (POSIX-style) instead of recursively destroyed — the
+        reference's blanket replace can delete the rename source itself
+        when the destination dir contains it."""
         self._validate_name(dst_name)
         inode = self.get_node_id(src_parent, src_name)
         self._ensure_children_loaded(dst_parent)
         existing = self.children.get(dst_parent, {}).get(dst_name)
-        if existing is not None:
-            self._remove_recursive(dst_parent, dst_name, existing)
+        if existing is not None and existing != inode:
+            if self.get_node(existing).is_dir:
+                raise E.IsDirError(dst_name)
+            self._remove_subtree_entry(dst_parent, dst_name, existing)
         del self.children[src_parent][src_name]
         self.children[dst_parent][dst_name] = inode
         self.nodes[inode] = replace(
@@ -450,6 +490,12 @@ class DataStore:
     def _fetch_block(self, bid: str) -> bytes:
         if self.freezer.has_block(bid):
             return self.freezer.get_bytes(bid)
+        if bid in self.block_sources and self.lister is not None:
+            # synthetic bid: pull from the listed remote, cache under
+            # the synthetic name (S9 attach + lazy pull)
+            data = self.lister.read_key(self.block_sources[bid])
+            self.freezer.put_named(bid, data)
+            return data
         if self.remote is None:
             raise E.NotFoundError(f"block {bid}")
         data = self.remote.get_block(bid)
@@ -502,6 +548,7 @@ class DataStore:
             os.unlink(node.local_path)
             return bid
         entries = []
+        self._ensure_children_loaded(inode)
         for name, child in sorted(self.children.get(inode, {}).items()):
             cbid = self.freeze(child)
             cnode = self.get_node(child)

@@ -210,6 +210,30 @@ def descendants_multi(
     return acc
 
 
+def expand_deferred_distributed(
+    deferred: DataFrame, lister_factory
+) -> DataFrame:
+    """L4/L6 distributed: fan one-level listings of MANY deferred
+    prefixes out over executors (the reference's parallel warm-up,
+    fs/monitor.go:71-109; Spark's own InMemoryFileIndex does the same
+    for partition discovery). ``deferred`` needs (inode, key); returns
+    child rows (parent, name, is_dir, size, key) ready to append to the
+    catalog. One remote connection per partition, one task per batch of
+    prefixes — never a driver loop."""
+
+    def part(rows):
+        lister = lister_factory()
+        for row in rows:
+            key = row["key"] or ""
+            for name, is_dir, size in lister.list_prefix(key):
+                child_key = (key.rstrip("/") + "/" + name).lstrip("/")
+                yield (row["inode"], name, is_dir, size, child_key)
+
+    return deferred.select("inode", "key").rdd.mapPartitions(part).toDF(
+        "parent long, name string, is_dir boolean, size long, key string"
+    )
+
+
 def unpushed_bids(nodes: DataFrame, pushed: DataFrame, root: int) -> DataFrame:
     """F2/U4 distributed: bids reachable from root that are not in the
     remote inventory — a left-anti join (the reference's DFS + IsPushed

@@ -53,6 +53,21 @@ class Freezer:
                     os.unlink(tmp)
         return bid
 
+    def put_named(self, bid: str, data: bytes) -> None:
+        """S9: store content under a SYNTHETIC bid (remote-pinned
+        identity, not a content hash) — the reference's remote-attach
+        path (core/freezer.go:713-743)."""
+        dest = self._path(bid)
+        if not os.path.exists(dest):
+            fd, tmp = tempfile.mkstemp(dir=self.chunks_dir, prefix=".staging-")
+            try:
+                with os.fdopen(fd, "wb") as f:
+                    f.write(data)
+                os.rename(tmp, dest)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
+
     def add_file(self, path: str) -> str:
         with open(path, "rb") as f:
             return self.add_bytes(f.read())

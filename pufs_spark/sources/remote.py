@@ -144,6 +144,38 @@ class LocalDirRemote(RemoteStore):
             f.write(str(expiry))
 
 
+class LocalFSLister:
+    """S2 analog: one-level delimiter listing + ranged reads over a
+    local directory tree — stands in for GCS/S3 prefix listing in this
+    container (reference: getChildNodes, remote/gcs.go:258-300). The
+    same two-method shape (list_prefix, read_key) is what a GCS/S3
+    lister implements on a cluster."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def _abs(self, key: str) -> str:
+        return os.path.join(self.root, key.lstrip("/")) if key else self.root
+
+    def list_prefix(self, key: str) -> list[tuple[str, bool, int]]:
+        """One level under ``key`` → [(name, is_dir, size)], name-sorted
+        (the delimiter-'/' listing of S2)."""
+        base = self._abs(key)
+        out = []
+        for name in sorted(os.listdir(base)):
+            p = os.path.join(base, name)
+            if os.path.isdir(p):
+                out.append((name, True, 0))
+            else:
+                out.append((name, False, os.path.getsize(p)))
+        return out
+
+    def read_key(self, key: str, offset: int = 0, length: int | None = None) -> bytes:
+        with open(self._abs(key), "rb") as f:
+            f.seek(offset)
+            return f.read(length) if length is not None else f.read()
+
+
 def gcs_remote(bucket: str, prefix: str):  # pragma: no cover - not in container
     """GCS connector, gated: google-cloud-storage is not installed here.
     On a cluster, prefer the Hadoop GCS connector via spark.read and keep
