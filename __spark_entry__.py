@@ -755,6 +755,20 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only (non-SQL-expressible or engine-internal) ---
 
 
+def q_x_approx_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx percentiles (sketch-based; A2's production path) —
+    rows-only: the sketch's exact outputs are engine-specific."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitor.latency_percentiles(ev)
+
+
+def q_x_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-seed reservoir sample of events — rows-only (the
+    sampled ids depend on the engine's PRNG)."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitor.reservoir_sample(ev, k=100).select("event_id", "event_type")
+
+
 def q_x_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (coarse quantizer + probes) — rows-only; recall vs
     exact top-k is tested in tests/test_pipeline_ops.py."""
@@ -865,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X3_minhash_signatures": q_x_minhash,
         "X4_neardup_groups": q_x_neardup_groups,
         "X5_ivf_topk": q_x_ivf,
+        "X6_approx_percentiles": q_x_approx_pct,
+        "X7_reservoir_sample": q_x_reservoir,
     }
 
 

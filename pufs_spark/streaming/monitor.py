@@ -95,6 +95,36 @@ def last_k_events(
     )
 
 
+def reservoir_sample(df: DataFrame, k: int, seed: int = 42) -> DataFrame:
+    """A2's fixed-capacity reservoir (reference Population,
+    core/samples.go:9-71) as a distributed op: tag rows with a
+    deterministic pseudo-random key and keep the global k smallest —
+    the same uniform-without-replacement distribution, executed as
+    per-partition top-k + driver merge (TakeOrdered), never a full
+    sort."""
+    return (
+        df.withColumn("_rk", F.rand(seed))
+        .orderBy("_rk")
+        .limit(k)
+        .drop("_rk")
+    )
+
+
+def latency_percentiles(
+    df: DataFrame, value_col: str = "value", by: str = "event_type"
+) -> DataFrame:
+    """A2 reporting shape: p50/p90/p99 per key via percentile_approx —
+    the built-in sketch replacing the reference's reservoir+sort
+    (core/freezer.go:272-288)."""
+    pct = F.percentile_approx(value_col, F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return df.groupBy(by).agg(
+        pct.getItem(0).alias("p50"),
+        pct.getItem(1).alias("p90"),
+        pct.getItem(2).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 def stream_rates(spark, events_path: str, max_files_per_trigger: int | None = None):
     """T5 live variant: Structured Streaming over a growing event-log
     directory — 1-minute windowed counts with a 2-minute watermark.

@@ -106,3 +106,25 @@ def test_stateful_transfer_status(spark, tmp_path):
         assert r["min_offset"] == pytest.approx(e["mn"])
         assert r["max_offset"] == pytest.approx(e["mx"])
         assert r["bytes_moved"] == pytest.approx(e["mx"] - e["mn"])
+
+
+def test_reservoir_sample_properties(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    s1 = monitor.reservoir_sample(ev, k=50)
+    s2 = monitor.reservoir_sample(ev, k=50)
+    ids1 = sorted(r["event_id"] for r in s1.collect())
+    ids2 = sorted(r["event_id"] for r in s2.collect())
+    assert len(ids1) == 50
+    assert ids1 == ids2  # deterministic given the seed
+    all_ids = {r["event_id"] for r in ev.select("event_id").collect()}
+    assert set(ids1) <= all_ids
+    # loose uniformity: both halves of the id space represented
+    mid = (min(all_ids) + max(all_ids)) / 2
+    assert any(i < mid for i in ids1) and any(i >= mid for i in ids1)
+
+
+def test_latency_percentiles_ordered(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    for r in monitor.latency_percentiles(ev).collect():
+        assert r["p50"] <= r["p90"] <= r["p99"]
+        assert r["n"] > 0
