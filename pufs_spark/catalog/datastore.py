@@ -667,6 +667,100 @@ class DataStore:
         return n
 
     # ------------------------------------------------------------------
+    # Catalog persistence (reference: nodes.db survives restart,
+    # core/nodedb.go; here one parquet file via pyarrow)
+    # ------------------------------------------------------------------
+
+    _CATALOG_FILE = "catalog.parquet"
+
+    def save(self) -> str:
+        """Persist every node field to <root_dir>/catalog.parquet so a
+        new DataStore over the same root resumes exactly (freezer blocks
+        and region logs already live on disk)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ns = list(self.nodes.values())
+
+        def src(n, field):
+            return getattr(n.remote_source, field) if n.remote_source else None
+
+        table = pa.table(
+            {
+                "inode": pa.array([n.inode for n in ns], pa.int64()),
+                "parent": pa.array([n.parent for n in ns], pa.int64()),
+                "name": [n.name for n in ns],
+                "is_dir": [n.is_dir for n in ns],
+                "size": pa.array([n.size for n in ns], pa.int64()),
+                "mtime": pa.array([n.mtime for n in ns], pa.float64()),
+                "is_dirty": [n.is_dirty for n in ns],
+                "bid": [n.bid for n in ns],
+                "deferred": [n.deferred for n in ns],
+                "local_path": [n.local_path for n in ns],
+                "src_kind": [src(n, "kind") for n in ns],
+                "src_bucket": [src(n, "bucket") for n in ns],
+                "src_key": [src(n, "key") for n in ns],
+                "src_generation": pa.array(
+                    [src(n, "generation") for n in ns], pa.int64()
+                ),
+                "src_url": [src(n, "url") for n in ns],
+                "src_etag": [src(n, "etag") for n in ns],
+                "src_size": pa.array([src(n, "size") for n in ns], pa.int64()),
+            }
+        )
+        out = os.path.join(self.root_dir, self._CATALOG_FILE)
+        pq.write_table(table, out)
+        return out
+
+    @classmethod
+    def load(
+        cls, root_dir: str, remote: RemoteStore | None = None,
+        clock=time.time, lister=None,
+    ) -> "DataStore":
+        """Reopen a persisted catalog (save() must have run)."""
+        import pyarrow.parquet as pq
+
+        ds = cls(root_dir, remote=remote, clock=clock, lister=lister)
+        t = pq.read_table(os.path.join(root_dir, cls._CATALOG_FILE))
+        cols = {c: t[c].to_pylist() for c in t.column_names}
+        ds.nodes = {}
+        ds.children = {}
+        for i in range(t.num_rows):
+            source = None
+            if cols["src_kind"][i] is not None:
+                source = RemoteSource(
+                    kind=cols["src_kind"][i],
+                    bucket=cols["src_bucket"][i],
+                    key=cols["src_key"][i],
+                    generation=cols["src_generation"][i],
+                    url=cols["src_url"][i],
+                    etag=cols["src_etag"][i],
+                    size=cols["src_size"][i],
+                )
+            node = Node(
+                inode=cols["inode"][i],
+                parent=cols["parent"][i],
+                name=cols["name"][i],
+                is_dir=cols["is_dir"][i],
+                size=cols["size"][i],
+                mtime=cols["mtime"][i],
+                is_dirty=cols["is_dirty"][i],
+                bid=cols["bid"][i],
+                deferred=cols["deferred"][i],
+                local_path=cols["local_path"][i],
+                remote_source=source,
+            )
+            ds.nodes[node.inode] = node
+            if node.is_dir:
+                ds.children.setdefault(node.inode, {})
+            if node.inode != ROOT_INODE:
+                ds.children.setdefault(node.parent, {})[node.name] = node.inode
+            if source is not None and not node.is_dir and node.bid:
+                ds.block_sources[node.bid] = source.key
+        ds._next_inode = max(ds.nodes) + 1
+        return ds
+
+    # ------------------------------------------------------------------
     # Export for the `pufs` Spark data source
     # ------------------------------------------------------------------
 

@@ -201,3 +201,28 @@ def test_push_dedup_to_remote(tmp_path):
     c.push("l2")
     # same file content + same manifest line ⇒ both blocks dedup'd
     assert len(remote.blocks) == count1
+
+
+def test_catalog_save_load_roundtrip(tmp_path):
+    """Reference: persistence across reopen (core/datastore_test.go:66-92)
+    — a reloaded catalog answers identically and freezes to the same
+    Merkle root."""
+    remote = MemRemote()
+    ds = DataStore(str(tmp_path / "s"), remote=remote)
+    a = ds.mkdir(ROOT_INODE, "a")
+    ds.add_immutable_bytes(a, "frozen.dat", b"frozen-bytes")
+    w = ds.create_writable(a, "draft.txt")
+    ds.write(w, b"work in progress")
+    root_bid = ds.freeze()
+    ds.save()
+
+    ds2 = DataStore.load(str(tmp_path / "s"), remote=remote)
+    assert [n for n, _ in ds2.get_dir_contents(ROOT_INODE)] == ["a"]
+    assert ds2.read_path("/a/frozen.dat") == b"frozen-bytes"
+    assert ds2.read_path("/a/draft.txt") == b"work in progress"
+    assert ds2.freeze() == root_bid  # memoized bids survived
+    # mutations keep working after reload (inode allocator resumed)
+    b = ds2.mkdir(ROOT_INODE, "b")
+    assert b > a
+    ds2.add_immutable_bytes(b, "new.dat", b"new")
+    assert ds2.freeze() != root_bid
