@@ -1,0 +1,81 @@
+"""Bucketed co-located joins: pre-bucketing both sides of a recurring
+join key eliminates the per-query shuffle entirely — the storage-layout
+lever the 100TB plan relies on for fact-fact joins (catalog `nodes` by
+parent, `regions` by bid, lineitem/orders by orderkey)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pufs_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def _n(plan: str, op: str) -> int:
+    return len(re.findall(rf"\(\d+\) {op}", plan))
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    warehouse = tmp_path_factory.mktemp("bucketed")
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    for name, df, key in (
+        ("b_orders", orders, "o_orderkey"),
+        ("b_lineitem", li, "l_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(warehouse / name))
+            .mode("overwrite")
+            .saveAsTable(name)
+        )
+    yield "b_orders", "b_lineitem"
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    bo, bl = bucketed_tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = spark.table(bl).join(
+            spark.table(bo),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _formatted(j)
+        assert _n(plan, "Exchange") == 0, plan  # co-located: no shuffle
+        assert _n(plan, "SortMergeJoin") == 1
+        # same rows as the shuffled join over raw parquet
+        raw = load_table(spark, SF_DIR, "lineitem").join(
+            load_table(spark, SF_DIR, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert j.count() == raw.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_aggregate_has_no_exchange(spark, bucketed_tables):
+    _, bl = bucketed_tables
+    agg = spark.table(bl).groupBy("l_orderkey").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = _formatted(agg)
+    assert _n(plan, "Exchange") == 0, plan  # grouping key == bucket key

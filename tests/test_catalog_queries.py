@@ -75,3 +75,37 @@ def test_descendants_and_unpushed(spark, tree):
     unpushed = queries.unpushed_bids(nodes, pushed, a)
     # a's dir bid + f2's bid remain; f1's is pushed
     assert unpushed.count() == 2
+
+
+def test_sql_views_surface(spark):
+    """The whole engine is queryable with plain spark.sql once views
+    are registered — the extended-ls query expressed as SQL."""
+    from pufs_spark.catalog import views
+    from pufs_spark.plans import fstree
+    from tests.conftest import SF_DIR
+
+    names = views.register_views(
+        spark, fstree.fs_nodes(spark, SF_DIR), fstree.fs_regions(spark, SF_DIR)
+    )
+    assert names == ["pufs_nodes", "pufs_regions", "pufs_mask", "pufs_blocks"]
+    out = spark.sql(
+        """
+        SELECT n.name, n.size, coalesce(b.populated_size, 0) AS cached
+        FROM pufs_nodes n
+        LEFT JOIN pufs_blocks b ON n.bid = b.bid
+        WHERE n.parent = 10 AND NOT n.is_dir
+        ORDER BY n.name
+        """
+    ).collect()
+    assert len(out) == 0 or all(r["cached"] >= 0 for r in out)
+    # mask view is disjoint per bid
+    bad = spark.sql(
+        """
+        SELECT count(*) AS n FROM (
+          SELECT bid, start,
+                 lag(`end`) OVER (PARTITION BY bid ORDER BY start) AS pe
+          FROM pufs_mask)
+        WHERE pe IS NOT NULL AND start < pe
+        """
+    ).collect()[0]["n"]
+    assert bad == 0
