@@ -138,3 +138,92 @@ def test_merge_scales_disjoint_keys(spark, n):
     rows = [(f"b{i % 50}", i * 10, i * 10 + 5) for i in range(n)]
     merged = intervals.merge_intervals(mk(spark, rows))
     assert merged.count() == n  # all disjoint
+
+
+# ---------------------------------------------------------------------------
+# Randomized model-vs-Spark properties: hundreds of cases batched into
+# ONE job (each case is a distinct bid/qid partition), compared against
+# a plain-Python interval model.
+# ---------------------------------------------------------------------------
+
+
+def _model_merge(ranges):
+    out = []
+    for s, e in sorted(ranges):
+        if out and s <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], e))
+        else:
+            out.append((s, e))
+    return out
+
+
+def _model_missing(mask, qs, qe):
+    gaps, pos = [], qs
+    for s, e in mask:
+        if e <= pos:
+            continue
+        if s >= qe:
+            break
+        if s > pos:
+            gaps.append((pos, min(s, qe)))
+        pos = max(pos, e)
+        if pos >= qe:
+            break
+    if pos < qe:
+        gaps.append((pos, qe))
+    return gaps
+
+
+def test_merge_matches_model_randomized(spark):
+    import random
+
+    rnd = random.Random(20260813)
+    cases = {}
+    rows = []
+    for c in range(300):
+        n = rnd.randrange(1, 12)
+        ranges = []
+        for _ in range(n):
+            s = rnd.randrange(0, 500)
+            ranges.append((s, s + rnd.randrange(1, 120)))
+        if rnd.random() < 0.3:
+            ranges.append(rnd.choice(ranges))  # exact duplicates
+        cases[f"c{c}"] = ranges
+        rows += [(f"c{c}", s, e) for s, e in ranges]
+    df = spark.createDataFrame(rows, "bid string, start long, `end` long")
+    got = {}
+    for r in intervals.merge_intervals(df).collect():
+        got.setdefault(r["bid"], []).append((r["start"], r["end"]))
+    for c, ranges in cases.items():
+        assert sorted(got[c]) == _model_merge(ranges), f"case {c}: {ranges}"
+
+
+def test_missing_matches_model_randomized(spark):
+    import random
+
+    rnd = random.Random(4242)
+    mask_rows, q_rows, expect = [], [], {}
+    for c in range(200):
+        bid = f"m{c}"
+        n = rnd.randrange(0, 8)
+        ranges = []
+        for _ in range(n):
+            s = rnd.randrange(0, 400)
+            ranges.append((s, s + rnd.randrange(1, 90)))
+        mask = _model_merge(ranges)
+        mask_rows += [(bid, s, e) for s, e in mask]
+        qs = rnd.randrange(0, 300)
+        qe = qs + rnd.randrange(1, 250)
+        q_rows.append((bid, c, qs, qe))
+        expect[(bid, c)] = _model_missing(mask, qs, qe)
+    mask_df = spark.createDataFrame(
+        mask_rows or [("none", 0, 1)], "bid string, start long, `end` long"
+    )
+    q_df = spark.createDataFrame(
+        q_rows, "bid string, qid long, qstart long, qend long"
+    )
+    got = {}
+    for r in intervals.missing_regions(mask_df, q_df).collect():
+        got.setdefault((r["bid"], r["qid"]), []).append((r["start"], r["end"]))
+    for key, exp in expect.items():
+        assert sorted(got.get(key, [])) == exp, f"case {key}"
