@@ -337,6 +337,19 @@ def q_t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.fingerprint(docs).select("doc_id", "fp")
 
 
+def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: BPE-ish sub-word token counting (regexp, JVM-side)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_count_bpe(docs).select("doc_id", "n_bpe_tokens")
+
+
+def q_u5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: duplicate ranking — rank of each doc within its content-hash
+    group (window over the hash partition)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicate_rank(docs).select("doc_id", "dup_rank")
+
+
 def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: brute-force cosine top-5 for vec_id%50==0 queries."""
     emb = load_table(spark, sf_dir, "embeddings")
@@ -850,6 +863,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "T1_token_quality": q_t1,
         "T2_lang_id": q_t2,
         "T3_fingerprint": q_t3,
+        "T4_bpe_tokens": q_t4,
+        "U5_duplicate_rank": q_u5,
         "S1_cosine_topk": q_s1,
         "S2_embedding_neardup": q_s2,
         "E1_sessionize": q_e1,
@@ -1190,6 +1205,16 @@ def oracle_sql() -> dict[str, str]:
         "T3_fingerprint": """
             SELECT doc_id,
                    sha256(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+            FROM documents""",
+        "T4_bpe_tokens": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
+                     AS n_bpe_tokens
+            FROM documents""",
+        "U5_duplicate_rank": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY sha256(text)
+                                           ORDER BY doc_id) AS INTEGER) AS dup_rank
             FROM documents""",
         "S1_cosine_topk": """
             WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
