@@ -782,6 +782,14 @@ def q_x_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return monitor.reservoir_sample(ev, k=100).select("event_id", "event_type")
 
 
+def q_x_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (rolling-hash) document fingerprints — rows-only (the
+    hash is engine-internal xxhash64; the winnowing guarantees are
+    property-tested in tests/test_pipeline_ops.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.winnow_fingerprints(docs)
+
+
 def q_x_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (coarse quantizer + probes) — rows-only; recall vs
     exact top-k is tested in tests/test_pipeline_ops.py."""
@@ -896,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X5_ivf_topk": q_x_ivf,
         "X6_approx_percentiles": q_x_approx_pct,
         "X7_reservoir_sample": q_x_reservoir,
+        "X8_winnow_fingerprints": q_x_winnow,
     }
 
 

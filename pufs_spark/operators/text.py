@@ -123,6 +123,51 @@ def normalize_text(text_col: str = "text"):
     return F.trim(c)
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every k-gram (the rolling
+    hash), take the min hash of each window of ``window`` consecutive
+    k-grams, dedup. Guarantees: identical substrings of length
+    >= k+window-1 share a fingerprint, so local edits only perturb
+    nearby fingerprints. Everything is array expressions on the JVM —
+    hashes, sliding windows (slice), mins — one narrow pass, no Python.
+
+    Returns (id, fp) exploded — one row per distinct fingerprint."""
+    n = F.length(F.col(text_col))
+    grams = (
+        F.when(n == 0, F.array().cast("array<string>"))
+        .when(n < k, F.array(F.col(text_col)))  # short doc: one gram
+        .otherwise(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - {k - 1}),"
+                f" i -> substring({text_col}, i, {k}))"
+            )
+        )
+    )
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    n_h = F.size(hashes)
+    mins = F.when(
+        n_h < window,
+        F.when(n_h > 0, F.array(F.array_min(hashes))).otherwise(
+            F.array().cast("array<bigint>")
+        ),
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n_h - (window - 1)),
+            lambda j: F.array_min(F.slice(hashes, j, window)),
+        )
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: sha256 of the normalized text. Collapses
     formatting-only variants to one id (the corpus-scale cousin of the

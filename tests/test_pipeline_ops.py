@@ -205,3 +205,30 @@ def test_media_from_documents_roundtrip(spark, docs):
         expect = hashlib.sha256(texts[r["media_id"]].encode()).hexdigest()
         assert r["content_hash"] == expect
         assert r["n_bytes"] == len(texts[r["media_id"]].encode())
+
+
+def test_winnow_fingerprints_properties(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "the quick brown fox jumps over the very lazy dog again and again"),
+        (4, "completely unrelated content with different words entirely here"),
+        (5, "tiny"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = text.winnow_fingerprints(df)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # identical docs → identical fingerprint sets
+    assert by_doc[1] == by_doc[2]
+    # a small edit preserves most fingerprints (winnowing guarantee)
+    inter = len(by_doc[1] & by_doc[3])
+    union = len(by_doc[1] | by_doc[3])
+    assert inter / union > 0.4
+    # unrelated docs share (almost) nothing
+    assert len(by_doc[1] & by_doc[4]) <= 1
+    # text shorter than k still yields one fingerprint; empty yields none
+    assert len(by_doc.get(5, set())) == 1
+    assert 6 not in by_doc
