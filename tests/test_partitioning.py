@@ -1,0 +1,49 @@
+"""Partition-pruning verification: a filter on the partition column
+must prune directories in the plan (PartitionFilters), and the scan
+must read fewer files than the full dataset."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from pufs_spark.sources import dataset
+from pufs_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _formatted(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_partition_pruning(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_by_type")
+    dataset.write_partitioned(ev, path, ["event_type"], ["ts"])
+
+    back = dataset.read_dataset(spark, path)
+    one = back.where(F.col("event_type") == "click")
+    plan = _formatted(one)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_type" in m.group(1), plan  # pruned at planning
+
+    types = [r["event_type"] for r in ev.select("event_type").distinct().collect()]
+    assert "click" in types
+    expect = ev.where(F.col("event_type") == "click").count()
+    assert one.count() == expect
+
+
+def test_sorted_layout_pushes_range_filter(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "events_sorted")
+    dataset.write_partitioned(ev, path, ["event_type"], ["value"])
+    back = dataset.read_dataset(spark, path).where(F.col("value") > 99.0)
+    plan = _formatted(back)
+    assert "GreaterThan(value,99" in plan  # row-group-stat pushdown
+    assert back.count() == ev.where(F.col("value") > 99.0).count()
