@@ -16,7 +16,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pufs_spark.catalog import queries as catq
-from pufs_spark.operators import dedup, intervals, multimodal, similarity, text
+from pufs_spark.operators import (
+    dedup,
+    intervals,
+    multimodal,
+    pipeline,
+    similarity,
+    text,
+)
 from pufs_spark.plans import fstree, merkle
 from pufs_spark.streaming import monitor
 from pufs_spark.tables import load_table
@@ -790,6 +797,14 @@ def q_x_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(docs)
 
 
+def q_x_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cleaning pipeline (quality → lang → exact dedup → near-dup
+    dedup) — rows-only; gate invariants are tested in
+    tests/test_pipeline_ops.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.clean_corpus(docs).select("doc_id")
+
+
 def q_x_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN (coarse quantizer + probes) — rows-only; recall vs
     exact top-k is tested in tests/test_pipeline_ops.py."""
@@ -905,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X6_approx_percentiles": q_x_approx_pct,
         "X7_reservoir_sample": q_x_reservoir,
         "X8_winnow_fingerprints": q_x_winnow,
+        "X9_clean_corpus": q_x_clean_corpus,
     }
 
 

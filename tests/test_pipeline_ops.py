@@ -232,3 +232,32 @@ def test_winnow_fingerprints_properties(spark):
     # text shorter than k still yields one fingerprint; empty yields none
     assert len(by_doc.get(5, set())) == 1
     assert 6 not in by_doc
+
+
+def test_clean_corpus_end_to_end(spark, docs):
+    from pufs_spark.operators import pipeline
+
+    before = docs.count()
+    cleaned = pipeline.clean_corpus(docs).localCheckpoint()
+    after = cleaned.count()
+    assert 0 < after <= before
+    # survivors satisfy every gate
+    stats = text.quality_stats(cleaned)
+    bad = stats.where(
+        (F.col("n_tokens") < 5)
+        | (F.col("punct_ratio") > 0.2)
+        | (F.col("alpha_ratio") < 0.5)
+    ).count()
+    assert bad == 0
+    assert (
+        text.lang_id(cleaned).where(F.col("pred_lang") != "en").count() == 0
+    )
+    # no exact duplicates remain
+    assert (
+        dedup.exact_dedup(cleaned).where(F.col("dup_count") > 1).count() == 0
+    )
+    # no near-dup pairs remain above threshold
+    assert dedup.near_dup_pairs(cleaned, threshold=0.7).count() == 0
+    # idempotent: cleaning a clean corpus is a no-op
+    again = pipeline.clean_corpus(cleaned)
+    assert again.count() == after
