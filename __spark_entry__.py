@@ -810,7 +810,7 @@ def q_x_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact top-k is tested in tests/test_pipeline_ops.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") % 50 == 0)
-    return similarity.ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=4)
+    return similarity.ivf_topk(qs, emb, k=5, n_centroids=None, n_probe=4)
 
 
 def q_x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,7 +818,9 @@ def q_x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs exact top-k is tested in tests/test_pipeline_ops.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") % 50 == 0)
-    return similarity.lsh_topk(qs, emb, k=5, n_planes=4, n_tables=8)
+    # n_planes=None: bucket count auto-sizes to the corpus so candidate
+    # volume stays linear in N across scale factors
+    return similarity.lsh_topk(qs, emb, k=5, n_planes=None, n_tables=8)
 
 
 def q_x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

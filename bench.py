@@ -66,9 +66,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.monotonic()
-        force(qs[name](spark, sf_dir))
-        timings[name] = round(time.monotonic() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damp JIT/GC noise across rounds
+            t0 = time.monotonic()
+            force(qs[name](spark, sf_dir))
+            best = min(best, time.monotonic() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(

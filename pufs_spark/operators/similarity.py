@@ -115,14 +115,26 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     dim: int = 64,
     seed: int = 42,
+    target_bucket_rows: int = 16,
 ) -> DataFrame:
     """ANN: candidates = union over hash tables of same-bucket pairs,
     re-ranked exactly. Equality join on (table, bucket) — no cross
-    join; recall grows with n_tables."""
+    join; recall grows with n_tables.
+
+    ``n_planes=None`` sizes the bucket count to the corpus
+    (2^planes ≈ N / target_bucket_rows): a fixed plane count that works
+    at 10^3 vectors melts at 10^5 — candidate volume is
+    N * bucket_size * tables, so bucket size must stay ~constant as N
+    grows."""
+    import math
+
+    if n_planes is None:
+        n = corpus.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / target_bucket_rows)))
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
     ]
@@ -191,7 +203,7 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 4,
     centroid_stride: int | None = None,
 ) -> DataFrame:
@@ -201,8 +213,14 @@ def ivf_topk(
     ``n_probe`` nearest lists, and candidates re-rank exactly.
 
     All joins are centroid-keyed equality joins; the centroid set is
-    tiny and broadcast. At scale: centroids ~ sqrt(N) via k-means on a
-    sample — the assignment/probe/re-rank plan is unchanged."""
+    tiny and broadcast. ``n_centroids=None`` → ~sqrt(N) (balances list
+    size against probe cost); k-means on a sample would replace the
+    deterministic id-stride sampling without changing the
+    assignment/probe/re-rank plan."""
+    import math
+
+    if n_centroids is None:
+        n_centroids = max(8, int(math.sqrt(max(corpus.count(), 1))))
     stride = centroid_stride or 97  # deterministic sample of corpus ids
     cent = (
         corpus.where((F.col(id_col) % stride) == 0)
