@@ -797,6 +797,13 @@ def q_x_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.winnow_fingerprints(docs)
 
 
+def q_x_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via LSH candidates (the scale path; S2's
+    brute-force is the oracle-checked baseline) — rows-only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.6)
+
+
 def q_x_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full cleaning pipeline (quality → lang → exact dedup → near-dup
     dedup) — rows-only; gate invariants are tested in
@@ -923,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X7_reservoir_sample": q_x_reservoir,
         "X8_winnow_fingerprints": q_x_winnow,
         "X9_clean_corpus": q_x_clean_corpus,
+        "X10_embedding_neardup_lsh": q_x_emb_neardup_lsh,
     }
 
 

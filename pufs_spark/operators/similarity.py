@@ -280,6 +280,78 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int | None = None,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates from hyperplane-LSH
+    bucket collisions (equality self-joins), exact cosine on candidates
+    only. Recall at high thresholds is excellent — a pair at cosine c
+    collides per table with prob (1-θ/π)^planes, θ=acos(c) — and grows
+    with n_tables; the brute-force half-matrix below is the verifier."""
+    import math
+
+    if n_planes is None:
+        n = df.count()
+        n_planes = max(4, math.ceil(math.log2(max(n, 2) / 16)))
+    tables = [
+        (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("table"),
+                        lsh_bucket_col(vec_col, planes).alias("bucket"),
+                    )
+                    for t, planes in tables
+                ]
+            )
+        ).alias("tb"),
+    ).select("_id", "_v", "tb.table", "tb.bucket")
+    left = banded.select(
+        F.col("_id").alias("a"), F.col("_v").alias("_av"), "table", "bucket"
+    )
+    right = banded.select(
+        F.col("_id").alias("b"), F.col("_v").alias("_bv"), "table", "bucket"
+    )
+    cand = (
+        left.join(right, ["table", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "_av", "b", "_bv")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            cosine_sim_col("_av", "_bv")
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        _as_double(F.col("_av")), F.lit(0.0), lambda x, y: x + y * y
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        _as_double(F.col("_bv")), F.lit(0.0), lambda x, y: x + y * y
+                    )
+                )
+            ),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,
@@ -287,8 +359,8 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-dup: all pairs above threshold. Brute-force
-    half-matrix here; at scale swap the cross join for lsh_topk
-    candidates with the same predicate."""
+    half-matrix — the exact baseline and the verifier for
+    embedding_near_dup_pairs_lsh (the scale path)."""
     a = with_norm(df, vec_col).select(
         F.col(id_col).alias("a"),
         F.col(vec_col).alias("_av"),

@@ -261,3 +261,19 @@ def test_clean_corpus_end_to_end(spark, docs):
     # idempotent: cleaning a clean corpus is a no-op
     again = pipeline.clean_corpus(cleaned)
     assert again.count() == after
+
+
+def test_embedding_near_dup_lsh_recall(spark, emb):
+    exact = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs(emb, threshold=0.9).collect()
+    }
+    approx = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs_lsh(
+            emb, threshold=0.9, n_tables=8
+        ).collect()
+    }
+    assert approx <= exact  # candidates re-ranked exactly: no false pairs
+    if exact:
+        assert len(approx & exact) >= int(0.7 * len(exact))
