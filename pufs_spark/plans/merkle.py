@@ -40,26 +40,26 @@ def with_depth(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
         .alias("depth"),
     )
     rounds = max(1, (max_depth - 1).bit_length())
-    reach = reach.localCheckpoint()
-    for _ in range(rounds):
+    for i in range(rounds):
         hop = reach.select(
             F.col("inode").alias("_j"),
             F.col("anc").alias("_janc"),
             F.col("depth").alias("_jd"),
         )
-        # Checkpoint each round: the self-join otherwise doubles the
-        # lineage per round (2^rounds copies of the base scan).
-        reach = (
-            reach.join(hop, F.col("anc") == F.col("_j"))
-            .select(
-                "inode",
-                F.col("_janc").alias("anc"),
-                (F.col("depth") + F.col("_jd")).alias("depth"),
-            )
-            .localCheckpoint()
+        reach = reach.join(hop, F.col("anc") == F.col("_j")).select(
+            "inode",
+            F.col("_janc").alias("anc"),
+            (F.col("depth") + F.col("_jd")).alias("depth"),
         )
-        if reach.where(F.col("anc") != ROOT_INODE).isEmpty():
-            break
+        # Lineage doubles per self-join round, so it must be cut — but
+        # eager checkpoints cost a job each. Let the first three rounds
+        # (8-hop reach, covers most FS trees) run as one lazy plan
+        # (2^3 copies of a cheap base scan), then checkpoint + test
+        # convergence each round for the deep-tree tail.
+        if i >= 2:
+            reach = reach.localCheckpoint()
+            if reach.where(F.col("anc") != ROOT_INODE).isEmpty():
+                break
     return nodes.join(reach.select("inode", "depth"), "inode")
 
 
