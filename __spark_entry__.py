@@ -24,7 +24,7 @@ from pufs_spark.operators import (
     similarity,
     text,
 )
-from pufs_spark.plans import fstree, merkle
+from pufs_spark.plans import diff, fstree, merkle
 from pufs_spark.streaming import monitor
 from pufs_spark.tables import load_table
 
@@ -669,6 +669,33 @@ def q_j1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V1: Merkle snapshot diff between the derived tree and a v2
+    variant (every 7th order file removed, every 13th's content
+    changed). The Spark side freezes both trees and walks ONLY the
+    changed spine (bid-pruned descent); the oracle computes the same
+    answer naively — optimized plan, naive semantics."""
+    v1 = fstree.fs_nodes(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    dirs = v1.where(F.col("is_dir"))
+    files_v2 = orders.where(F.col("o_orderkey") % 7 != 0).select(
+        (F.lit(100000) + F.col("o_orderkey")).cast("long").alias("inode"),
+        (F.lit(100) + F.col("o_custkey")).cast("long").alias("parent"),
+        F.concat(F.lit("order_"), F.col("o_orderkey"), F.lit(".dat")).alias("name"),
+        F.lit(False).alias("is_dir"),
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("size"),
+        F.concat(
+            F.lit("blk_"),
+            F.col("o_orderkey"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("_v2")).otherwise(F.lit("")),
+        ).alias("bid"),
+    )
+    v2 = dirs.unionByName(files_v2)
+    fa = merkle.freeze_nodes_df(v1)
+    fb = merkle.freeze_nodes_df(v2)
+    return diff.merkle_diff(fa, fb).select("path", "change")
+
+
 def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q14-shaped: promo revenue share — conditional aggregation over a
     fact ⨝ broadcast-dim join."""
@@ -877,6 +904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "L7_catalog_stats": q_l7,
         "F1_merkle_freeze": q_f1,
         "F2_unpushed_diff": q_f2,
+        "V1_snapshot_diff": q_v1,
         "R1_missing_regions": q_r1,
         "R2_interval_union": q_r2,
         "R3_coverage_stats": q_r3,
@@ -1016,6 +1044,19 @@ def oracle_sql() -> dict[str, str]:
               WHERE NOT is_dir AND bid IS NOT NULL
               AND bid NOT IN (SELECT 'blk_' || o_orderkey FROM orders
                               WHERE o_orderkey % 2 = 0)""",
+        "V1_snapshot_diff": """
+            WITH fpath AS (
+              SELECT o_orderkey,
+                     '/' || r_name || '/' || n_name || '/' || c_name
+                         || '/order_' || o_orderkey || '.dat' AS path
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey)
+            SELECT path, 'removed' AS change FROM fpath WHERE o_orderkey % 7 = 0
+            UNION ALL
+            SELECT path, 'changed' FROM fpath
+            WHERE o_orderkey % 13 = 0 AND o_orderkey % 7 <> 0""",
         "R1_missing_regions": WITH_FS
         + """, q AS (SELECT 'blk_' || o_orderkey AS bid, CAST(o_orderkey AS BIGINT) AS qid,
                           0::BIGINT AS qstart, 32768::BIGINT AS qend
