@@ -245,6 +245,49 @@ def near_dup_pairs(
     )
 
 
+def prefix_filter_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """EXACT near-dup pair generation by prefix filtering (AllPairs /
+    PPJoin family, Bayardo et al. WWW'07): two sets with Jaccard >= t
+    MUST share a token within each one's first
+    |s| - ceil(t*|s|) + 1 tokens when both are ordered by ascending
+    global frequency. Candidates are therefore an equality self-join on
+    PREFIX shingles only — no banding, no recall loss; output equals
+    the brute-force threshold join by construction.
+
+    Plan: shingle → global-frequency rank join → per-doc
+    rarest-first prefix (window) → prefix self-join → exact verify.
+    Rarest-first ordering keeps prefix postings short, which is what
+    bounds the candidate count at scale."""
+    sh = with_shingles(df, text_col, k).select(
+        F.col(id_col), F.explode("shingles").alias("s")
+    )
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(freq, "s")
+    w = Window.partitionBy(id_col).orderBy("_df", "s")
+    sized = ranked.withColumn("_pos", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    )
+    prefix = sized.where(
+        F.col("_pos") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + 1
+    ).select(id_col, "s")
+    cand = (
+        prefix.select(F.col(id_col).alias("a"), "s")
+        .join(prefix.select(F.col(id_col).alias("b"), "s"), "s")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return jaccard_pairs(df, cand, text_col, id_col, k).where(
+        F.col("jaccard") >= threshold
+    )
+
+
 def near_dup_groups(
     pairs: DataFrame, id_col_a: str = "a", id_col_b: str = "b"
 ) -> DataFrame:

@@ -277,3 +277,38 @@ def test_embedding_near_dup_lsh_recall(spark, emb):
     assert approx <= exact  # candidates re-ranked exactly: no false pairs
     if exact:
         assert len(approx & exact) >= int(0.7 * len(exact))
+
+
+def test_prefix_filter_equals_bruteforce(spark, docs):
+    """Prefix filtering is exact by construction: the result must equal
+    the brute-force threshold join, pair for pair."""
+    sub = docs.where(F.col("doc_id") < 120)
+    pairs = (
+        sub.select(F.col("doc_id").alias("a"))
+        .crossJoin(sub.select(F.col("doc_id").alias("b")))
+        .where(F.col("a") < F.col("b"))
+    )
+    brute = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.jaccard_pairs(sub, pairs)
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    pf = {
+        (r["a"], r["b"], round(r["jaccard"], 9))
+        for r in dedup.prefix_filter_pairs(sub, threshold=0.5).collect()
+    }
+    assert pf == brute
+
+
+def test_prefix_filter_agrees_with_lsh_pipeline(spark, docs):
+    pf = {
+        (r["a"], r["b"])
+        for r in dedup.prefix_filter_pairs(docs, threshold=0.7).collect()
+    }
+    lsh = {
+        (r["a"], r["b"])
+        for r in dedup.near_dup_pairs(docs, threshold=0.7).collect()
+    }
+    assert lsh <= pf  # LSH can only miss, never invent
+    assert pf == lsh  # and on this corpus it misses nothing
