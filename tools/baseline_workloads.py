@@ -168,6 +168,56 @@ def bench_stress(cache: str, blocks: dict, seconds: float = 5.0, n_threads: int 
     }
 
 
+def bench_incremental_freeze(spark) -> dict:
+    """Memoized (dirty-bit) freeze cost must track the dirty spine, not
+    tree size: dirty 1% of files + their ancestor dirs, refreeze."""
+    from pyspark.sql import functions as F
+
+    from pufs_spark.plans import fstree, merkle
+
+    nodes = fstree.fs_nodes(spark, SF_DIR)
+    t0 = time.monotonic()
+    full = merkle.freeze_nodes_df(nodes).localCheckpoint()
+    full_s = time.monotonic() - t0
+
+    # dirty 1%: change those files' bids, null their ancestor dir bids
+    dirty_files = F.col("inode") % 100 == 0
+    dirty_parents = (
+        full.where(~F.col("is_dir") & dirty_files).select("parent").distinct()
+    )
+    anc = dirty_parents.withColumnRenamed("parent", "inode")
+    frontier = anc
+    for _ in range(8):
+        frontier = (
+            full.join(
+                frontier.withColumnRenamed("inode", "_c"),
+                F.col("inode") == F.col("_c"),
+            )
+            .select(F.col("parent").alias("inode"))
+            .distinct()
+        )
+        anc = anc.unionByName(frontier).distinct().localCheckpoint()
+        if frontier.where(F.col("inode") != 1).isEmpty():
+            break
+    dirty_set = {r["inode"] for r in anc.collect()}
+    patched = full.withColumn(
+        "bid",
+        F.when(~F.col("is_dir") & dirty_files, F.concat(F.col("bid"), F.lit("_v2")))
+        .when(F.col("inode").isin(dirty_set), F.lit(None))
+        .otherwise(F.col("bid")),
+    ).localCheckpoint()
+    t0 = time.monotonic()
+    merkle.freeze_nodes_df(patched, memoized=True).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    incr_s = time.monotonic() - t0
+    return {
+        "full_freeze_s": round(full_s, 3),
+        "incremental_freeze_1pct_s": round(incr_s, 3),
+        "dirty_dirs": len(dirty_set),
+    }
+
+
 def bench_l3(spark) -> dict:
     import __spark_entry__ as entrymod
 
@@ -193,6 +243,7 @@ def main() -> None:
         report.update(reads)
         report.update(bench_walktree(tmp))
         report.update(bench_stress(cache, blocks))
+        report.update(bench_incremental_freeze(spark))
         report.update(bench_l3(spark))
     print(json.dumps(report))
 
