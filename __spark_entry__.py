@@ -799,6 +799,85 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10-shaped: top-20 customers by returned-item revenue."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(
+            (F.col("o_orderdate") >= "1997-01-01")
+            & (F.col("o_orderdate") < "1997-07-01")
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13-shaped: distribution of customers by order count (left join
+    preserving zero-order customers, double grouping)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19-shaped: discounted revenue under disjunctive brand/size/
+    quantity predicates (OR-of-ANDs pushed through one join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size") <= 10)
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size") <= 20)
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size") <= 30)
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    return j.where(cond).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
 # --- rows-only (non-SQL-expressible or engine-internal) ---
 
 
@@ -943,11 +1022,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "Q4_exists_priority": q_q4,
         "Q5_local_supplier": q_q5,
         "Q6_forecast_revenue": q_q6,
+        "Q10_returned_items": q_q10,
         "Q11_supplier_concentration": q_q11,
+        "Q13_order_distribution": q_q13,
         "Q14_promo_revenue": q_q14,
         "Q15_top_supplier": q_q15,
         "Q17_small_qty_revenue": q_q17,
         "Q18_large_orders": q_q18,
+        "Q19_brand_size_revenue": q_q19,
         # rows-only (no oracle entry):
         "X1_lsh_topk": q_x_lsh_topk,
         "X2_simhash_neardup": q_x_simhash,
@@ -1379,6 +1461,35 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "Q10_returned_items": """
+            SELECT c_custkey, c_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate < TIMESTAMP '1997-07-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        "Q13_order_distribution": """
+            SELECT c_count, count(*) AS custdist
+            FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC""",
+        "Q19_brand_size_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size <= 10
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#2' AND p_size <= 20
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#3' AND p_size <= 30
+                   AND l_quantity BETWEEN 20 AND 40)""",
         "Q11_supplier_concentration": """
             SELECT n_name, round(sum(s_acctbal), 2) AS acctbal
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
