@@ -197,6 +197,42 @@ def lsh_topk(
     )
 
 
+def fit_kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> list[list[float]]:
+    """Train IVF centroids: spherical k-means on a deterministic sample,
+    fit driver-side (the sample is tiny), applied executor-side via the
+    broadcast centroid table in ivf_topk. At lake scale the sample stays
+    O(centroids * constant) — the fit never touches the full corpus."""
+    import numpy as np
+
+    rows = (
+        corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+    )
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    xn = x / norms
+    rnd = np.random.default_rng(seed)
+    cent = xn[rnd.choice(len(xn), size=min(n_centroids, len(xn)), replace=False)]
+    for _ in range(iters):
+        sims = xn @ cent.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cent)):
+            members = xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                cent[c] = m / (n if n else 1.0)
+    return [list(map(float, c)) for c in cent]
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -206,6 +242,7 @@ def ivf_topk(
     n_centroids: int | None = 16,
     n_probe: int = 4,
     centroid_stride: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """ANN via an IVF-style coarse quantizer: a deterministic sample of
     corpus vectors serves as centroids; every corpus vector is assigned
@@ -221,15 +258,22 @@ def ivf_topk(
 
     if n_centroids is None:
         n_centroids = max(8, int(math.sqrt(max(corpus.count(), 1))))
-    stride = centroid_stride or 97  # deterministic sample of corpus ids
-    cent = (
-        corpus.where((F.col(id_col) % stride) == 0)
-        .orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv")
+    if centroids is not None:
+        spark = corpus.sparkSession
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+            "centroid_id long, _cv array<float>",
         )
-    )
+    else:
+        stride = centroid_stride or 97  # deterministic sample of corpus ids
+        cent = (
+            corpus.where((F.col(id_col) % stride) == 0)
+            .orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv")
+            )
+        )
 
     def assign(df, id_alias, keep_n):
         sim = (

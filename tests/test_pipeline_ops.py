@@ -312,3 +312,17 @@ def test_prefix_filter_agrees_with_lsh_pipeline(spark, docs):
     }
     assert lsh <= pf  # LSH can only miss, never invent
     assert pf == lsh  # and on this corpus it misses nothing
+
+
+def test_ivf_kmeans_centroids(spark, emb):
+    cents = similarity.fit_kmeans_centroids(emb, n_centroids=8, sample=512)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    # deterministic fit
+    again = similarity.fit_kmeans_centroids(emb, n_centroids=8, sample=512)
+    assert cents == again
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.brute_force_topk(q, emb, k=1)
+    approx = similarity.ivf_topk(q, emb, k=1, n_probe=4, centroids=cents)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    assert len(e & a) >= int(0.5 * len(e))
