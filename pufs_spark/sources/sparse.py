@@ -304,6 +304,42 @@ def ensure_cached(
     }
 
 
+def stream_ensure_cached(
+    spark: SparkSession,
+    requests_path: str,
+    freezer_root: str,
+    remote_factory,
+    chunk_size: int = CHUNK_SIZE,
+    readahead: int = 0,
+):
+    """T1/T2 live: a Structured Streaming source of read requests
+    (bid, qstart, qend) drives the chunk-fetch job per micro-batch via
+    foreachBatch. Within a batch, coalescing happens in the fetch plan
+    (chunk dedup); across batches, the region mask makes re-requests
+    no-ops — the streaming equivalent of the reference's background
+    copier joining outstanding requests. Returns the started query;
+    caller awaits/stops it."""
+    stream = spark.readStream.schema(
+        "bid string, qstart long, qend long"
+    ).parquet(requests_path)
+
+    def batch(df, _batch_id):
+        ensure_cached(
+            df.sparkSession,
+            freezer_root,
+            remote_factory,
+            df,
+            chunk_size=chunk_size,
+            readahead=readahead,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_through(
     spark: SparkSession,
     freezer_root: str,

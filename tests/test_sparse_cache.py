@@ -198,3 +198,36 @@ def test_compaction(spark, tmp_path, remote_with_block):
     fz.compact("blk1")
     assert fz.log_records("blk1") == [(0, 5 * CHUNK)]
     assert fz.regions("blk1") == [(0, 5 * CHUNK)]
+
+
+def test_stream_ensure_cached(spark, tmp_path, remote_with_block):
+    """A request stream fills the cache; a second identical stream
+    fetches zero remote bytes (cross-batch coalescing via the mask)."""
+    remote, data, counter = remote_with_block
+    root = str(tmp_path / "cache")
+    reqs_dir = str(tmp_path / "requests")
+    reqs = spark.createDataFrame(
+        [("blk1", 0, 2500), ("blk1", 2000, 4000), ("blk1", 6000, 6500)],
+        "bid string, qstart long, qend long",
+    )
+    reqs.repartition(2).write.parquet(reqs_dir)
+
+    q = sparse.stream_ensure_cached(
+        spark, reqs_dir, root, _factory(remote, counter), chunk_size=CHUNK
+    )
+    q.awaitTermination(120)
+    q.stop()
+    fz = sparse.SparseFreezer(root)
+    assert fz.read("blk1", 0, 4000) == data[:4000]
+    assert fz.read("blk1", 6000, 500) == data[6000:6500]
+    before = _counted(counter)
+
+    # second stream over a copy of the same requests
+    reqs.write.parquet(str(tmp_path / "requests2"), mode="overwrite")
+    q2 = sparse.stream_ensure_cached(
+        spark, str(tmp_path / "requests2"), root, _factory(remote, counter),
+        chunk_size=CHUNK,
+    )
+    q2.awaitTermination(120)
+    q2.stop()
+    assert _counted(counter) == before  # zero remote bytes re-fetched
