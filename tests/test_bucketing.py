@@ -79,3 +79,36 @@ def test_bucketed_aggregate_has_no_exchange(spark, bucketed_tables):
     )
     plan = _formatted(agg)
     assert _n(plan, "Exchange") == 0, plan  # grouping key == bucket key
+
+
+def test_bucketed_catalog_listing_no_exchange(spark, tmp_path_factory):
+    """The lake-scale catalog layout: nodes bucketed by parent answer
+    listing aggregations (children per dir, L1/L3 shapes) without a
+    shuffle — the storage-side equivalent of the reference's
+    (parent||name) key locality."""
+    from pufs_spark.plans import fstree
+
+    warehouse = tmp_path_factory.mktemp("catalog_bucketed")
+    nodes = fstree.fs_nodes(spark, "/root/testdata/sf0.001")
+    spark.sql("DROP TABLE IF EXISTS b_nodes")
+    (
+        nodes.write.bucketBy(8, "parent")
+        .sortBy("parent", "name")
+        .option("path", str(warehouse / "b_nodes"))
+        .mode("overwrite")
+        .saveAsTable("b_nodes")
+    )
+    try:
+        per_dir = spark.table("b_nodes").groupBy("parent").agg(
+            F.count(F.lit(1)).alias("n_children"),
+            F.sum("size").alias("bytes"),
+        )
+        plan = _formatted(per_dir)
+        assert _n(plan, "Exchange") == 0, plan  # bucket key == group key
+        # point listing still prunes via pushed filter on the sort key
+        one = spark.table("b_nodes").where(F.col("parent") == 10)
+        p1 = _formatted(one)
+        assert "EqualTo(parent,10)" in p1
+        assert one.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_nodes")
