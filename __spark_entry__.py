@@ -799,6 +799,97 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7-shaped: shipping volume between two nations per year (two
+    broadcast nation joins + date extraction)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_0")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_0")
+            )
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+def q_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8-shaped: one nation's market share of a region's revenue per
+    year (conditional aggregation over a deep join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("c_nk"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "AFRICA")),
+            F.col("c_rk") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return j.groupBy(F.year("o_orderdate").alias("o_year")).agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_0", rev).otherwise(0.0))
+            / F.sum(rev),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+def q_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12-shaped: priority-class counts per line status (CASE-sum
+    pivot over a fact ⨝ orders join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).join(orders, li.l_orderkey == orders.o_orderkey)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+    )
+
+
 def q_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q10-shaped: top-20 customers by returned-item revenue."""
     cust = load_table(spark, sf_dir, "customer")
@@ -1022,7 +1113,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "Q4_exists_priority": q_q4,
         "Q5_local_supplier": q_q5,
         "Q6_forecast_revenue": q_q6,
+        "Q7_nation_volume": q_q7,
+        "Q8_market_share": q_q8,
         "Q10_returned_items": q_q10,
+        "Q12_priority_classes": q_q12,
         "Q11_supplier_concentration": q_q11,
         "Q13_order_distribution": q_q13,
         "Q14_promo_revenue": q_q14,
@@ -1461,6 +1555,45 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1998-01-01'
               AND l_discount BETWEEN 0.05 AND 0.07
               AND l_quantity < 24""",
+        "Q7_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE (n1.n_name = 'NATION_0' AND n2.n_name = 'NATION_1')
+               OR (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_0')
+            GROUP BY 1, 2, 3""",
+        "Q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   round(sum(CASE WHEN sn.n_name = 'NATION_0'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0.0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                     AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            JOIN region ON cn.n_regionkey = r_regionkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            WHERE r_name = 'AFRICA'
+            GROUP BY 1""",
+        "Q12_priority_classes": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_linestatus""",
         "Q10_returned_items": """
             SELECT c_custkey, c_name, n_name,
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
