@@ -969,6 +969,28 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: wealthy customers with no orders — scalar-subquery
+    threshold + left-anti join, grouped by nation."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    wealthy = cust.crossJoin(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    never_ordered = wealthy.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return never_ordered.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 # --- rows-only (non-SQL-expressible or engine-internal) ---
 
 
@@ -1124,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "Q17_small_qty_revenue": q_q17,
         "Q18_large_orders": q_q18,
         "Q19_brand_size_revenue": q_q19,
+        "Q22_dormant_customers": q_q22,
         # rows-only (no oracle entry):
         "X1_lsh_topk": q_x_lsh_topk,
         "X2_simhash_neardup": q_x_simhash,
@@ -1623,6 +1646,14 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#3' AND p_size <= 30
                    AND l_quantity BETWEEN 20 AND 40)""",
+        "Q22_dormant_customers": """
+            SELECT c_nationkey, count(*) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0)
+              AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey""",
         "Q11_supplier_concentration": """
             SELECT n_name, round(sum(s_acctbal), 2) AS acctbal
             FROM supplier JOIN nation ON s_nationkey = n_nationkey
