@@ -1219,7 +1219,7 @@ def oracle_sql() -> dict[str, str]:
         "L3_extended_listing": WITH_FS
         + """, stats AS (
               SELECT bid, count(*) AS populated_region_count,
-                     sum("end" - start) AS populated_size
+                     CAST(sum("end" - start) AS BIGINT) AS populated_size
               FROM fs_mask GROUP BY bid)
             SELECT n.inode, n.name, n.is_dir, n.size, n.bid,
                    coalesce(s.populated_region_count, 0) AS populated_region_count,
@@ -1227,7 +1227,7 @@ def oracle_sql() -> dict[str, str]:
             FROM fs_nodes n LEFT JOIN stats s ON n.bid = s.bid
             WHERE n.parent = 100 + (SELECT min(o_custkey) FROM orders)""",
         "L7_catalog_stats": WITH_FS
-        + " SELECT is_dir, count(*) AS n, sum(size) AS total_size FROM fs_nodes GROUP BY is_dir",
+        + " SELECT is_dir, count(*) AS n, CAST(sum(size) AS BIGINT) AS total_size FROM fs_nodes GROUP BY is_dir",
         "F1_merkle_freeze": WITH_FS
         + f""", files AS (SELECT * FROM fs_nodes WHERE NOT is_dir),
             cust AS ({manifest_level('files', 100, 100000, '0', 'c.size')}),
@@ -1280,7 +1280,7 @@ def oracle_sql() -> dict[str, str]:
         + ' SELECT bid, start, "end" FROM fs_mask',
         "R3_coverage_stats": WITH_FS
         + """ SELECT bid, count(*) AS populated_region_count,
-                    sum("end" - start) AS populated_size
+                    CAST(sum("end" - start) AS BIGINT) AS populated_size
               FROM fs_mask GROUP BY bid""",
         "R4_first_missing": WITH_FS
         + """, q AS (SELECT 'blk_' || o_orderkey AS bid, CAST(o_orderkey AS BIGINT) AS qid,
@@ -1339,7 +1339,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
                         WHEN doc_id % 3 = 1 THEN 'audio'
                         ELSE 'video' END AS kind,
-                   count(*) AS n, sum(strlen(text)) AS total_bytes
+                   count(*) AS n, CAST(sum(strlen(text)) AS BIGINT) AS total_bytes
             FROM documents GROUP BY 1""",
         "M2_media_features": """
             SELECT doc_id AS media_id, sha256(text) AS content_hash,
@@ -1371,7 +1371,7 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
         "J1_json_extract": """
             SELECT event_type,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
                    round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 6) AS k_avg,
                    count(*) AS n
             FROM events GROUP BY event_type""",
@@ -1391,7 +1391,7 @@ def oracle_sql() -> dict[str, str]:
                               + CAST(floor(l_extendedprice) AS BIGINT)) / 204800.0) * 204800 AS BIGINT) AS qend
             FROM lineitem""",
         "A1_block_log_stats": WITH_FS
-        + """ SELECT bid, count(*) AS log_rows, sum("end" - start) AS log_bytes
+        + """ SELECT bid, count(*) AS log_rows, CAST(sum("end" - start) AS BIGINT) AS log_bytes
               FROM fs_regions GROUP BY bid""",
         "A2_percentiles": """
             WITH ranked AS (
@@ -1408,7 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "A3_subtree_agg": """
             SELECT r.r_name AS region_name,
                    count(o.o_orderkey) AS n_files,
-                   sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS total_bytes
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_bytes
             FROM region r
             JOIN nation n ON n.n_regionkey = r.r_regionkey
             JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -1521,8 +1521,8 @@ def oracle_sql() -> dict[str, str]:
                               THEN 1 ELSE 0 END AS new_s
                   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
             s AS (SELECT user_id, tus,
-                         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
-                                          ROWS UNBOUNDED PRECEDING) AS session_id
+                         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
                   FROM g)
             SELECT user_id, session_id, count(*) AS n_events,
                    min(tus) AS session_start_us, max(tus) AS session_end_us
@@ -1609,10 +1609,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1""",
         "Q12_priority_classes": """
             SELECT l_linestatus,
-                   sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS high_line_count,
-                   sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                            THEN 1 ELSE 0 END) AS low_line_count
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
               AND l_shipdate < TIMESTAMP '1998-01-01'

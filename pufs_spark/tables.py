@@ -33,13 +33,45 @@ _NANOS_TS_COLUMNS = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Some driver parquet files store TIMESTAMP(NANOS), which Spark rejects
+    # unless nanosAsLong is set. It's a runtime SQL conf, so set it on the
+    # *caller's* session here rather than relying on our own session factory
+    # (the driver's oracle harness builds a plain SparkSession).
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf rejected (e.g. future Spark removes it); try the read anyway
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        df = spark.read.parquet(path)
+        # Force schema resolution now so PARQUET_TYPE_ILLEGAL surfaces here.
+        df.schema
+    except Exception:
+        df = _load_via_arrow(spark, path)
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(
                 c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
             )
     return df
+
+
+def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
+    """Last-resort loader: read via pyarrow, downcast nanos to micros.
+
+    Only used when the parquet read fails even with nanosAsLong (or the conf
+    itself is rejected). Materializes through the driver, so it's only
+    acceptable for the small oracle-harness tables — the normal path above
+    stays fully distributed.
+    """
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(path)
+    pdf = tbl.to_pandas(timestamp_as_object=False)
+    for col in pdf.columns:
+        if str(pdf[col].dtype).startswith("datetime64[ns"):
+            pdf[col] = pdf[col].astype("datetime64[us]")
+    return spark.createDataFrame(pdf)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -17,11 +17,11 @@ import sys
 import duckdb
 import numpy as np
 import pandas as pd
+from pyspark.sql import SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from pufs_spark.session import get_spark  # noqa: E402
 from pufs_spark.tables import TPCH_TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -50,6 +50,17 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str | None:
     a, b = normalize(a), normalize(b)
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's value-hash is type-sensitive (round-1 lesson: DuckDB
+        # promotes integer sum() to HUGEINT while Spark emits bigint, and the
+        # hashes diverge even when every value matches). Flag any dtype split
+        # between the two collected frames as a failure.
+        if str(av.dtype) != str(bv.dtype):
+            an = pd.api.types.is_numeric_dtype(av)
+            bn = pd.api.types.is_numeric_dtype(bv)
+            ai = pd.api.types.is_integer_dtype(av)
+            bi = pd.api.types.is_integer_dtype(bv)
+            if (an != bn) or (an and bn and ai != bi):
+                return f"col {c} dtype mismatch: spark {av.dtype} vs oracle {bv.dtype}"
         if pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv):
             af = av.astype(float).to_numpy()
             bf = bv.astype(float).to_numpy()
@@ -72,7 +83,22 @@ def main() -> None:
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
-    spark = get_spark(app_name="verify_oracle", cpus=8)
+    # Deliberately a PLAIN session — no pufs_spark.session confs — so this
+    # replicates the driver's oracle harness (round-1 lesson: six queries
+    # only worked in our own session because it set nanosAsLong at build
+    # time; the driver's plain session exposed the gap).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "8"))
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("verify_oracle")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 4)))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.host", "127.0.0.1")
+        .config("spark.driver.memory", os.environ.get("PUFS_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     failures = []
