@@ -365,9 +365,37 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2: embedding-cosine near-dup pairs at t=0.45."""
+    """S2: embedding-cosine near-dup pairs via the LSH scale path.
+
+    The raw embeddings table is isotropic noise (max natural pair cosine
+    ~0.6), so true near-dups are planted deterministically: every vector
+    gets a perturbed copy (+0.005 per coordinate → cosine ~0.9992 to its
+    source, id offset +1,000,000). Candidates come from hyperplane-LSH
+    bucket collisions (equality joins, no crossJoin) with an exact cosine
+    re-check at t=0.95. The [0.61, 0.999] cosine band is empty, so the
+    re-check is engine-stable, and per-pair LSH miss probability at
+    cosine 0.999 is ~1e-9 — the output equals brute force, which
+    tests/test_similarity.py asserts. Output is (a, b) ids only: float
+    cosines would diverge between engines under a type-sensitive hash.
+
+    Ref parity: generalizes content-hash dedup (core/freezer.go:672-711)
+    to embedding near-dup; brute force (similarity.embedding_near_dup_pairs)
+    stays as the test-side verifier.
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, threshold=0.45)
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(0.005)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    return similarity.embedding_near_dup_pairs_lsh(corpus, threshold=0.95).select(
+        "a", "b"
+    )
 
 
 def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1505,14 +1533,19 @@ def oracle_sql() -> dict[str, str]:
                              ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
             WHERE rank <= 5""",
         "S2_embedding_neardup": """
-            WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-            SELECT a.vec_id AS a, b.vec_id AS b,
-                   list_dot_product(a.v, b.v)
-                   / (CASE WHEN a.nrm * b.nrm = 0 THEN 1.0 ELSE a.nrm * b.nrm END) AS cosine
+            WITH base AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings),
+            pert AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(embedding, x -> x::DOUBLE + 0.005) AS v
+              FROM embeddings),
+            corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+            n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM corpus)
+            SELECT a.vec_id AS a, b.vec_id AS b
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)
-                  / (CASE WHEN a.nrm * b.nrm = 0 THEN 1.0 ELSE a.nrm * b.nrm END) >= 0.45""",
+                  / (CASE WHEN a.nrm * b.nrm = 0 THEN 1.0 ELSE a.nrm * b.nrm END) >= 0.95""",
         "E1_sessionize": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
             g AS (SELECT user_id, tus,

@@ -326,3 +326,37 @@ def test_ivf_kmeans_centroids(spark, emb):
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     assert len(e & a) >= int(0.5 * len(e))
+
+
+def test_s2_lsh_equals_bruteforce_on_planted_corpus(spark, emb):
+    """S2's oracle-checked path is LSH; it must equal brute force exactly
+    on the planted-near-dup corpus (cosine ~0.999 pairs, empty band below
+    them, so recall 1 is the expected outcome, not a lucky draw)."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(0.005)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert).cache()
+    n = corpus.count() // 2
+    lsh = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs_lsh(
+            corpus, threshold=0.95
+        ).collect()
+    }
+    brute = {
+        (r["a"], r["b"])
+        for r in similarity.embedding_near_dup_pairs(
+            corpus, threshold=0.95
+        ).collect()
+    }
+    assert lsh == brute
+    # every planted copy found, nothing else
+    assert len(lsh) == n
+    assert all(b == a + 1000000 for a, b in lsh)
+    corpus.unpersist()

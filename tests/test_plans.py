@@ -102,7 +102,13 @@ def test_r2_one_shuffle(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["L3_extended_listing", "W1_rank_per_group", "G1_rollup", "Q4_exists_priority"],
+    [
+        "L3_extended_listing",
+        "W1_rank_per_group",
+        "G1_rollup",
+        "Q4_exists_priority",
+        "S2_embedding_neardup",
+    ],
 )
 def test_no_cartesian_anywhere(spark, name):
     plan = plan_of(spark, name)
