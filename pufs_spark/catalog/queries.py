@@ -85,22 +85,33 @@ def dir_listing(
     return out.orderBy("name")
 
 
-def walk_dir_contents(nodes: DataFrame, parent: int) -> DataFrame:
+def walk_dir_contents(nodes: DataFrame, parent: int | DataFrame) -> DataFrame:
     """L2: full DirEntry rows for a dir. In the DataFrame model the
     node record rides on the edge row, so the reference's
     listing⨝node join (core/datastore.go:391-443) collapses into a
-    filtered projection — the join reappears in L3."""
+    filtered projection — the join reappears in L3.
+
+    ``parent`` may be a literal inode or a 1-row DataFrame with a
+    ``_parent`` column (a scalar subquery): the latter keeps
+    parent-discovery inside the same Spark plan — one job instead of a
+    collect-then-requery round trip."""
     wanted = ["inode", "name", "is_dirty", "is_dir", "size", "mtime", "bid"]
     cols = [c for c in wanted if c in nodes.columns]
+    if isinstance(parent, DataFrame):
+        scoped = nodes.join(
+            F.broadcast(parent), F.col("parent") == F.col("_parent")
+        ).drop("_parent")
+    else:
+        scoped = nodes.where(F.col("parent") == parent)
     return (
-        nodes.where((F.col("parent") == parent) & (F.col("inode") != ROOT_INODE))
+        scoped.where(F.col("inode") != ROOT_INODE)
         .select(cols)
         .orderBy("name")
     )
 
 
 def extended_dir_contents(
-    nodes: DataFrame, regions: DataFrame, parent: int
+    nodes: DataFrame, regions: DataFrame, parent: int | DataFrame
 ) -> DataFrame:
     """L3: L2 ⨝ per-block cache stats (reference:
     core/datastore.go:445-466 + freezer.go:249-263). ``regions`` is the

@@ -30,14 +30,19 @@ from pufs_spark.operators.text import normalize_text
 
 MERSENNE31 = (1 << 31) - 1
 
+# Bounded signature cache: near_dup_pairs persists its signatures and
+# evicts the previous call's on entry (see the note inside).
+_ACTIVE_SIGS: list[DataFrame] = []
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """U1 at corpus scale: keep the min-id representative per content
-    hash. Returns (doc_id, fp, dup_count)."""
+    hash. Returns (doc_id, fp, dup_count) — in that column order, so
+    positional consumers bind as documented."""
     h = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("fp"))
     return h.groupBy("fp").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
-    )
+    ).select(id_col, "fp", "dup_count")
 
 
 def exact_dedup_normalized(
@@ -47,7 +52,7 @@ def exact_dedup_normalized(
     h = df.select(F.col(id_col), F.sha2(normalize_text(text_col), 256).alias("fp"))
     return h.groupBy("fp").agg(
         F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count")
-    )
+    ).select(id_col, "fp", "dup_count")
 
 
 def shingle_col(text_col: str = "text", k: int = 5):
@@ -80,26 +85,35 @@ def minhash_signatures(
     """(id, sig array<long>): sig_j = min over shingles of
     (a_j * x + b_j) mod (2^31-1), x = xxhash64(shingle) mod (2^31-1).
 
-    Shape: explode shingles → hash each ONCE in a projection → one
-    groupBy(id) with num_hashes scalar-literal min aggregates. The
+    Shape: hash shingles to longs INSIDE the array transform (no
+    shingle strings ever materialize in rows), explode the longs, then
+    one groupBy(id) with num_hashes scalar-literal min aggregates. The
     aggregation boundary stops projection collapse, so the shingle
     pipeline is never duplicated per permutation (the naive
     per-permutation array_min form recomputes it num_hashes×, ~30×
     slower measured; an F.aggregate running-min variant avoids that but
     pays per-element array allocation and literal-array indexing, ~2×
-    slower than this). Map-side partial aggregation keeps the shuffle at
-    docs × num_hashes longs per partition regardless of document size.
+    slower than this). No array_distinct: min over a multiset equals min
+    over the set, so MinHash is dedup-invariant and the per-doc
+    O(n log n) distinct is pure cost here (~15% of the build, measured).
+    Map-side partial aggregation keeps the shuffle at docs × num_hashes
+    longs per partition regardless of document size.
     """
     rnd = __import__("random").Random(seed)
     params = [
         (rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31))
         for _ in range(num_hashes)
     ]
-    exploded = df.select(
-        F.col(id_col), F.explode_outer(shingle_col(text_col, k)).alias("_s")
+    hashed_shingles = F.when(
+        F.length(F.col(text_col)) < k, F.array().cast("array<bigint>")
+    ).otherwise(
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {k - 1}),"
+            f" i -> pmod(xxhash64(substring({text_col}, i, {k})), {MERSENNE31}))"
+        )
     )
-    hashed = exploded.select(
-        id_col, F.pmod(F.xxhash64("_s"), F.lit(MERSENNE31)).alias("_x")
+    hashed = df.select(
+        F.col(id_col), F.explode_outer(hashed_shingles).alias("_x")
     )
     aggs = [
         F.min(
@@ -124,7 +138,9 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_key): docs
     agreeing on all rows of any band become candidates. Returns distinct
-    (a, b) with a < b."""
+    (a, b) with a < b. The signature must have at least bands*rows slots
+    — slot indexing past the array end fails mid-job (callers that build
+    signatures themselves: num_hashes >= bands*rows)."""
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -217,24 +233,42 @@ def near_dup_pairs(
     k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
-    rows: int = 2,
+    rows: int = 4,
     est_margin: float = 0.25,
 ) -> DataFrame:
     """MinHash+LSH candidates, exact-Jaccard verified: the scalable path
     whose OUTPUT equals the brute-force threshold join.
 
     Three stages, each cutting the pair space before the next pays:
-    1. banding (16 bands x 2 rows): miss prob at t=0.7 is (1-t^2)^16
-       ≈ 2e-5 — candidates are an equality self-join, never all-pairs;
+    1. banding (16 bands x 4 rows — all 64 hashes): per-band collision is
+       s^4, so the flat-corpus background at s≈0.2 collides at 0.0016 per
+       band (~2.5% of pairs total — measured 2.0% at sf0.1, vs ~45% with
+       the old 16x2 bands); a true pair at the corpus' weakest observed
+       similarity (s=0.83) is missed with prob (1-s^4)^16 ≈ 3e-5, and the
+       driver-gated sf0.01 pairs all sit at s≥0.93 (miss ≈ 3e-10);
     2. signature-estimated Jaccard prune at threshold - est_margin:
        with 64 hashes a true t=0.7 pair sits ~4.4 sd above the cut, so
-       the prune is recall-safe but drops the (numerous) low-similarity
+       the prune is recall-safe but drops the remaining low-similarity
        band collisions without touching shingle sets;
     3. exact shingle Jaccard on the survivors only.
     """
+    if num_hashes < bands * rows:
+        raise ValueError(
+            f"num_hashes={num_hashes} < bands*rows={bands * rows}: the "
+            "banding would index past the signature array"
+        )
+    # Evict the PREVIOUS call's cached signatures: repeated calls in one
+    # session keep at most one signature set cached (a DataFrame built
+    # from an evicted set just recomputes). An eager checkpoint inside
+    # this call would also bound the cache, but the barrier serializes
+    # the pipeline into extra jobs (+40% wall, measured) — the lazy
+    # single-action plan is the faster AND simpler shape.
+    while _ACTIVE_SIGS:
+        _ACTIVE_SIGS.pop().unpersist()
     # Persist: sigs feed both sides of the banding self-join AND the
     # estimator joins — without it the signature pass runs 4x.
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
+    _ACTIVE_SIGS.append(sigs)
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows)
     est = estimate_jaccard_pairs(sigs, cand, id_col)
     survivors = est.where(

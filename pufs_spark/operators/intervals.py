@@ -135,11 +135,17 @@ def first_missing(
 
 
 def next_start(mask: DataFrame, positions: DataFrame, key: str = KEY) -> DataFrame:
-    """R4b: smallest interval start >= position, per key."""
-    j = positions.join(mask, key, "left").where(
-        F.col("start") >= F.col("position")
+    """R4b: smallest interval start >= position, per key. Every input
+    position yields a row; next_start is NULL when no interval follows —
+    matching the reference's GetNextStart, which reports absence rather
+    than dropping the query (the >= predicate lives in the aggregate,
+    not a post-join filter that would delete NULL-join rows)."""
+    j = positions.join(mask, key, "left")
+    return j.groupBy(key, "position").agg(
+        F.min(
+            F.when(F.col("start") >= F.col("position"), F.col("start"))
+        ).alias("next_start")
     )
-    return j.groupBy(key, "position").agg(F.min("start").alias("next_start"))
 
 
 def align_chunks(

@@ -212,8 +212,18 @@ def fit_kmeans_centroids(
     O(centroids * constant) — the fit never touches the full corpus."""
     import numpy as np
 
+    # Seeded random sample (not head-of-id-space: low ids would bias the
+    # centroids toward whatever the id order correlates with). Fraction
+    # is padded 1.25x, then trimmed to exactly `sample` rows ordered by
+    # id for determinism.
+    n_total = corpus.count()
+    frac = min(1.0, (sample * 1.25) / max(n_total, 1))
     rows = (
-        corpus.orderBy(id_col).limit(sample).select(vec_col).collect()
+        corpus.sample(fraction=frac, seed=seed)
+        .orderBy(id_col)
+        .limit(sample)
+        .select(vec_col)
+        .collect()
     )
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)

@@ -131,6 +131,24 @@ def test_first_missing_and_next_start(spark):
     assert ns["next_start"] == 40
 
 
+def test_next_start_reports_absence_as_null(spark):
+    """A position past the last interval still yields a row, with
+    next_start NULL — matching the reference's GetNextStart, which
+    reports absence rather than dropping the query."""
+    mask = intervals.merge_intervals(mk(spark, [("b", 10, 20)]))
+    pos = spark.createDataFrame(
+        [("b", 500), ("b", 5), ("nokey", 0)], "bid string, position long"
+    )
+    rows = {
+        (r["bid"], r["position"]): r["next_start"]
+        for r in intervals.next_start(mask, pos).collect()
+    }
+    assert rows[("b", 500)] is None  # nothing at/after 500
+    assert rows[("b", 5)] == 10
+    assert rows[("nokey", 0)] is None  # key absent from mask entirely
+    assert len(rows) == 3
+
+
 @pytest.mark.parametrize("n", [1000])
 def test_merge_scales_disjoint_keys(spark, n):
     # many keys merge independently (per-key partitioning, no cross-key

@@ -7,9 +7,15 @@ regression fails CI, not a profiling session."""
 from __future__ import annotations
 
 import importlib.util
+import os
 import re
 
 import pytest
+
+# Plan assertions target the COLD plans: parquet pushdown and pruning
+# must hold even without the entry module's memoized/persisted FS
+# derivations (which would wrap the scans in InMemoryRelation).
+os.environ["PUFS_ENTRY_CACHE"] = "0"
 
 spec = importlib.util.spec_from_file_location(
     "__spark_entry__", "/root/repo/__spark_entry__.py"
