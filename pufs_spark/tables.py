@@ -46,13 +46,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(path)
         # Force schema resolution now so PARQUET_TYPE_ILLEGAL surfaces here.
         df.schema
-    except Exception:
+    except Exception as exc:
+        # Only the TIMESTAMP(NANOS) rejection should fall back to the
+        # driver-side arrow loader; any other failure (missing file, corrupt
+        # footer, permissions) must surface rather than silently turning a
+        # distributed scan into a driver collect.
+        msg = str(exc)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "NANOS" not in msg.upper():
+            raise
         df = _load_via_arrow(spark, path)
     for c in _NANOS_TS_COLUMNS.get(name, ()):
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
-            df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / 1000).cast("long"))
-            )
+            # Integer division: `/` on bigint is DOUBLE division and epoch
+            # nanos (~1.8e18) exceed double's 53-bit mantissa, corrupting
+            # ~12% of values by 1 us. `div` truncates exactly, matching
+            # DuckDB's epoch_us.
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 
