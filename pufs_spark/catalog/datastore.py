@@ -113,7 +113,9 @@ class DataStore:
         os.makedirs(self.staging_dir, exist_ok=True)
         self.remote = remote
         self.lister = lister  # prefix listing + ranged reads (L4/S2)
-        self.block_sources: dict[str, str] = {}  # synthetic bid → remote key
+        # synthetic bid → pinned RemoteSource (key + generation/etag);
+        # reads through these validate the pin (remote/gcs.go:302-331)
+        self.block_sources: dict[str, RemoteSource] = {}
         self.clock = clock
         self.pushed: set[str] = set()  # bids known to exist remotely
         self.nodes: dict[int, Node] = {
@@ -267,16 +269,20 @@ class DataStore:
                     f"deferred remote dir {node.name} but no lister configured"
                 )
             src = node.remote_source
-            for name, is_dir, size in self.lister.list_prefix(src.key or ""):
+            for name, is_dir, size, gen, etag in self.lister.list_prefix_attrs(
+                src.key or ""
+            ):
                 child_key = ((src.key or "").rstrip("/") + "/" + name).lstrip("/")
-                child_src = replace(src, key=child_key, size=size)
+                child_src = replace(
+                    src, key=child_key, size=size, generation=gen, etag=etag
+                )
                 bid = None
                 if not is_dir:
                     # synthetic BID over the pinned identity (reference:
                     # core/nodedb.go:557-572)
-                    ident = f"{src.bucket}/{child_key}:{src.generation}"
+                    ident = f"{src.bucket}/{child_key}:{gen}"
                     bid = bid_of_bytes(ident.encode())
-                    self.block_sources[bid] = child_key
+                    self.block_sources[bid] = child_src
                 self._insert(
                     Node(
                         inode=self._alloc_inode(),
@@ -434,6 +440,9 @@ class DataStore:
                 remote_source=source,
             )
         )
+        if not is_dir and node.bid is not None:
+            # register the pinned source so reads validate it (S4/S9)
+            self.block_sources[node.bid] = source
         return node.inode
 
     def rename(self, src_parent: int, src_name: str, dst_parent: int, dst_name: str):
@@ -490,10 +499,24 @@ class DataStore:
     def _fetch_block(self, bid: str) -> bytes:
         if self.freezer.has_block(bid):
             return self.freezer.get_bytes(bid)
-        if bid in self.block_sources and self.lister is not None:
-            # synthetic bid: pull from the listed remote, cache under
-            # the synthetic name (S9 attach + lazy pull)
-            data = self.lister.read_key(self.block_sources[bid])
+        src = self.block_sources.get(bid)
+        if src is not None:
+            # synthetic bid: pull from the attached remote, validating
+            # the pinned generation/etag (reads must fail loudly on a
+            # changed snapshot — remote/gcs.go:302-331, remote/http.go:24),
+            # then cache under the synthetic name (S9 attach + lazy pull).
+            if src.kind == "url" and src.url is not None:
+                from pufs_spark.sources.http import read_url
+
+                data = read_url(src.url, etag=src.etag)
+            elif self.lister is not None:
+                data = self.lister.read_key(
+                    src.key, generation=src.generation, etag=src.etag
+                )
+            else:
+                raise E.CatalogError(
+                    f"block {bid} has a remote source but no lister configured"
+                )
             self.freezer.put_named(bid, data)
             return data
         if self.remote is None:
@@ -756,7 +779,7 @@ class DataStore:
             if node.inode != ROOT_INODE:
                 ds.children.setdefault(node.parent, {})[node.name] = node.inode
             if source is not None and not node.is_dir and node.bid:
-                ds.block_sources[node.bid] = source.key
+                ds.block_sources[node.bid] = source
         ds._next_inode = max(ds.nodes) + 1
         return ds
 

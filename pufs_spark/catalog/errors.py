@@ -36,3 +36,10 @@ class TooManyInodesError(CatalogError):
 
 class NotMountPointError(CatalogError):
     """Mount target must be an empty dir (reference: core/nodedb.go:382-408)."""
+
+
+class StaleReadError(CatalogError):
+    """Pinned remote snapshot changed under us: the stored
+    generation/etag no longer matches the backing object (reference
+    fails such reads via GenerationMatch conditions, remote/gcs.go:302-331,
+    and If-Match, remote/http.go:24)."""

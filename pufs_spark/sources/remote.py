@@ -160,18 +160,50 @@ class LocalFSLister:
     def list_prefix(self, key: str) -> list[tuple[str, bool, int]]:
         """One level under ``key`` → [(name, is_dir, size)], name-sorted
         (the delimiter-'/' listing of S2)."""
+        return [
+            (name, is_dir, size)
+            for name, is_dir, size, _gen, _etag in self.list_prefix_attrs(key)
+        ]
+
+    def list_prefix_attrs(
+        self, key: str
+    ) -> list[tuple[str, bool, int, int | None, str | None]]:
+        """[(name, is_dir, size, generation, etag)] — the pinned listing.
+        Generation here is st_mtime_ns, the local analog of a GCS object
+        generation (reference listing carries it inline,
+        remote/gcs.go:290-295)."""
         base = self._abs(key)
         out = []
         for name in sorted(os.listdir(base)):
             p = os.path.join(base, name)
             if os.path.isdir(p):
-                out.append((name, True, 0))
+                out.append((name, True, 0, None, None))
             else:
-                out.append((name, False, os.path.getsize(p)))
+                st = os.stat(p)
+                out.append((name, False, st.st_size, st.st_mtime_ns, None))
         return out
 
-    def read_key(self, key: str, offset: int = 0, length: int | None = None) -> bytes:
-        with open(self._abs(key), "rb") as f:
+    def read_key(
+        self,
+        key: str,
+        offset: int = 0,
+        length: int | None = None,
+        generation: int | None = None,
+        etag: str | None = None,
+    ) -> bytes:
+        """Ranged read; when ``generation`` is pinned, fail loudly if the
+        backing file changed since listing (reference: GenerationMatch
+        read conditions, remote/gcs.go:302-331)."""
+        path = self._abs(key)
+        if generation is not None:
+            from pufs_spark.catalog.errors import StaleReadError
+
+            now = os.stat(path).st_mtime_ns
+            if now != generation:
+                raise StaleReadError(
+                    f"{key}: generation {now} != pinned {generation}"
+                )
+        with open(path, "rb") as f:
             f.seek(offset)
             return f.read(length) if length is not None else f.read()
 
