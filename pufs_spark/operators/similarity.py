@@ -120,6 +120,7 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
     target_bucket_rows: int = 16,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """ANN: candidates = union over hash tables of same-bucket pairs,
     re-ranked exactly. Equality join on (table, bucket) — no cross
@@ -129,11 +130,12 @@ def lsh_topk(
     (2^planes ≈ N / target_bucket_rows): a fixed plane count that works
     at 10^3 vectors melts at 10^5 — candidate volume is
     N * bucket_size * tables, so bucket size must stay ~constant as N
-    grows."""
+    grows. Pass ``n_rows`` when the corpus size is already known to
+    skip the sizing count() pass."""
     import math
 
     if n_planes is None:
-        n = corpus.count()
+        n = n_rows if n_rows is not None else corpus.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / target_bucket_rows)))
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
@@ -343,16 +345,18 @@ def embedding_near_dup_pairs_lsh(
     n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates from hyperplane-LSH
     bucket collisions (equality self-joins), exact cosine on candidates
     only. Recall at high thresholds is excellent — a pair at cosine c
     collides per table with prob (1-θ/π)^planes, θ=acos(c) — and grows
-    with n_tables; the brute-force half-matrix below is the verifier."""
+    with n_tables; the brute-force half-matrix below is the verifier.
+    Pass ``n_rows`` when known to skip the sizing count() pass."""
     import math
 
     if n_planes is None:
-        n = df.count()
+        n = n_rows if n_rows is not None else df.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / 16)))
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)

@@ -141,6 +141,41 @@ def test_brute_force_topk(spark, emb):
         assert all(-1.0001 <= s <= 1.0001 for s in sims)
 
 
+def test_s1_ann_equals_brute_force(spark):
+    """The headline S1 plan (planted-neighbor corpus + LSH top-k) must
+    equal brute force value-for-value — the structural-recall argument
+    in __spark_entry__.q_s1's docstring, checked end-to-end."""
+    import __spark_entry__ as entrymod
+    from pufs_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    ann = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in entrymod.queries()["S1_cosine_topk"](spark, sf_dir).collect()
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    qs = base.where(F.col("vec_id") % 50 == 0)
+    planted = qs.select(
+        "vec_id",
+        "embedding",
+        F.explode(F.array(*[F.lit(j) for j in range(1, 6)])).alias("j"),
+    ).select(
+        (F.lit(1000000) + F.col("vec_id") * 10 + F.col("j")).alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: x + F.col("j") * F.lit(0.0005)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(planted)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in similarity.brute_force_topk(qs, corpus, k=5).collect()
+    }
+    assert ann == exact and len(ann) > 0
+
+
 def test_lsh_topk_recall(spark, emb):
     q = emb.where(F.col("vec_id") < 20)
     exact = similarity.brute_force_topk(q, emb, k=1)

@@ -114,6 +114,7 @@ def test_r2_one_shuffle(spark):
         "G1_rollup",
         "Q4_exists_priority",
         "S2_embedding_neardup",
+        "S1_cosine_topk",
     ],
 )
 def test_no_cartesian_anywhere(spark, name):
