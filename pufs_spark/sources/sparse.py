@@ -254,6 +254,51 @@ def plan_fetches(
     return chunks.distinct()
 
 
+TRANSFER_LOG_DIR = "transfers"
+
+
+def transfer_events(spark: SparkSession, freezer_root: str) -> DataFrame:
+    """T5/T6 producer surface: the per-fetch telemetry log as a
+    DataFrame (bid, ts, offset, end, bytes, latency_ms) — the input to
+    monitor.transfer_rates / latency_percentiles /
+    stateful_transfer_status (readStream the same directory for the
+    live variant). Reference instruments every remote read the same way
+    (core/freezer.go:241-288)."""
+    path = os.path.join(freezer_root, TRANSFER_LOG_DIR)
+    if not glob.glob(os.path.join(path, "*.parquet")):
+        return spark.createDataFrame(
+            [],
+            "bid string, ts timestamp, offset long, `end` long, "
+            "bytes long, latency_ms double",
+        )
+    df = spark.read.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).select(
+        "bid", "ts", "offset", "end", "bytes", "latency_ms"
+    )
+
+
+def _write_transfer_segment(freezer_root: str, rows: list[tuple]) -> None:
+    """One parquet segment per fetch task (executor-side, no locks) —
+    same multi-file commit discipline as the region log."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(freezer_root, TRANSFER_LOG_DIR)
+    os.makedirs(path, exist_ok=True)
+    cols = list(zip(*rows))
+    table = pa.table(
+        {
+            "bid": pa.array(cols[0], pa.string()),
+            "ts_us": pa.array(cols[1], pa.int64()),
+            "offset": pa.array(cols[2], pa.int64()),
+            "end": pa.array(cols[3], pa.int64()),
+            "bytes": pa.array(cols[4], pa.int64()),
+            "latency_ms": pa.array(cols[5], pa.float64()),
+        }
+    )
+    pq.write_table(table, os.path.join(path, f"{uuid.uuid4().hex}.parquet"))
+
+
 def ensure_cached(
     spark: SparkSession,
     freezer_root: str,
@@ -262,12 +307,17 @@ def ensure_cached(
     chunk_size: int = CHUNK_SIZE,
     readahead: int = 0,
     sizes: DataFrame | None = None,
+    telemetry: bool = True,
 ) -> dict:
     """T1 distributed: materialize every missing chunk of the requested
     (bid, qstart, qend) ranges into the sparse cache. Fetches run
     executor-side (mapPartitions, one remote connection per partition);
     short remote reads self-clamp at end-of-block. Idempotent: re-runs
-    fetch nothing. Returns {'chunks_fetched', 'bytes_fetched'}."""
+    fetch nothing. Each fetch task also appends a telemetry segment
+    (bid, ts, offset, bytes, latency) to <root>/transfers — the
+    producer behind the T5/T6 monitoring queries (see transfer_events;
+    reference: core/freezer.go:241-288). Returns {'chunks_fetched',
+    'bytes_fetched'}."""
     freezer = SparseFreezer(freezer_root)
     # Driver fast-path: a hot read's request set is tiny; if every
     # requested range is already covered, answer without a Spark job
@@ -287,14 +337,32 @@ def ensure_cached(
     plan = plan_fetches(spark, freezer, requests, chunk_size, readahead, sizes)
 
     def fetch(rows):
+        import time as _time
+
         remote = remote_factory()
         fz = SparseFreezer(freezer_root)
         n = b = 0
+        events = []
         for row in rows:
+            t0 = _time.monotonic()
             data = remote.read_block(row["bid"], row["start"], row["end"] - row["start"])
+            lat_ms = (_time.monotonic() - t0) * 1000.0
             fz.commit_chunk(row["bid"], row["start"], row["end"], data)
             n += 1
             b += len(data)
+            if telemetry:
+                events.append(
+                    (
+                        row["bid"],
+                        int(_time.time() * 1_000_000),
+                        row["start"],
+                        row["end"],
+                        len(data),
+                        lat_ms,
+                    )
+                )
+        if events:
+            _write_transfer_segment(freezer_root, events)
         yield (n, b)
 
     stats = plan.rdd.mapPartitions(fetch).collect()

@@ -231,3 +231,39 @@ def test_stream_ensure_cached(spark, tmp_path, remote_with_block):
     q2.awaitTermination(120)
     q2.stop()
     assert _counted(counter) == before  # zero remote bytes re-fetched
+
+
+def test_transfer_telemetry_lands(spark, tmp_path, remote_with_block):
+    """Every fetch task logs (bid, ts, offset, bytes, latency) events;
+    the monitoring queries (T5/T6/A2 shapes) read them directly
+    (reference: per-transfer instrumentation, core/freezer.go:241-288)."""
+    from pufs_spark.streaming import monitor
+
+    remote, data, counter = remote_with_block
+    root = str(tmp_path / "cache")
+    reqs = spark.createDataFrame(
+        [("blk1", 0, 3 * CHUNK), ("blk1", 5 * CHUNK, 7 * CHUNK)],
+        "bid string, qstart long, qend long",
+    )
+    stats = sparse.ensure_cached(
+        spark, root, _factory(remote, counter), reqs, chunk_size=CHUNK
+    )
+    ev = sparse.transfer_events(spark, root)
+    rows = ev.collect()
+    assert len(rows) == stats["chunks_fetched"] > 0
+    assert sum(r["bytes"] for r in rows) == stats["bytes_fetched"]
+    assert all(r["latency_ms"] >= 0 for r in rows)
+    assert all(r["end"] - r["offset"] == CHUNK for r in rows)
+
+    # T6 consumes the log: one rate row for the block
+    rates = monitor.transfer_rates(ev).collect()
+    assert len(rates) == 1 and rates[0]["bid"] == "blk1"
+    # A2 shape consumes the log too
+    pct = monitor.latency_percentiles(ev, value_col="latency_ms", by="bid")
+    assert pct.collect()[0]["n"] == len(rows)
+
+    # warm re-run: no new telemetry (nothing fetched)
+    sparse.ensure_cached(
+        spark, root, _factory(remote, counter), reqs, chunk_size=CHUNK
+    )
+    assert sparse.transfer_events(spark, root).count() == len(rows)
