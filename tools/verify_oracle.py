@@ -101,9 +101,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
+    # Oracles that are infeasible at larger SFs (e.g. D1's quadratic
+    # all-pairs Jaccard verifier in DuckDB): skip via env, e.g.
+    # PUFS_ORACLE_SKIP=D1_minhash_lsh_neardup for the sf0.1 sweep.
+    skip = set(filter(None, os.environ.get("PUFS_ORACLE_SKIP", "").split(",")))
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"skip {name} (PUFS_ORACLE_SKIP)")
             continue
         try:
             sdf = fn(spark, SF_DIR).toPandas()
