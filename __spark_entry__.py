@@ -13,7 +13,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pufs_spark.catalog import queries as catq
@@ -603,6 +603,185 @@ def q_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
             ).alias("revenue")
         )
+    )
+
+
+def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 shape (min-cost supplier): for STANDARD size-15 parts, the
+    EUROPE supplier(s) with the minimum average unit sale price.
+    Adapted: no partsupp table in the driver schema, so supply cost =
+    avg(l_extendedprice / l_quantity) over that supplier's sales of the
+    part. The correlated-min subquery becomes a window min — one
+    shuffle on p_partkey, shared by agg and filter."""
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(
+            F.broadcast(
+                part.where(
+                    (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+                )
+            ),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    cost = j.groupBy("p_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name").agg(
+        F.avg(F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        cost.withColumn("_min_cost", F.min("_cost").over(w))
+        .where(F.col("_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.round("_cost", 4).alias("cost"),
+        )
+    )
+
+
+def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 shape (product-type profit by nation and year) for parts
+    named '%gear%'. Adapted: no partsupp, so cost = 10% of
+    p_retailprice per unit; profit = revenue - cost."""
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        li.join(
+            F.broadcast(part.where(F.col("p_name").like("%gear%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.1) * F.col("l_quantity")
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount.alias("_amt"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum("_amt"), 2).alias("sum_profit"))
+    )
+
+
+def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16 shape (supplier counts per brand/type/size): distinct
+    suppliers that sold each qualifying part group, excluding
+    negative-balance suppliers (the 'customer complaints' anti-join
+    stand-in; no partsupp/s_comment in the driver schema)."""
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    bad = supp.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35, 42, 50)
+    )
+    return (
+        li.join(F.broadcast(parts), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 shape (excess-quantity suppliers): NATION_7 suppliers whose
+    1997 shipped quantity of 'small%' parts exceeds 50 — the nested
+    part/qty subquery feeding a semi-join on supplier. Adapted: no
+    partsupp availqty, so the threshold is absolute."""
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    li = load_table(spark, sf_dir, "lineitem")
+    qual = (
+        li.where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(
+            F.broadcast(part.where(F.col("p_name").like("small%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .where(F.col("_qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(qual, supp.s_suppkey == qual.l_suppkey, "left_semi")
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+    )
+
+
+def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 shape (waiting suppliers): per NATION_3 supplier, the number
+    of finished multi-supplier orders where that supplier was the ONLY
+    late one. Adapted: no commit/receipt dates in the driver schema, so
+    'late' = shipped more than 90 days after the order date. The
+    exists / not-exists correlated subqueries become one per-order
+    aggregate (supplier count + late-supplier count) joined back —
+    two shuffles on l_orderkey instead of two correlated probes."""
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(
+        orders.where(F.col("o_orderstatus") == "F"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("_late"),
+    )
+    per_supp = lines.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("_late").cast("int")).alias("_supp_late")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("_n_supps"),
+        F.sum("_supp_late").alias("_n_late"),
+    )
+    waiting = (
+        per_supp.where(F.col("_supp_late") == 1)
+        .join(per_order, "l_orderkey")
+        .where((F.col("_n_supps") > 1) & (F.col("_n_late") == 1))
+    )
+    return (
+        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+            "left_semi",
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
     )
 
 
@@ -1248,21 +1427,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "G2_cube": q_g2,
         "J1_json_extract": q_j1,
         "Q1_pricing_summary": q_q1,
+        "Q2_min_cost_supplier": q_q2,
         "Q3_shipping_priority": q_q3,
         "Q4_exists_priority": q_q4,
         "Q5_local_supplier": q_q5,
         "Q6_forecast_revenue": q_q6,
         "Q7_nation_volume": q_q7,
         "Q8_market_share": q_q8,
+        "Q9_product_profit": q_q9,
         "Q10_returned_items": q_q10,
         "Q12_priority_classes": q_q12,
         "Q11_supplier_concentration": q_q11,
         "Q13_order_distribution": q_q13,
         "Q14_promo_revenue": q_q14,
         "Q15_top_supplier": q_q15,
+        "Q16_supplier_part_count": q_q16,
         "Q17_small_qty_revenue": q_q17,
         "Q18_large_orders": q_q18,
         "Q19_brand_size_revenue": q_q19,
+        "Q20_excess_quantity": q_q20,
+        "Q21_waiting_supplier": q_q21,
         "Q22_dormant_customers": q_q22,
         # rows-only (no oracle entry):
         "X1_lsh_topk": q_x_lsh_topk,
@@ -1677,6 +1861,79 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus""",
+        "Q2_min_cost_supplier": """
+            WITH cost AS (
+              SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+                     avg(l_extendedprice / l_quantity) AS _cost
+              FROM lineitem
+              JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+              GROUP BY p_partkey, s_suppkey, s_name, s_acctbal, n_name)
+            SELECT s_acctbal, s_name, n_name, p_partkey,
+                   round(_cost, 4) AS cost
+            FROM (SELECT *, min(_cost) OVER (PARTITION BY p_partkey) AS _mc
+                  FROM cost)
+            WHERE _cost = _mc""",
+        "Q9_product_profit": """
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY n_name, year(o_orderdate)""",
+        "Q16_supplier_part_count": """
+            SELECT p_brand, p_type, p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#1'
+              AND p_type NOT LIKE 'PROMO%'
+              AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35, 42, 50)
+              AND l_suppkey NOT IN (
+                    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size""",
+        "Q20_excess_quantity": """
+            SELECT s_name, s_acctbal
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7'
+              AND s_suppkey IN (
+                SELECT l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE p_name LIKE 'small%'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate < TIMESTAMP '1998-01-01'
+                GROUP BY l_suppkey
+                HAVING sum(l_quantity) > 50)""",
+        "Q21_waiting_supplier": """
+            WITH lines AS (
+              SELECT l_orderkey, l_suppkey,
+                     CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                          THEN 1 ELSE 0 END AS _late
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'),
+            per_supp AS (
+              SELECT l_orderkey, l_suppkey, max(_late) AS _supp_late
+              FROM lines GROUP BY l_orderkey, l_suppkey),
+            per_order AS (
+              SELECT l_orderkey, count(*) AS _n_supps,
+                     CAST(sum(_supp_late) AS BIGINT) AS _n_late
+              FROM per_supp GROUP BY l_orderkey)
+            SELECT s_name, count(*) AS numwait
+            FROM per_supp
+            JOIN per_order USING (l_orderkey)
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE _supp_late = 1 AND _n_supps > 1 AND _n_late = 1
+              AND n_name = 'NATION_3'
+            GROUP BY s_name""",
         "Q3_shipping_priority": """
             SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
             FROM lineitem
