@@ -208,17 +208,13 @@ class LocalFSLister:
             return f.read(length) if length is not None else f.read()
 
 
-def gcs_remote(bucket: str, prefix: str):  # pragma: no cover - not in container
-    """GCS connector, gated: google-cloud-storage is not installed here.
-    On a cluster, prefer the Hadoop GCS connector via spark.read and keep
-    this only for root/lease bookkeeping."""
-    try:
-        from google.cloud import storage  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "google-cloud-storage not available in this environment"
-        ) from e
-    raise NotImplementedError("wire GCSRemote(bucket, prefix) here")
+def gcs_remote(bucket: str, prefix: str = ""):
+    """GCS RemoteStore (import-gated; see sources/gcs.py for the full
+    connector: delimiter listing with inline generations, pinned ranged
+    reads, atomic if-absent CAS puts)."""
+    from pufs_spark.sources.gcs import GCSRemote
+
+    return GCSRemote(bucket, prefix)
 
 
 DEFAULT_LEASE_SECONDS = 48 * 3600  # reference: core/datastore.go:48

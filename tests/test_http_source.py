@@ -202,3 +202,17 @@ def test_sparse_fetch_over_http(spark, tmp_path):
         assert tail == payload[-100:]
     finally:
         srv.shutdown()
+
+
+# -- GCS connector gating ------------------------------------------------
+
+
+def test_gcs_connector_gated():
+    """The GCS connector imports cleanly and fails loudly (not silently)
+    without google-cloud-storage in the environment."""
+    from pufs_spark.sources import gcs
+
+    with pytest.raises(NotImplementedError, match="google-cloud-storage"):
+        gcs.GCSLister("bucket", "prefix")
+    with pytest.raises(NotImplementedError, match="google-cloud-storage"):
+        gcs.GCSRemote("bucket")
