@@ -1448,11 +1448,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "Q20_excess_quantity": q_q20,
         "Q21_waiting_supplier": q_q21,
         "Q22_dormant_customers": q_q22,
-        # rows-only (no oracle entry):
+        # oracle-verified via recursive-CTE reachability closure:
+        "X4_neardup_groups": q_x_neardup_groups,
+        # rows-only (no oracle entry — approximate or engine-internal):
         "X1_lsh_topk": q_x_lsh_topk,
         "X2_simhash_neardup": q_x_simhash,
         "X3_minhash_signatures": q_x_minhash,
-        "X4_neardup_groups": q_x_neardup_groups,
         "X5_ivf_topk": q_x_ivf,
         "X6_approx_percentiles": q_x_approx_pct,
         "X7_reservoir_sample": q_x_reservoir,
@@ -1741,6 +1742,21 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""",
+        "X4_neardup_groups": f"""
+            WITH RECURSIVE d AS (SELECT doc_id, {shingles} AS sh FROM documents),
+            p AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM d a JOIN d b ON a.doc_id < b.doc_id
+              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+            e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+            reach(x, y) AS (
+              SELECT x, y FROM e
+              UNION
+              SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x)
+            SELECT x AS doc_id,
+                   CAST(least(x, min(y)) AS BIGINT) AS group_id
+            FROM reach GROUP BY x""",
         "D2_ngram_jaccard": f"""
             WITH d AS (SELECT doc_id, {shingles} AS sh FROM documents WHERE doc_id < 100)
             SELECT a.doc_id AS a, b.doc_id AS b,

@@ -20,6 +20,19 @@ open CAS blocks directly, so a scan of a 10⁶-file tree fans out without
 the driver touching a single data byte. Metadata-only scans skip CAS reads
 entirely via ``.option("content", "false")`` (the Python DS API does
 not yet push column pruning into the reader).
+
+Service surface (S12) mapping — the reference exposes a gRPC API
+(api/api.proto:4-28, served from pufs/cmd/mount.go:114-141); here each
+RPC maps onto an engine entry point reachable from ANY Spark client,
+including remote ones via Spark Connect (`sc://host` — the thin-
+endpoint story: run one Connect server beside the CAS, every RPC below
+becomes a DataFrame call over the wire, no bespoke service code):
+
+    GetDirContents   → catalog.queries.dir_listing / listing_extended
+    GetAttr          → catalog.queries getattr projection (P3)
+    Freeze           → plans.merkle.freeze_nodes_df (F1)
+    Push             → plans.merkle.unpushed + push_blocks (F2/F3)
+    Mount/Unmount    → DataStore.mount_label / unmount (F4/F5)
 """
 
 from __future__ import annotations
