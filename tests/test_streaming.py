@@ -128,3 +128,51 @@ def test_latency_percentiles_ordered(spark):
     for r in monitor.latency_percentiles(ev).collect():
         assert r["p50"] <= r["p90"] <= r["p99"]
         assert r["n"] > 0
+
+
+def test_stateful_tracker_over_real_telemetry(spark, tmp_path):
+    """End-to-end monitoring loop: ensure_cached's REAL telemetry
+    segments (sources/sparse) drive the stateful streaming tracker —
+    the producer and the T5 consumer wired together."""
+    import os
+
+    from pufs_spark.sources import sparse
+    from pufs_spark.sources.remote import MemRemote
+
+    remote = MemRemote()
+    remote.blocks["blkA"] = bytes(500_000)
+    remote.blocks["blkB"] = bytes(300_000)
+    root = str(tmp_path / "cache")
+    reqs = spark.createDataFrame(
+        [("blkA", 0, 400_000), ("blkB", 0, 250_000)],
+        "bid string, qstart long, qend long",
+    )
+    stats = sparse.ensure_cached(
+        spark, root, lambda: remote, reqs, chunk_size=65536
+    )
+    assert stats["chunks_fetched"] > 0
+
+    tdir = os.path.join(root, sparse.TRANSFER_LOG_DIR)
+    stream = (
+        spark.readStream.schema(
+            "bid string, ts_us long, offset long, `end` long, "
+            "bytes long, latency_ms double"
+        )
+        .parquet(tdir)
+        .select(
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "bid",
+            F.col("offset").cast("double").alias("offset"),
+        )
+    )
+    sdf = monitor.stateful_transfer_status(stream)
+    q = _run_to_end(sdf, "tstate")
+    rows = spark.sql("SELECT * FROM tstate").collect()
+    q.stop()
+    by_bid = {r["bid"]: r for r in rows}
+    assert set(by_bid) == {"blkA", "blkB"}
+    # every chunk of blkA was logged: max offset = last chunk start
+    assert by_bid["blkA"]["max_offset"] >= 327680.0
+    assert by_bid["blkA"]["n_events"] + by_bid["blkB"]["n_events"] == stats[
+        "chunks_fetched"
+    ]
