@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Render ORACLE_SELFCHECK.md from saved verify_oracle sweep outputs.
+
+Usage: python tools/selfcheck_report.py sf0.01:/tmp/oracle_sf001.txt \
+                                        sf0.1:/tmp/oracle_sf01.txt
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from datetime import date
+
+STATUS_ORDER = {"ok": 0, "rows-only": 1, "skip": 2, "FAIL": 3}
+
+
+def parse(path: str) -> dict[str, tuple[str, str]]:
+    out: dict[str, tuple[str, str]] = {}
+    for line in open(path, errors="replace"):
+        for m in re.finditer(
+            r"(ok|rows-only|skip|FAIL)\s+(\w+)(?::\s*([^\r\n]*))?", line
+        ):
+            out[m.group(2)] = (m.group(1), (m.group(3) or "").strip())
+    return out
+
+
+def main() -> None:
+    sweeps = []
+    for arg in sys.argv[1:]:
+        label, path = arg.split(":", 1)
+        sweeps.append((label, parse(path)))
+    names = sorted({n for _, d in sweeps for n in d})
+
+    lines = [
+        "# ORACLE_SELFCHECK — full queries() vs oracle_sql() sweep",
+        "",
+        f"Generated {date.today()} by tools/selfcheck_report.py over "
+        "tools/verify_oracle.py runs (plain SparkSession, same harness "
+        "shape as the driver gate; row count + column names + "
+        "order-insensitive value compare at 1e-9).",
+        "",
+        "Context: the driver's CORRECTNESS gate records 50 rows per "
+        "round; the registry has grown past that, so every entry is "
+        "self-verified here at BOTH sf0.01 (the gate's SF) and sf0.1.",
+        "",
+        "- `ok` — Spark result matches the DuckDB oracle.",
+        "- `rows-only` — no oracle by design (approximate or "
+        "engine-internal representation); executed and row-counted.",
+        "- `skip` — oracle infeasible at that SF (quadratic DuckDB "
+        "verifier); the Spark side still runs at every SF (bench).",
+        "",
+        "| query | " + " | ".join(lbl for lbl, _ in sweeps) + " |",
+        "|---|" + "---|" * len(sweeps),
+    ]
+    counts = {lbl: {"ok": 0, "rows-only": 0, "skip": 0, "FAIL": 0} for lbl, _ in sweeps}
+    for n in names:
+        row = [n]
+        for lbl, d in sweeps:
+            st, detail = d.get(n, ("—", ""))
+            if st in counts[lbl]:
+                counts[lbl][st] += 1
+            row.append(f"{st} ({detail})" if detail else st)
+        lines.append("| " + " | ".join(row) + " |")
+    lines.append("")
+    for lbl, _ in sweeps:
+        c = counts[lbl]
+        lines.append(
+            f"**{lbl}**: {c['ok']} ok, {c['rows-only']} rows-only, "
+            f"{c['skip']} skipped, {c['FAIL']} FAIL."
+        )
+    print("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()
