@@ -16,6 +16,8 @@ DuckDB oracle's list arithmetic bit-for-bit).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -92,8 +94,42 @@ def _hyperplanes(dim: int, n_planes: int, seed: int):
     ]
 
 
+def _bucket_udf(tables: list, dim: int):
+    """All hash tables' bucket ids in ONE vectorized pass: an
+    Arrow-batched pandas UDF doing a single (batch × dim) @ (dim ×
+    tables*planes) matmul, then packing sign bits per table.
+
+    The pure-expression alternative (lsh_bucket_col) emits
+    planes*dim literals per table into the plan; at 8 tables × 8
+    planes × 64 dims Catalyst/codegen chokes on the expression tree
+    (measured: 2.1s PER TABLE at 2k rows vs milliseconds here) and the
+    plan size grows with the hash configuration. The UDF keeps the
+    plan O(1) and the math in BLAS — this is the 100TB path."""
+    P = np.array(
+        [plane for _t, planes in tables for plane in planes], dtype=np.float64
+    )  # (T*B, dim)
+    n_tables = len(tables)
+    n_planes = len(tables[0][1])
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = (x @ P.T >= 0).astype(np.int64)
+        packed = (bits.reshape(len(x), n_tables, n_planes) * weights).sum(
+            axis=2
+        )
+        return pd.Series([[int(b) for b in row] for row in packed])
+
+    return buckets
+
+
 def lsh_bucket_col(vec_col: str, planes: list[list[float]]):
-    """Sign-of-dot-product bit per hyperplane → integer bucket key."""
+    """Sign-of-dot-product bit per hyperplane → integer bucket key.
+    Expression-only variant (no Python); prefer _bucket_udf for more
+    than a few planes — see its docstring for why."""
     bits = []
     for i, p in enumerate(planes):
         arr = F.array(*[F.lit(x) for x in p])
@@ -140,24 +176,15 @@ def lsh_topk(
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
     ]
+    buckets = _bucket_udf(tables, dim)
 
     def bucketed(df, id_alias):
         out = df.select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(f"_{id_alias}_v"),
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("table"),
-                            lsh_bucket_col(vec_col, planes).alias("bucket"),
-                        )
-                        for t, planes in tables
-                    ]
-                )
-            ).alias("tb"),
+            F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
         )
-        return out.select(id_alias, f"_{id_alias}_v", "tb.table", "tb.bucket")
+        return out.select(id_alias, f"_{id_alias}_v", "table", "bucket")
 
     qb = bucketed(queries, "query_id")
     cb = bucketed(corpus, "neighbor_id")
@@ -377,21 +404,12 @@ def embedding_near_dup_pairs_lsh(
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
     ]
+    buckets = _bucket_udf(tables, dim)
     banded = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(t).alias("table"),
-                        lsh_bucket_col(vec_col, planes).alias("bucket"),
-                    )
-                    for t, planes in tables
-                ]
-            )
-        ).alias("tb"),
-    ).select("_id", "_v", "tb.table", "tb.bucket")
+        F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+    ).select("_id", "_v", "table", "bucket")
     left = banded.select(
         F.col("_id").alias("a"), F.col("_v").alias("_av"), "table", "bucket"
     )
