@@ -1305,11 +1305,14 @@ def q_x_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_x_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing (rolling-hash) document fingerprints — rows-only (the
-    hash is engine-internal xxhash64; the winnowing guarantees are
-    property-tested in tests/test_pipeline_ops.py)."""
+    """Winnowing (MOSS) document fingerprints, oracle-verified: the
+    poly31 hasher makes every k-gram hash reproducible in ANSI SQL, so
+    the full pipeline (k-gram hash → window min → distinct) is checked
+    value-for-value; winnowing guarantees are additionally
+    property-tested in tests/test_pipeline_ops.py. The engine default
+    hasher stays xxhash64 (JVM-fastest)."""
     docs = load_table(spark, sf_dir, "documents")
-    return text.winnow_fingerprints(docs)
+    return text.winnow_fingerprints(docs, hasher="poly31")
 
 
 def q_x_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,6 +1745,36 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""",
+        "X8_winnow_fingerprints": """
+            WITH g AS (
+              SELECT doc_id,
+                     CASE WHEN length(text) = 0 THEN []::VARCHAR[]
+                          WHEN length(text) < 8 THEN [text]
+                          ELSE [substring(text, i, 8)
+                                for i in range(1, length(text) - 6)]
+                     END AS gs
+              FROM documents),
+            h AS (
+              SELECT doc_id, list_transform(gs, s ->
+                       ascii(substring(s, 1, 1))::BIGINT * 27512614111
+                     + ascii(substring(s, 2, 1))::BIGINT * 887503681
+                     + ascii(substring(s, 3, 1))::BIGINT * 28629151
+                     + ascii(substring(s, 4, 1))::BIGINT * 923521
+                     + ascii(substring(s, 5, 1))::BIGINT * 29791
+                     + ascii(substring(s, 6, 1))::BIGINT * 961
+                     + ascii(substring(s, 7, 1))::BIGINT * 31
+                     + ascii(substring(s, 8, 1))::BIGINT) AS hs
+              FROM g),
+            m AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) < 4 THEN
+                            CASE WHEN len(hs) > 0 THEN [list_min(hs)]
+                                 ELSE []::BIGINT[] END
+                          ELSE [list_min(hs[j:j+3])
+                                for j in range(1, len(hs) - 2)]
+                     END AS ms
+              FROM h)
+            SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM m""",
         "X4_neardup_groups": f"""
             WITH RECURSIVE d AS (SELECT doc_id, {shingles} AS sh FROM documents),
             p AS (

@@ -123,12 +123,29 @@ def normalize_text(text_col: str = "text"):
     return F.trim(c)
 
 
+def _poly31_hash(g, k: int):
+    """Base-31 polynomial over the first k char codes — chosen because
+    the identical arithmetic is expressible in ANSI SQL
+    (ascii(substring(...))*31^j sums), so an external engine can
+    reproduce fingerprints bit-for-bit. Fits int64 for k<=12 (no mod
+    needed); missing positions (short grams) contribute ascii('')=0 in
+    both Spark and DuckDB."""
+    out = None
+    for j in range(1, k + 1):
+        term = F.ascii(g.substr(F.lit(j), F.lit(1))).cast("bigint") * F.lit(
+            31 ** (k - j)
+        ).cast("bigint")
+        out = term if out is None else out + term
+    return out
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 8,
     window: int = 4,
+    hasher: str = "xxhash64",
 ) -> DataFrame:
     """Document fingerprinting by winnowing (Schleimer/Wilkerson/Aiken,
     SIGMOD'03 — the MOSS algorithm): hash every k-gram (the rolling
@@ -137,6 +154,10 @@ def winnow_fingerprints(
     >= k+window-1 share a fingerprint, so local edits only perturb
     nearby fingerprints. Everything is array expressions on the JVM —
     hashes, sliding windows (slice), mins — one narrow pass, no Python.
+
+    ``hasher``: 'xxhash64' (JVM-internal, fastest — default) or
+    'poly31' (cross-engine-reproducible; see _poly31_hash) — the
+    winnowing guarantees hold for any deterministic hash.
 
     Returns (id, fp) exploded — one row per distinct fingerprint."""
     n = F.length(F.col(text_col))
@@ -150,7 +171,10 @@ def winnow_fingerprints(
             )
         )
     )
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    if hasher == "poly31":
+        hashes = F.transform(grams, lambda g: _poly31_hash(g, k))
+    else:
+        hashes = F.transform(grams, lambda g: F.xxhash64(g))
     n_h = F.size(hashes)
     mins = F.when(
         n_h < window,
