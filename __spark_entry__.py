@@ -1368,6 +1368,67 @@ def q_x_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.near_dup_groups(pairs)
 
 
+def _commitlog_fixture(sf_dir: str) -> str:
+    """Deterministic multi-writer commit-log fixture: one commit per
+    nation (nationkey order, fake clock), each creating ``/n_<key>``
+    plus ``key % 3`` immutable files. Every field of every commit
+    record (version, base, writer, ts, ops, touched, node count) is
+    then PREDICTABLE from the nation table alone — which is exactly
+    what the H1 oracle recomputes in SQL. Idempotent per sf_dir."""
+    import tempfile
+    import shutil
+    import pyarrow.parquet as pq
+
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.catalog.datastore import ROOT_INODE
+
+    root = os.path.join(
+        tempfile.gettempdir(),
+        "pufs_entry_fixtures",
+        f"commitlog_{os.path.basename(os.path.abspath(sf_dir))}",
+    )
+    keys = sorted(
+        pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"]
+        )["n_nationkey"].to_pylist()
+    )
+    done_marker = os.path.join(
+        root, CL.CommitLog.DIRNAME, f"{len(keys) - 1:012d}.json"
+    )
+    if os.path.exists(done_marker):
+        return root
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    store, log = CL.open_log(root, clock=lambda: 0.0)
+    for key in keys:
+        d = store.mkdir(ROOT_INODE, f"n_{key}")
+        for j in range(key % 3):
+            store.add_immutable_bytes(d, f"f{j}", bytes([j % 251]))
+        log.commit(store, writer=f"w_{key}")
+    return root
+
+
+def q_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H1: multi-writer commit-log history (catalog/commitlog.py) —
+    the committed records read back as a DataFrame. The oracle predicts
+    every field independently from the nation table (version sequence,
+    per-commit op count and touched-path footprint, cumulative catalog
+    node count), so this checks the commit protocol end to end."""
+    root = _commitlog_fixture(sf_dir)
+    from pufs_spark.catalog import commitlog as CL
+
+    df = spark.read.json(os.path.join(root, CL.CommitLog.DIRNAME, "*.json"))
+    return df.select(
+        F.col("version").cast("bigint").alias("version"),
+        F.col("base_version").cast("bigint").alias("base_version"),
+        "writer",
+        F.col("ts").cast("double").alias("ts"),
+        F.col("ops").cast("bigint").alias("ops"),
+        F.col("nodes").cast("bigint").alias("nodes"),
+        F.array_join("touched", ",").alias("touched_csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Driver API
 # ---------------------------------------------------------------------------
@@ -1463,6 +1524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X8_winnow_fingerprints": q_x_winnow,
         "X9_clean_corpus": q_x_clean_corpus,
         "X10_embedding_neardup_lsh": q_x_emb_neardup_lsh,
+        "H1_commit_history": q_h1,
     }
 
 
@@ -1775,6 +1837,23 @@ def oracle_sql() -> dict[str, str]:
                      END AS ms
               FROM h)
             SELECT doc_id, unnest(list_distinct(ms)) AS fp FROM m""",
+        "H1_commit_history": """
+            WITH n AS (
+              SELECT n_nationkey AS key,
+                     n_nationkey % 3 AS files,
+                     row_number() OVER (ORDER BY n_nationkey) AS rk
+              FROM nation)
+            SELECT (rk - 1)::BIGINT AS version,
+                   (rk - 2)::BIGINT AS base_version,
+                   'w_' || key AS writer,
+                   0.0::DOUBLE AS ts,
+                   (1 + files)::BIGINT AS ops,
+                   (1 + SUM(1 + files) OVER (ORDER BY key
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS nodes,
+                   array_to_string(list_prepend('/n_' || key,
+                     ['/n_' || key || '/f' || j
+                      for j in range(files)]), ',') AS touched_csv
+            FROM n""",
         "X4_neardup_groups": f"""
             WITH RECURSIVE d AS (SELECT doc_id, {shingles} AS sh FROM documents),
             p AS (

@@ -130,6 +130,19 @@ class DataStore:
         }
         self.children: dict[int, dict[str, int]] = {ROOT_INODE: {}}
         self._next_inode = ROOT_INODE + 1
+        # Path-addressed journal of namespace mutations since the last
+        # commit/load — the replay log that lets catalog/commitlog.py
+        # rebase this writer's changes onto a newer committed snapshot
+        # (Delta-style optimistic concurrency; SURVEY §7.5: the
+        # reference keeps its single Bolt tx short and revalidates
+        # after I/O, core/datastore.go:666-735 — at multi-writer scale
+        # the analog is journal + rebase).
+        self._journal: list[tuple] = []
+        # Off by default: plain single-writer stores shouldn't pay the
+        # memory of a replay log (write() payloads are held by value).
+        # catalog/commitlog.open_log flips it on.
+        self.journaling: bool = False
+        self.base_version: int = -1  # last committed log version loaded
 
     # ------------------------------------------------------------------
     # P-series: lookups (reference: core/nodedb.go:78-102,487-510)
@@ -305,6 +318,62 @@ class DataStore:
     # core/datastore.go:741-979)
     # ------------------------------------------------------------------
 
+    def path_of(self, inode: int) -> str:
+        """Absolute catalog path of a node ('/' for the root). Inode
+        numbers are writer-local (each writer allocates its own); paths
+        are the stable cross-writer addresses the journal records."""
+        parts: list[str] = []
+        while inode != ROOT_INODE:
+            node = self.nodes[inode]
+            parts.append(node.name)
+            inode = node.parent
+        return "/" + "/".join(reversed(parts))
+
+    def _log_op(self, *op) -> None:
+        if self.journaling:
+            self._journal.append(op)
+
+    def clear_journal(self) -> None:
+        self._journal = []
+
+    def replay_ops(self, ops: list[tuple]) -> None:
+        """Re-apply a journal (recorded on another snapshot) onto this
+        store, resolving paths afresh. Used by commitlog rebase; each
+        replayed op re-journals itself via the public mutators, so a
+        rebased store can retry its commit with an equivalent journal."""
+        for op in ops:
+            kind = op[0]
+            if kind == "mkdir":
+                self.mkdir(self.resolve_path(op[1]), op[2])
+            elif kind == "create":
+                self.create_writable(self.resolve_path(op[1]), op[2])
+            elif kind == "write":
+                self.write(self.resolve_path(op[1]), op[2], op[3])
+            elif kind == "truncate":
+                self.truncate(self.resolve_path(op[1]), op[2])
+            elif kind == "add_bytes":
+                self.add_immutable_bytes(
+                    self.resolve_path(op[1]), op[2], op[3]
+                )
+            elif kind == "link_remote":
+                self.link_remote(
+                    self.resolve_path(op[1]), op[2],
+                    RemoteSource(**op[3]), is_dir=op[4],
+                )
+            elif kind == "rename":
+                self.rename(
+                    self.resolve_path(op[1]), op[2],
+                    self.resolve_path(op[3]), op[4],
+                )
+            elif kind == "remove":
+                self.remove(self.resolve_path(op[1]), op[2])
+            elif kind == "mount_bid":
+                self.mount_bid(self.resolve_path(op[1]), op[2], op[3])
+            elif kind == "unmount":
+                self.unmount(self.resolve_path(op[1]), op[2])
+            else:  # pragma: no cover - journal writer and reader agree
+                raise E.CatalogError(f"unknown journal op {kind!r}")
+
     def _alloc_inode(self) -> int:
         """M9 (sequential instead of the reference's circular probe)."""
         if self._next_inode > MAX_INODES:
@@ -359,6 +428,7 @@ class DataStore:
                 mtime=self.clock(),
             )
         )
+        self._log_op("mkdir", self.path_of(parent), name)
         return node.inode
 
     def create_writable(self, parent: int, name: str) -> int:
@@ -377,6 +447,7 @@ class DataStore:
                 local_path=path,
             )
         )
+        self._log_op("create", self.path_of(parent), name)
         return node.inode
 
     def write(self, inode: int, data: bytes, offset: int = 0) -> None:
@@ -388,6 +459,7 @@ class DataStore:
             f.seek(offset)
             f.write(data)
         self._mark_dirty_to_root(node.parent)
+        self._log_op("write", self.path_of(inode), data, offset)
 
     def truncate(self, inode: int, size: int) -> None:
         node = self.nodes[inode]
@@ -395,6 +467,7 @@ class DataStore:
             raise E.IsDirError("not a writable file")
         os.truncate(node.local_path, size)
         self._mark_dirty_to_root(node.parent)
+        self._log_op("truncate", self.path_of(inode), size)
 
     def add_immutable_bytes(self, parent: int, name: str, data: bytes) -> int:
         """M3: bytes → CAS → frozen node (reference:
@@ -413,6 +486,7 @@ class DataStore:
                 bid=bid,
             )
         )
+        self._log_op("add_bytes", self.path_of(parent), name, data)
         return node.inode
 
     def link_remote(
@@ -443,6 +517,9 @@ class DataStore:
         if not is_dir and node.bid is not None:
             # register the pinned source so reads validate it (S4/S9)
             self.block_sources[node.bid] = source
+        self._log_op(
+            "link_remote", self.path_of(parent), name, vars(source), is_dir
+        )
         return node.inode
 
     def rename(self, src_parent: int, src_name: str, dst_parent: int, dst_name: str):
@@ -466,6 +543,11 @@ class DataStore:
         )
         self._mark_dirty_to_root(src_parent)
         self._mark_dirty_to_root(dst_parent)
+        self._log_op(
+            "rename",
+            self.path_of(src_parent), src_name,
+            self.path_of(dst_parent), dst_name,
+        )
 
     def _remove_subtree_entry(self, parent: int, name: str, inode: int) -> None:
         del self.children[parent][name]
@@ -490,6 +572,7 @@ class DataStore:
             os.unlink(node.local_path)
         self._remove_subtree_entry(parent, name, inode)
         self._mark_dirty_to_root(parent)
+        self._log_op("remove", self.path_of(parent), name)
 
     # ------------------------------------------------------------------
     # Data plane: reads through the CAS (S7/S9 + full-block fetch; the
@@ -651,6 +734,7 @@ class DataStore:
             self.nodes[existing] = replace(
                 node, bid=bid, deferred=True, is_dirty=False
             )
+            self._log_op("mount_bid", self.path_of(parent), name, bid)
             return existing
         node = self._insert(
             Node(
@@ -665,12 +749,14 @@ class DataStore:
             ),
             mark_dirty=False,
         )
+        self._log_op("mount_bid", self.path_of(parent), name, bid)
         return node.inode
 
     def unmount(self, parent: int, name: str) -> None:
         """F5: drop the mounted subtree (children may be unexpanded)."""
         inode = self.get_node_id(parent, name)
         self._remove_recursive(parent, name, inode)
+        self._log_op("unmount", self.path_of(parent), name)
 
     def prefetch_subtree(self, inode: int = ROOT_INODE) -> int:
         """Materialize every file block under ``inode`` into the local
@@ -696,10 +782,11 @@ class DataStore:
 
     _CATALOG_FILE = "catalog.parquet"
 
-    def save(self) -> str:
-        """Persist every node field to <root_dir>/catalog.parquet so a
-        new DataStore over the same root resumes exactly (freezer blocks
-        and region logs already live on disk)."""
+    def save(self, path: str | None = None) -> str:
+        """Persist every node field to ``path`` (default
+        <root_dir>/catalog.parquet) so a new DataStore over the same
+        root resumes exactly (freezer blocks and region logs already
+        live on disk)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -731,20 +818,24 @@ class DataStore:
                 "src_size": pa.array([src(n, "size") for n in ns], pa.int64()),
             }
         )
-        out = os.path.join(self.root_dir, self._CATALOG_FILE)
+        out = path or os.path.join(self.root_dir, self._CATALOG_FILE)
         pq.write_table(table, out)
         return out
 
     @classmethod
     def load(
         cls, root_dir: str, remote: RemoteStore | None = None,
-        clock=time.time, lister=None,
+        clock=time.time, lister=None, catalog_file: str | None = None,
     ) -> "DataStore":
-        """Reopen a persisted catalog (save() must have run)."""
+        """Reopen a persisted catalog (save() must have run).
+        ``catalog_file`` overrides the default snapshot location (used
+        by commitlog to load a specific committed version)."""
         import pyarrow.parquet as pq
 
         ds = cls(root_dir, remote=remote, clock=clock, lister=lister)
-        t = pq.read_table(os.path.join(root_dir, cls._CATALOG_FILE))
+        t = pq.read_table(
+            catalog_file or os.path.join(root_dir, cls._CATALOG_FILE)
+        )
         cols = {c: t[c].to_pylist() for c in t.column_names}
         ds.nodes = {}
         ds.children = {}
