@@ -1,0 +1,106 @@
+"""S12 metadata service (pufs_spark/serving.py): the reference's gRPC
+``GetDirContents`` shape (api/api.proto:4-28) spoken as JSON lines over
+real TCP sockets — entries carry the proto field names, errors ride
+in-band in ``errorMsg``."""
+
+import threading
+
+import pytest
+
+from pufs_spark import serving
+from pufs_spark.catalog.datastore import ROOT_INODE, DataStore
+from pufs_spark.sources.sparse import SparseFreezer
+
+
+@pytest.fixture()
+def served(tmp_path):
+    store = DataStore(str(tmp_path))
+    d = store.mkdir(ROOT_INODE, "docs")
+    store.add_immutable_bytes(d, "a.txt", b"alpha contents")
+    store.add_immutable_bytes(d, "b.bin", bytes(range(100)))
+    store.mkdir(d, "sub")
+    server, port = serving.serve(store)
+    client = serving.PufsClient("127.0.0.1", port)
+    yield store, client, port
+    client.close()
+    server.shutdown()
+
+
+def test_get_dir_contents_proto_shape(served):
+    store, client, _ = served
+    resp = client.get_dir_contents("/docs")
+    assert resp["errorMsg"] == ""
+    by_name = {e["name"]: e for e in resp["entries"]}
+    assert set(by_name) == {"a.txt", "b.bin", "sub"}
+    a = by_name["a.txt"]
+    # exact proto Entry field set (api/api.proto:10-24)
+    assert set(a) == {
+        "id", "name", "isDirty", "isDir", "size", "modTimeSeconds",
+        "blockId", "populatedRegionCount", "populatedSize",
+    }
+    assert a["size"] == len(b"alpha contents")
+    assert not a["isDir"] and by_name["sub"]["isDir"]
+    assert a["blockId"]  # frozen at add time → bid present
+
+
+def test_errors_are_in_band(served):
+    _, client, _ = served
+    assert "NotFoundError" in client.get_dir_contents("/nope")["errorMsg"]
+    # listing a file is NotDirError, not a transport failure
+    assert "NotDirError" in client.get_dir_contents("/docs/a.txt")["errorMsg"]
+    assert "unknown op" in client.call(op="evil")["errorMsg"]
+
+
+def test_ranged_read_and_getattr(served):
+    _, client, _ = served
+    assert client.read_bytes("/docs/a.txt") == b"alpha contents"
+    assert client.read_bytes("/docs/b.bin", offset=10, length=5) == bytes(
+        range(10, 15)
+    )
+    attrs = client.call(op="getattr", path="/docs/a.txt")
+    assert attrs["size"] == 14 and attrs["mode"] == 0o444
+
+    stat = client.call(op="stat")
+    assert stat["files"] == 2 and stat["dirs"] == 3  # root, docs, sub
+
+
+def test_populated_region_stats(tmp_path):
+    """The proto's populatedRegionCount/populatedSize come from the
+    sparse cache's region map when one backs the store."""
+    store = DataStore(str(tmp_path))
+    i = store.add_immutable_bytes(ROOT_INODE, "f", b"0123456789")
+    bid = store.nodes[i].bid
+    sfz = SparseFreezer(str(tmp_path / "sparse"))
+    sfz.write_range(bid, 0, b"0123")
+    sfz.write_range(bid, 8, b"89")
+    server, port = serving.serve(store, region_stats=sfz.coverage)
+    client = serving.PufsClient("127.0.0.1", port)
+    try:
+        (entry,) = client.get_dir_contents("/")["entries"]
+        assert entry["populatedRegionCount"] == 2
+        assert entry["populatedSize"] == 6
+    finally:
+        client.close()
+        server.shutdown()
+
+
+def test_concurrent_clients(served):
+    _, _, port = served
+    errs: list[Exception] = []
+
+    def worker():
+        try:
+            c = serving.PufsClient("127.0.0.1", port)
+            for _ in range(20):
+                assert c.read_bytes("/docs/a.txt") == b"alpha contents"
+                assert len(c.get_dir_contents("/docs")["entries"]) == 3
+            c.close()
+        except Exception as exc:  # pragma: no cover
+            errs.append(exc)
+
+    ts = [threading.Thread(target=worker) for _ in range(6)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
