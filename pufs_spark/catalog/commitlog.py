@@ -207,6 +207,22 @@ class CommitLog:
             self.rebase(store, current)
         raise E.CatalogError(f"commit did not land in {max_retries} tries")
 
+    def vacuum(self, keep_last: int = 1) -> list[int]:
+        """Drop snapshot parquets for all but the newest ``keep_last``
+        committed versions. Records are never dropped: they are tiny,
+        and conflict checks + history queries need the full chain.
+        Time-traveling to a vacuumed version then fails loudly
+        (NotFoundError) instead of silently reading nothing. Returns
+        the versions whose snapshots were removed."""
+        current = self.current_version()
+        removed: list[int] = []
+        for v in range(0, max(current - keep_last + 1, 0)):
+            p = self.snapshot_path(v)
+            if os.path.exists(p):
+                os.unlink(p)
+                removed.append(v)
+        return removed
+
     def rebase(self, store: DataStore, version: int) -> None:
         """Reload ``store`` from committed ``version`` and replay its
         journal on top (in place: nodes/children/etc. are swapped)."""
@@ -232,20 +248,59 @@ def open_log(
     remote=None,
     clock=time.time,
     lister=None,
+    version: int | None = None,
 ) -> tuple[DataStore, CommitLog]:
     """Open (or initialize) a multi-writer catalog at ``root_dir``:
     returns a DataStore positioned at the latest committed version
     (fresh/empty if the log is new) plus the CommitLog to commit
-    through."""
+    through.
+
+    ``version`` time-travels to a specific committed version (raises
+    ``NotFoundError`` if it was never committed or was vacuumed). A
+    time-traveled store can still commit: its journal rebases onto the
+    CURRENT frontier like any other writer, so "restore an old
+    version's subtree" is just open-at-v, mutate, commit."""
     log = CommitLog(root_dir, clock=clock)
-    v = log.current_version()
+    v = log.current_version() if version is None else version
     if v < 0:
         store = DataStore(root_dir, remote=remote, clock=clock, lister=lister)
     else:
+        snap = log.snapshot_path(v)
+        if not os.path.exists(snap):
+            raise E.NotFoundError(
+                f"version {v} (never committed, or vacuumed)"
+            )
         store = DataStore.load(
             root_dir, remote=remote, clock=clock, lister=lister,
-            catalog_file=log.snapshot_path(v),
+            catalog_file=snap,
         )
         store.base_version = v
     store.journaling = True
     return store, log
+
+
+# ---------------------------------------------------------------------------
+# Spark-side readers (the commit log is itself a queryable table)
+# ---------------------------------------------------------------------------
+
+
+def history_df(spark, root_dir: str):
+    """Commit history as a DataFrame (one row per committed version:
+    version, base_version, writer, ts, message, touched, ops, nodes) —
+    the audit/monitoring surface, like ``DESCRIBE HISTORY`` on a Delta
+    table."""
+    log = CommitLog(root_dir)
+    return spark.read.json(os.path.join(log.dir, "*.json"))
+
+
+def snapshot_df(spark, root_dir: str, version: int | None = None):
+    """A committed catalog version as a DataFrame of node rows — time
+    travel for distributed catalog queries (catalog/queries.py
+    operators run unchanged over it). Defaults to the latest
+    version."""
+    log = CommitLog(root_dir)
+    v = log.current_version() if version is None else version
+    snap = log.snapshot_path(v)
+    if v < 0 or not os.path.exists(snap):
+        raise E.NotFoundError(f"version {v} (never committed, or vacuumed)")
+    return spark.read.parquet(snap)

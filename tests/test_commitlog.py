@@ -177,6 +177,80 @@ def test_many_threads_all_land(tmp_path):
             assert final.read_path(f"/w{i}/f{j}") == b"x" * (j + 1)
 
 
+def _three_versions(root: str) -> None:
+    w, log = CL.open_log(root)
+    w.mkdir(ROOT_INODE, "v0dir")
+    log.commit(w, message="v0")
+    w.add_immutable_bytes(ROOT_INODE, "v1file", b"one")
+    log.commit(w, message="v1")
+    w.remove(ROOT_INODE, "v0dir")
+    log.commit(w, message="v2")
+
+
+def test_time_travel_open(tmp_path):
+    root = str(tmp_path)
+    _three_versions(root)
+
+    old, _ = CL.open_log(root, version=0)
+    assert old.base_version == 0
+    assert old.resolve_path("/v0dir")
+    with pytest.raises(E.NotFoundError):
+        old.resolve_path("/v1file")  # not yet created at v0
+
+    latest, _ = CL.open_log(root)
+    assert latest.base_version == 2
+    with pytest.raises(E.NotFoundError):
+        latest.resolve_path("/v0dir")  # removed at v2
+
+    with pytest.raises(E.NotFoundError):
+        CL.open_log(root, version=99)
+
+
+def test_time_traveled_store_commits_onto_frontier(tmp_path):
+    """Open at an old version, mutate a path disjoint from later
+    commits → the commit rebases onto the frontier (restore-by-commit),
+    preserving the later history."""
+    root = str(tmp_path)
+    _three_versions(root)
+    old, log = CL.open_log(root, version=0)
+    old.mkdir(ROOT_INODE, "restored")
+    assert log.commit(old, writer="traveler") == 3
+    final, _ = CL.open_log(root)
+    assert final.resolve_path("/restored")
+    assert final.resolve_path("/v1file")  # later history kept
+
+
+def test_vacuum_keeps_records_drops_old_snapshots(tmp_path):
+    root = str(tmp_path)
+    _three_versions(root)
+    log = CL.CommitLog(root)
+    assert log.vacuum(keep_last=1) == [0, 1]
+    # records survive for history/conflict checks
+    assert [log.read_record(v)["version"] for v in range(3)] == [0, 1, 2]
+    # latest still opens; vacuumed versions fail loudly
+    latest, _ = CL.open_log(root)
+    assert latest.base_version == 2
+    with pytest.raises(E.NotFoundError):
+        CL.open_log(root, version=1)
+    # vacuum is idempotent
+    assert log.vacuum(keep_last=1) == []
+
+
+def test_spark_history_and_snapshot_readers(tmp_path, spark):
+    root = str(tmp_path)
+    _three_versions(root)
+    hist = CL.history_df(spark, root).orderBy("version").collect()
+    assert [r["version"] for r in hist] == [0, 1, 2]
+    assert hist[2]["touched"] == ["/v0dir"]
+
+    snap0 = CL.snapshot_df(spark, root, version=0)
+    assert {r["name"] for r in snap0.collect()} == {"", "v0dir"}
+    latest = CL.snapshot_df(spark, root)
+    assert {r["name"] for r in latest.collect()} == {"", "v1file"}
+    with pytest.raises(E.NotFoundError):
+        CL.snapshot_df(spark, root, version=42)
+
+
 def test_plain_store_refuses_commit(tmp_path):
     """A store that wasn't opened via open_log has no journal — letting
     it commit would silently skip conflict detection and rebase."""
