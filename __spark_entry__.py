@@ -408,6 +408,35 @@ def q_t4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.token_count_bpe(docs).select("doc_id", "n_bpe_tokens")
 
 
+def q_t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5: PII redaction (emails / card-length digit runs / IPv4 /
+    phone shapes → [PII:<kind>]) — all JVM regexp_replace. The corpus
+    is salted with PII synthesized deterministically from doc_id so the
+    redactor provably fires on every row, in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 card "),
+            (F.lit(4000000000000000) + F.col("doc_id")).cast("string"),
+            F.lit(" tel 555-123-4567"),
+        ).alias("text"),
+    )
+    return text.redact_pii(salted).select("doc_id", "redacted")
+
+
+def q_t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6: corpus boilerplate — word 3-grams present in >= 3 distinct
+    documents (repeated-n-gram family, Lee et al. ACL'22). One explode
+    + hash agg, map-side partials, no joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.boilerplate_ngrams(docs, n=3, min_docs=3)
+
+
 def q_u5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U5: duplicate ranking — rank of each doc within its content-hash
     group (window over the hash partition)."""
@@ -1476,6 +1505,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "T2_lang_id": q_t2,
         "T3_fingerprint": q_t3,
         "T4_bpe_tokens": q_t4,
+        "T5_pii_redact": q_t5,
+        "T6_boilerplate_ngrams": q_t6,
         "U5_duplicate_rank": q_u5,
         "S1_cosine_topk": q_s1,
         "S2_embedding_neardup": q_s2,
@@ -1915,6 +1946,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT)
                      AS n_bpe_tokens
             FROM documents""",
+        "T5_pii_redact": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id
+                          || '@example.com from 10.0.' || (doc_id % 256)
+                          || '.7 card ' || (4000000000000000 + doc_id)
+                          || ' tel 555-123-4567' AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[PII:email]', 'g'),
+                     '\b\d{12,19}\b', '[PII:card]', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '[PII:ipv4]', 'g'),
+                     '\b\d{3}[- ]\d{3,4}[- ]\d{4}\b', '[PII:phone]', 'g')
+                     AS redacted
+            FROM s""",
+        "T6_boilerplate_ngrams": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\s+')
+                     END AS t
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(t) < 3 THEN []::VARCHAR[]
+                          ELSE [array_to_string(t[i:i+2], ' ')
+                                for i in range(1, len(t) - 1)]
+                     END AS gs
+              FROM toks),
+            e AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM g)
+            SELECT gram, COUNT(*)::BIGINT AS n_docs
+            FROM e GROUP BY gram HAVING COUNT(*) >= 3""",
         "U5_duplicate_rank": """
             SELECT doc_id,
                    CAST(row_number() OVER (PARTITION BY sha256(text)

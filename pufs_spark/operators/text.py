@@ -192,6 +192,106 @@ def winnow_fingerprints(
     )
 
 
+def boilerplate_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_docs: int = 5,
+) -> DataFrame:
+    """Corpus-level boilerplate detection (the repeated-n-gram family
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", ACL'22): word ``n``-grams occurring in at least
+    ``min_docs`` DISTINCT documents — headers, footers, license
+    blurbs. Returns (gram, n_docs).
+
+    Plan shape for 100 TB: tokenize + sliding-window n-grams are
+    narrow array expressions (JVM, codegen); explode → per-doc
+    distinct → count is one hash aggregation with map-side partials,
+    keyed by gram — no joins, no windows, nothing quadratic."""
+    toks = tokens_col(text_col)
+    nt = F.size(toks)
+    grams = F.when(nt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    exploded = df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    ).distinct()
+    return (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def boilerplate_fraction(
+    df: DataFrame,
+    grams: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document boilerplate signal: fraction of a doc's n-grams
+    that are corpus boilerplate (from ``boilerplate_ngrams``) — a
+    quality-gate column for clean_corpus-style filters. Broadcast the
+    (small) boilerplate set into the per-doc probe."""
+    from pyspark.sql.functions import broadcast
+
+    toks = tokens_col(text_col)
+    nt = F.size(toks)
+    gs = F.when(nt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    per_doc = df.select(F.col(id_col), F.explode(gs).alias("gram"))
+    hits = (
+        per_doc.join(broadcast(grams.select("gram")), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_bp"))
+    )
+    totals = per_doc.groupBy(id_col).agg(F.count(F.lit(1)).alias("_all"))
+    return (
+        totals.join(hits, id_col, "left")
+        .select(
+            id_col,
+            (F.coalesce(F.col("_bp"), F.lit(0)) / F.col("_all")).alias(
+                "bp_fraction"
+            ),
+        )
+    )
+
+
+# PII patterns chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround — a training-data scrubber
+# must behave identically wherever the corpus is re-processed. Order
+# matters (cards before generic digit runs) and is part of the contract.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("card", r"\b\d{12,19}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """PII scrubbing for training corpora: emails, card-length digit
+    runs, IPv4s, phone shapes → ``[PII:<kind>]``. Sequential
+    regexp_replace — all JVM, codegen'd, no Python; the same pattern
+    list applied in the same order is the cross-engine contract
+    (oracle: DuckDB regexp_replace with 'g')."""
+    c = F.col(text_col)
+    for kind, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"[PII:{kind}]")
+    return df.withColumn(out_col, c)
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: sha256 of the normalized text. Collapses
     formatting-only variants to one id (the corpus-scale cousin of the

@@ -269,6 +269,56 @@ def test_winnow_fingerprints_properties(spark):
     assert 6 not in by_doc
 
 
+def test_redact_pii_kinds_and_order(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@corp.example.org today"),
+        (2, "server 192.168.1.254 answered"),
+        (3, "card 4111111111111111 expired"),
+        (4, "call 555-123-4567 or 555-1234-4567"),
+        (5, "id 123456789012345678901234 is too long for a card"),
+        (6, "untouched text stays untouched"),
+        # ordering contract: the email eats its digits before the card
+        # pattern can see them
+        (7, "reach 4111111111111111@example.com please"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["redacted"] for r in text.redact_pii(df).collect()}
+    assert out[1] == "mail me at [PII:email] today"
+    assert out[2] == "server [PII:ipv4] answered"
+    assert out[3] == "card [PII:card] expired"
+    assert out[4] == "call [PII:phone] or [PII:phone]"
+    assert "[PII:card]" not in out[5]  # 24 digits: not card-shaped
+    assert out[6] == "untouched text stays untouched"
+    assert out[7] == "reach [PII:email] please"
+
+
+def test_boilerplate_ngrams_and_fraction(spark):
+    footer = "generated by acme corp pipeline"
+    rows = [(i, f"unique words {i} here now then {footer}") for i in range(6)]
+    rows += [(100, "totally different content with no shared phrases at all")]
+    # a doc repeating the footer twice must count ONCE (distinct docs,
+    # not occurrences)
+    rows += [(101, f"{footer} and also {footer}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    bp = text.boilerplate_ngrams(df, n=5, min_docs=6)
+    grams = {r["gram"]: r["n_docs"] for r in bp.collect()}
+    assert "generated by acme corp pipeline" in grams
+    assert grams["generated by acme corp pipeline"] == 7  # 6 + doc 101
+    # nothing from the unique doc crosses the threshold
+    assert not any("totally" in g for g in grams)
+
+    frac = {
+        r["doc_id"]: r["bp_fraction"]
+        for r in text.boilerplate_fraction(df, bp, n=5).collect()
+    }
+    assert frac[100] == 0.0
+    # docs 0-5 share the whole "... then <footer>" run (4 of 7 grams);
+    # doc 101 only matches the footer gram itself (2 of 8)
+    assert frac[0] == pytest.approx(4 / 7)
+    assert frac[101] == pytest.approx(2 / 8)
+
+
 def test_clean_corpus_end_to_end(spark, docs):
     from pufs_spark.operators import pipeline
 
