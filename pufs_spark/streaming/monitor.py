@@ -143,6 +143,28 @@ def stream_rates(spark, events_path: str, max_files_per_trigger: int | None = No
     )
 
 
+def stream_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("content_hash",),
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """U1 on a stream: keep the first arrival per key, dropping
+    re-deliveries — the ingest-time exact dedup an at-least-once
+    source (Kafka-style redelivery, retried uploads) needs in a
+    training-data pipeline.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``)
+    is the scale choice: the key-state store is expired past the
+    watermark horizon, so state is bounded by (arrival rate x
+    watermark) instead of growing with every key ever seen — the same
+    bounded-state reasoning as the reference's in-flight transfer map
+    (region/pending.go), applied to dedup."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stateful_transfer_status(transfer_stream):
     """T5 as a CUSTOM STATEFUL streaming operator: per-bid transfer
     state (event count, min/max offset) maintained across micro-batches

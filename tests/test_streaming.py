@@ -176,3 +176,54 @@ def test_stateful_tracker_over_real_telemetry(spark, tmp_path):
     assert by_bid["blkA"]["n_events"] + by_bid["blkB"]["n_events"] == stats[
         "chunks_fetched"
     ]
+
+
+def test_stream_dedup_drops_redeliveries(spark, tmp_path):
+    """At-least-once delivery: the same (bid) keys re-delivered across
+    files must come out exactly once, and state must be
+    watermark-bounded (dropDuplicatesWithinWatermark, not the
+    unbounded dropDuplicates)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    tdir = str(tmp_path / "dedup_in")
+    os.makedirs(tdir)
+    base = 1_700_000_000_000_000
+    # file 1: keys a,b,c; file 2 re-delivers b,c (within watermark) + d
+    pq.write_table(
+        pa.table({
+            "ts_us": pa.array([base, base + 1_000_000, base + 2_000_000],
+                              pa.int64()),
+            "bid": ["a", "b", "c"],
+        }),
+        os.path.join(tdir, "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "ts_us": pa.array(
+                [base + 3_000_000, base + 4_000_000, base + 5_000_000],
+                pa.int64()),
+            "bid": ["b", "c", "d"],
+        }),
+        os.path.join(tdir, "f2.parquet"),
+    )
+    stream = (
+        spark.readStream.schema("ts_us long, bid string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tdir)
+        .select(F.timestamp_micros(F.col("ts_us")).alias("ts"), "bid")
+    )
+    sdf = monitor.stream_dedup(stream, key_cols=("bid",), watermark="1 hour")
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("SELECT bid FROM sdedup").collect()
+    bids = sorted(r["bid"] for r in rows)
+    assert bids == ["a", "b", "c", "d"]
