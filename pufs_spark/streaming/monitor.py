@@ -13,6 +13,33 @@ from pyspark.sql import functions as F
 DEFAULT_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min
 
 
+def _epoch_micros(df: DataFrame, ts_col: str):
+    """Epoch-microseconds expression for ``ts_col``, dispatching on the
+    column's actual dtype — driver fixtures have shipped the events
+    timestamp as TIMESTAMP(NANOS)-read-as-bigint, TIMESTAMP, and
+    TIMESTAMP_NTZ across rounds, and ``unix_micros`` only accepts
+    TIMESTAMP.
+
+    - ``timestamp``      → ``unix_micros`` (current behavior);
+    - ``timestamp_ntz``  → exact wall-clock micros since the NTZ epoch
+      via ``timestampdiff(MICROSECOND, ...)`` — timezone-independent
+      (no session-tz-dependent cast), matching DuckDB's naive
+      ``epoch_us`` interpretation of the same parquet values;
+    - ``bigint``         → taken as epoch micros as-is (tables.py
+      converts nanos→timestamp before queries see them, so a bigint
+      here is already micros).
+    """
+    dt = dict(df.dtypes).get(ts_col)
+    if dt == "timestamp_ntz":
+        return F.expr(
+            f"timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    if dt == "bigint":
+        return F.col(ts_col)
+    return F.unix_micros(F.col(ts_col))
+
+
 def sessionize(
     events: DataFrame,
     key: str = "user_id",
@@ -23,7 +50,7 @@ def sessionize(
     """Gap-based sessions: a new session starts when the inter-event
     gap exceeds ``gap_us``. Returns one row per session with bounds and
     counts. Same gaps-and-islands shape as the interval mask (R2)."""
-    tus = F.unix_micros(F.col(ts_col))
+    tus = _epoch_micros(events, ts_col)
     w = Window.partitionBy(key).orderBy(tus, F.col(id_col))
     prev = F.lag(tus).over(w)
     new_s = F.when(
@@ -46,7 +73,7 @@ def event_rate_per_minute(
     events: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
 ) -> DataFrame:
     """Tumbling 1-minute counts+value sums per event type (T6-shaped)."""
-    minute = (F.unix_micros(F.col(ts_col)) / 60_000_000).cast("long")
+    minute = (_epoch_micros(events, ts_col) / 60_000_000).cast("long")
     return (
         events.withColumn("minute_bucket", minute)
         .groupBy("minute_bucket", type_col)
@@ -62,7 +89,7 @@ def transfer_rates(
 ) -> DataFrame:
     """T6: per-block transfer rate from an event log with (ts, bid,
     offset): bytes/sec = (max-min offset) / (max-min ts)."""
-    tus = F.unix_micros(F.col("ts"))
+    tus = _epoch_micros(transfer_events, "ts")
     return (
         transfer_events.withColumn("_tus", tus)
         .groupBy(key)
