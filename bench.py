@@ -62,29 +62,45 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so per-query numbers measure
     # the plan, not session startup.
-    force(qs["Q6_forecast_revenue"](spark, sf_dir))
+    try:
+        force(qs["Q6_forecast_revenue"](spark, sf_dir))
+    except Exception:  # noqa: BLE001 — warmup failure must not kill the run
+        pass
 
-    timings: dict[str, float] = {}
+    # One broken query must not zero the whole benchmark (round-3 lesson:
+    # an analysis error in E1 crashed the harness and cost the round its
+    # perf evidence). Failures report as null timings + an errors entry;
+    # the JSON line always parses.
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):  # best-of-2: damp JIT/GC noise across rounds
-            t0 = time.monotonic()
-            force(qs[name](spark, sf_dir))
-            best = min(best, time.monotonic() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # best-of-2: damp JIT/GC noise across rounds
+                t0 = time.monotonic()
+                force(qs[name](spark, sf_dir))
+                best = min(best, time.monotonic() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = None
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf else None,
-            }
+    total = round(sum(t for t in timings.values() if t is not None), 3)
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf else None,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    if errors:
+        print(
+            f"bench: {len(errors)} of {len(HEADLINE)} queries failed",
+            file=sys.stderr,
         )
-    )
 
 
 if __name__ == "__main__":
