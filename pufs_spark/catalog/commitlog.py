@@ -125,6 +125,37 @@ class CommitLog:
     def records(self, start: int, end: int) -> list[dict]:
         return [self.read_record(v) for v in range(start, end + 1)]
 
+    def wait_snapshot(self, version: int, retries: int = 200) -> str:
+        """Path of ``version``'s snapshot, polling through the
+        claim→rename window: ``commit`` claims the record file via
+        O_EXCL *before* ``os.replace``-ing the snapshot into place, so
+        a reader arriving between the two syscalls sees a claimed
+        version with no snapshot yet. Mirror of ``read_record``'s
+        poll for the record body.
+
+        Fails fast (no poll) when the version was never claimed, or
+        when a NEWER snapshot exists — ``vacuum`` only ever removes
+        old snapshots, so a missing-but-older-than-the-frontier
+        snapshot is vacuumed, not mid-write. Bounded wait otherwise,
+        then ``NotFoundError`` (covers a writer that claimed and
+        crashed before the rename)."""
+        path = self.snapshot_path(version)
+        for _ in range(retries):
+            if os.path.exists(path):
+                return path
+            if not os.path.exists(self.record_path(version)):
+                break  # never claimed: nothing to wait for
+            newer = any(
+                f.endswith(".parquet")
+                and f[:12].isdigit()
+                and int(f[:12]) > version
+                for f in os.listdir(self.dir)
+            )
+            if newer:
+                break  # frontier moved past it: vacuumed, not mid-write
+            time.sleep(0.01)
+        raise E.NotFoundError(f"version {version} (never committed, or vacuumed)")
+
     # -- the commit protocol -------------------------------------------
 
     def try_claim(self, version: int) -> int | None:
@@ -232,7 +263,7 @@ class CommitLog:
             remote=store.remote,
             clock=store.clock,
             lister=store.lister,
-            catalog_file=self.snapshot_path(version),
+            catalog_file=self.wait_snapshot(version),
         )
         store.nodes = fresh.nodes
         store.children = fresh.children
@@ -265,11 +296,7 @@ def open_log(
     if v < 0:
         store = DataStore(root_dir, remote=remote, clock=clock, lister=lister)
     else:
-        snap = log.snapshot_path(v)
-        if not os.path.exists(snap):
-            raise E.NotFoundError(
-                f"version {v} (never committed, or vacuumed)"
-            )
+        snap = log.wait_snapshot(v)
         store = DataStore.load(
             root_dir, remote=remote, clock=clock, lister=lister,
             catalog_file=snap,
@@ -300,7 +327,6 @@ def snapshot_df(spark, root_dir: str, version: int | None = None):
     version."""
     log = CommitLog(root_dir)
     v = log.current_version() if version is None else version
-    snap = log.snapshot_path(v)
-    if v < 0 or not os.path.exists(snap):
+    if v < 0:
         raise E.NotFoundError(f"version {v} (never committed, or vacuumed)")
-    return spark.read.parquet(snap)
+    return spark.read.parquet(log.wait_snapshot(v))

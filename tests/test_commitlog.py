@@ -9,6 +9,7 @@ and loud conflicts on overlapping paths.
 import json
 import os
 import threading
+import time
 
 import pytest
 
@@ -177,6 +178,56 @@ def test_many_threads_all_land(tmp_path):
             assert final.read_path(f"/w{i}/f{j}") == b"x" * (j + 1)
 
 
+def test_open_log_waits_through_claim_rename_window(tmp_path):
+    """Deterministic replay of the claim→rename race: v0 committed,
+    then v1 CLAIMED (record file created via O_EXCL) while its snapshot
+    rename is delayed. A reader opening "latest" during the window sees
+    current_version()==1 with no snapshot — it must wait for the rename,
+    not raise NotFoundError."""
+    root = str(tmp_path)
+    w, log = CL.open_log(root)
+    w.mkdir(ROOT_INODE, "base")
+    log.commit(w, message="v0")
+
+    # Freeze mid-commit: claim v1 exactly as commit() does, snapshot
+    # prepared under the tmp name but not yet renamed into place.
+    w.mkdir(ROOT_INODE, "pending")
+    tmp = log.snapshot_path(1) + ".tmp.test"
+    w.save(tmp)
+    fd = log.try_claim(1)
+    assert fd is not None
+
+    def finish():
+        time.sleep(0.15)  # hold the window open past a few poll ticks
+        os.replace(tmp, log.snapshot_path(1))
+        rec = {
+            "version": 1, "base_version": 0, "writer": "slow", "ts": 0.0,
+            "message": "", "touched": ["/pending"], "ops": 1,
+            "nodes": len(w.nodes),
+        }
+        os.write(fd, json.dumps(rec).encode())
+        os.close(fd)
+
+    t = threading.Thread(target=finish)
+    t.start()
+    try:
+        reader, rlog = CL.open_log(root)  # arrives inside the window
+    finally:
+        t.join()
+    assert reader.base_version == 1
+    assert reader.resolve_path("/pending")
+
+
+def test_wait_snapshot_fails_fast_when_never_claimed(tmp_path):
+    root = str(tmp_path)
+    _three_versions(root)
+    log = CL.CommitLog(root)
+    t0 = time.monotonic()
+    with pytest.raises(E.NotFoundError):
+        log.wait_snapshot(99)
+    assert time.monotonic() - t0 < 0.5  # no pointless 2s poll
+
+
 def _three_versions(root: str) -> None:
     w, log = CL.open_log(root)
     w.mkdir(ROOT_INODE, "v0dir")
@@ -249,6 +300,25 @@ def test_spark_history_and_snapshot_readers(tmp_path, spark):
     assert {r["name"] for r in latest.collect()} == {"", "v1file"}
     with pytest.raises(E.NotFoundError):
         CL.snapshot_df(spark, root, version=42)
+
+
+def test_vacuumed_versions_fail_loudly_in_spark_readers(tmp_path, spark):
+    """Vacuum must be honored by the Spark-side readers too: reading a
+    vacuumed version through snapshot_df raises NotFoundError (fast, no
+    poll — a newer snapshot proves it's vacuumed, not mid-write), while
+    history_df still serves the full record chain."""
+    root = str(tmp_path)
+    _three_versions(root)
+    assert CL.CommitLog(root).vacuum(keep_last=1) == [0, 1]
+
+    hist = CL.history_df(spark, root)
+    assert hist.count() == 3  # records survive vacuum
+
+    t0 = time.monotonic()
+    with pytest.raises(E.NotFoundError):
+        CL.snapshot_df(spark, root, version=0)
+    assert time.monotonic() - t0 < 1.0  # vacuumed → fast fail, no poll
+    assert CL.snapshot_df(spark, root).count() > 0  # latest unaffected
 
 
 def test_plain_store_refuses_commit(tmp_path):
