@@ -706,7 +706,9 @@ class DataStore:
             self.remote.put_block_if_absent(bid, self.freezer.get_bytes(bid))
             self.pushed.add(bid)
         self.remote.set_root(label, root_bid)
-        self.remote.set_lease(secrets.token_hex(8), new_lease_expiry(self.clock()))
+        self.remote.set_lease(
+            secrets.token_hex(8), new_lease_expiry(self.clock()), root_bid
+        )
         return root_bid
 
     def mount_by_label(self, parent: int, name: str, label: str) -> int:

@@ -242,6 +242,115 @@ def gc_candidates(all_blocks: DataFrame, reachable: DataFrame) -> DataFrame:
     )
 
 
+def live_root_bids(spark, remote, now: float | None = None) -> DataFrame:
+    """The GC root set as a DataFrame of (bid): every labeled root
+    binding plus every UNEXPIRED lease's pinned bid (reference:
+    ``Lease{Expiry, BID}``, remote/gcs.go:96-112 — a lease keeps a
+    just-pushed or label-superseded root alive until it expires)."""
+    import time as _time
+
+    now = _time.time() if now is None else now
+    bids = {bid for _label, bid in remote.get_roots()}
+    bids |= {
+        bid
+        for _name, expiry, bid in remote.get_leases()
+        if bid is not None and expiry > now
+    }
+    return spark.createDataFrame([(b,) for b in sorted(bids)], "bid string")
+
+
+def remote_reachable_bids(
+    roots: DataFrame, remote_factory, max_depth: int = 64
+) -> DataFrame:
+    """Reachability over the REMOTE CAS itself — no catalog needed:
+    level-synchronous BFS from the live roots, each level fetching its
+    dir manifests executor-side (mapPartitions with a per-partition
+    RemoteStore) and emitting (child bid, is_dir) rows parsed with the
+    same decode_dir_manifest the catalog uses. Shared subtrees are
+    visited once (frontier anti-joined against the seen set); a parse
+    or fetch failure on a live dir aborts the GC loudly rather than
+    silently under-reaching (which would delete live data)."""
+    from pufs_spark.catalog.datastore import decode_dir_manifest
+
+    spark = roots.sparkSession
+
+    def expand(rows):
+        remote = remote_factory()
+        for row in rows:
+            for _name, is_dir, bid, _size in decode_dir_manifest(
+                remote.get_block(row.bid)
+            ):
+                yield (bid, is_dir)
+
+    seen = roots.select("bid").distinct().localCheckpoint()
+    frontier = seen
+    for _ in range(max_depth):
+        kids = spark.createDataFrame(
+            frontier.rdd.mapPartitions(expand), "bid string, is_dir boolean"
+        )
+        new = (
+            kids.groupBy("bid")
+            .agg(F.max("is_dir").alias("is_dir"))
+            .join(seen, "bid", "left_anti")
+            .localCheckpoint()
+        )
+        if new.isEmpty():
+            break
+        seen = seen.unionByName(new.select("bid")).localCheckpoint()
+        frontier = new.where("is_dir").select("bid")
+        if frontier.isEmpty():
+            break
+    return seen
+
+
+def gc_delete(candidates: DataFrame, remote_factory) -> int:
+    """F6 phase 2: the actual delete — foreachPartition-shaped removal
+    through the RemoteStore (one connection per partition, same shape
+    as push_blocks' uploads). Returns blocks actually deleted
+    (already-gone blocks — e.g. a racing GC — don't count)."""
+
+    def drop(rows):
+        remote = remote_factory()
+        n = 0
+        for row in rows:
+            if remote.delete_block(row["bid"]):
+                n += 1
+        yield n
+
+    return sum(candidates.select("bid").rdd.mapPartitions(drop).collect())
+
+
+def collect_garbage(
+    spark,
+    remote_factory,
+    now: float | None = None,
+    all_blocks: DataFrame | None = None,
+    max_depth: int = 64,
+) -> dict:
+    """End-to-end F6 GC: live roots (labels + unexpired leases) →
+    remote BFS reachability → anti-join against the CAS inventory →
+    distributed delete. The reference designed-but-never-built exactly
+    this pass (core/types.go:59).
+
+    ``all_blocks`` overrides the driver-side ``remote.list_blocks()``
+    enumeration — at 100TB feed it a bucket-inventory DataFrame
+    instead of listing synchronously."""
+    remote = remote_factory()
+    roots = live_root_bids(spark, remote, now=now)
+    if all_blocks is None:
+        all_blocks = spark.createDataFrame(
+            [(b,) for b in remote.list_blocks()], "bid string"
+        )
+    live = remote_reachable_bids(roots, remote_factory, max_depth=max_depth)
+    candidates = gc_candidates(all_blocks, live).localCheckpoint()
+    deleted = gc_delete(candidates, remote_factory)
+    return {
+        "roots": roots.count(),
+        "live_blocks": live.count(),
+        "deleted": deleted,
+    }
+
+
 def push_blocks(to_push: DataFrame, remote_factory, freezer_root: str) -> int:
     """F3 distributed upload: foreachPartition put-if-absent. The
     factory is a picklable zero-arg callable building a RemoteStore on

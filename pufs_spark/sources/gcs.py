@@ -179,5 +179,46 @@ class GCSRemote(RemoteStore):  # pragma: no cover - requires GCS
         except gexc.NotFound:
             raise KeyError(label) from None
 
-    def set_lease(self, name: str, expiry: float) -> None:
-        self._blob("lease/", name).upload_from_string(str(expiry).encode())
+    def set_lease(self, name: str, expiry: float, bid: str | None = None) -> None:
+        import json
+
+        self._blob("lease/", name).upload_from_string(
+            json.dumps({"expiry": expiry, "bid": bid}).encode()
+        )
+
+    def get_roots(self) -> list[tuple[str, str]]:
+        pre = self.prefix + "root/"
+        return sorted(
+            (b.name[len(pre):], b.download_as_bytes().decode().strip())
+            for b in self.client.list_blobs(self.bucket, prefix=pre)
+        )
+
+    def get_leases(self) -> list[tuple[str, float, str | None]]:
+        import json
+
+        pre = self.prefix + "lease/"
+        out = []
+        for b in self.client.list_blobs(self.bucket, prefix=pre):
+            raw = b.download_as_bytes().decode()
+            try:
+                rec = json.loads(raw)
+                out.append((b.name[len(pre):], float(rec["expiry"]), rec.get("bid")))
+            except (json.JSONDecodeError, KeyError, TypeError):
+                out.append((b.name[len(pre):], float(raw), None))
+        return sorted(out)
+
+    def list_blocks(self) -> list[str]:
+        pre = self.prefix + "CAS/"
+        return sorted(
+            b.name[len(pre):]
+            for b in self.client.list_blobs(self.bucket, prefix=pre)
+        )
+
+    def delete_block(self, bid: str) -> bool:
+        from google.api_core import exceptions as gexc
+
+        try:
+            self._blob("CAS/", bid).delete()
+            return True
+        except gexc.NotFound:
+            return False

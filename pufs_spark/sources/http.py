@@ -315,5 +315,13 @@ class HTTPRemote(RemoteStore):
         except NotFoundError:
             raise KeyError(label) from None
 
-    def set_lease(self, name: str, expiry: float) -> None:
-        self._put(self._url("lease", name), str(expiry).encode())
+    def set_lease(self, name: str, expiry: float, bid: str | None = None) -> None:
+        import json
+
+        self._put(
+            self._url("lease", name),
+            json.dumps({"expiry": expiry, "bid": bid}).encode(),
+        )
+        # GC enumeration (get_roots/list_blocks/delete_block) stays at
+        # the base NotImplementedError: plain HTTP has no listing or
+        # DELETE contract; run GC against the object-store connector.

@@ -16,6 +16,7 @@ Remote layout mirrors the reference:
 
 from __future__ import annotations
 
+import json
 import os
 import tempfile
 import time
@@ -43,7 +44,31 @@ class RemoteStore:
     def get_root(self, label: str) -> str:
         raise NotImplementedError
 
-    def set_lease(self, name: str, expiry: float) -> None:
+    def set_lease(self, name: str, expiry: float, bid: str | None = None) -> None:
+        """GC keepalive. ``bid`` pins a root block until ``expiry`` —
+        the reference's lease carries the BID for exactly this
+        (remote/gcs.go:96-112 ``Lease{Expiry, BID}``), so a just-pushed
+        or superseded root survives GC until its lease runs out."""
+        raise NotImplementedError
+
+    # -- GC enumeration (optional per backend) --------------------------
+
+    def get_roots(self) -> list[tuple[str, str]]:
+        """[(label, bid)] — every labeled root binding."""
+        raise NotImplementedError
+
+    def get_leases(self) -> list[tuple[str, float, str | None]]:
+        """[(name, expiry, bid)] — every lease, expired or not."""
+        raise NotImplementedError
+
+    def list_blocks(self) -> list[str]:
+        """Every bid in the remote CAS. Driver-side listing — fine for
+        the metadata tier; a 100TB CAS should instead feed GC from a
+        bucket inventory table (collect_garbage accepts one)."""
+        raise NotImplementedError
+
+    def delete_block(self, bid: str) -> bool:
+        """Remove a CAS block; False if it was already gone."""
         raise NotImplementedError
 
 
@@ -56,7 +81,7 @@ class MemRemote(RemoteStore):
     def __init__(self):
         self.blocks: dict[str, bytes] = {}
         self.roots: dict[str, str] = {}
-        self.leases: dict[str, float] = {}
+        self.leases: dict[str, tuple[float, str | None]] = {}
         self.read_count = 0
         self.bytes_read = 0
 
@@ -89,8 +114,20 @@ class MemRemote(RemoteStore):
             raise KeyError(label)
         return self.roots[label]
 
-    def set_lease(self, name: str, expiry: float) -> None:
-        self.leases[name] = expiry
+    def set_lease(self, name: str, expiry: float, bid: str | None = None) -> None:
+        self.leases[name] = (expiry, bid)
+
+    def get_roots(self) -> list[tuple[str, str]]:
+        return sorted(self.roots.items())
+
+    def get_leases(self) -> list[tuple[str, float, str | None]]:
+        return sorted((n, e, b) for n, (e, b) in self.leases.items())
+
+    def list_blocks(self) -> list[str]:
+        return sorted(self.blocks)
+
+    def delete_block(self, bid: str) -> bool:
+        return self.blocks.pop(bid, None) is not None
 
 
 class LocalDirRemote(RemoteStore):
@@ -139,9 +176,45 @@ class LocalDirRemote(RemoteStore):
         with open(path) as f:
             return f.read().strip()
 
-    def set_lease(self, name: str, expiry: float) -> None:
+    def set_lease(self, name: str, expiry: float, bid: str | None = None) -> None:
+        # JSON analog of the reference's gob-encoded Lease{Expiry, BID}.
         with open(os.path.join(self.root, "lease", name), "w") as f:
-            f.write(str(expiry))
+            json.dump({"expiry": expiry, "bid": bid}, f)
+
+    def get_roots(self) -> list[tuple[str, str]]:
+        d = os.path.join(self.root, "root")
+        out = []
+        for label in sorted(os.listdir(d)):
+            with open(os.path.join(d, label)) as f:
+                out.append((label, f.read().strip()))
+        return out
+
+    def get_leases(self) -> list[tuple[str, float, str | None]]:
+        d = os.path.join(self.root, "lease")
+        out = []
+        for name in sorted(os.listdir(d)):
+            with open(os.path.join(d, name)) as f:
+                raw = f.read()
+            try:
+                rec = json.loads(raw)
+                out.append((name, float(rec["expiry"]), rec.get("bid")))
+            except (json.JSONDecodeError, KeyError, TypeError):
+                out.append((name, float(raw), None))  # pre-BID lease files
+        return out
+
+    def list_blocks(self) -> list[str]:
+        return sorted(
+            b
+            for b in os.listdir(os.path.join(self.root, "CAS"))
+            if not b.startswith(".put-")  # in-flight tempfiles are not blocks
+        )
+
+    def delete_block(self, bid: str) -> bool:
+        try:
+            os.unlink(self._cas(bid))
+            return True
+        except FileNotFoundError:
+            return False
 
 
 class LocalFSLister:

@@ -155,3 +155,62 @@ def test_gc_traces_reachability(spark, tmp_path):
     assert hashlib.sha256(b"keep-bytes").hexdigest() not in garbage
     # garbage is exactly v1-only blocks (old manifests + dropped file)
     assert garbage == set(drop_file_bid)
+
+
+def test_gc_deletes_unreachable_blocks_with_lease_guard(spark, tmp_path):
+    """End-to-end F6: push v1 then v2 of one label. While v1's lease is
+    live, GC deletes nothing; once it expires, GC removes EXACTLY the
+    v1-only blocks, and a fresh mount of the label still reads every
+    byte of v2."""
+    import functools
+    import hashlib
+
+    from pufs_spark.sources.remote import (
+        DEFAULT_LEASE_SECONDS,
+        LocalDirRemote,
+    )
+
+    remote_dir = str(tmp_path / "remote")
+    factory = functools.partial(LocalDirRemote, remote_dir)
+    t = {"now": 1_000_000.0}
+    ds = DataStore(
+        str(tmp_path / "s"), remote=factory(), clock=lambda: t["now"]
+    )
+    d = ds.mkdir(ROOT_INODE, "dir")
+    ds.add_immutable_bytes(d, "a.dat", b"v1-only")
+    ds.add_immutable_bytes(d, "shared.dat", b"shared")
+    ds.push("rel")  # v1: lease pins v1 root until now+48h
+    v1_bids = set(factory().list_blocks())
+
+    t["now"] += 1000.0
+    ds.remove(d, "a.dat")
+    ds.add_immutable_bytes(d, "b.dat", b"v2-only")
+    ds.push("rel")  # label repointed to v2; second lease pins v2
+
+    # both leases live → lease guard holds even for the superseded root
+    stats = merkle.collect_garbage(spark, factory, now=t["now"])
+    assert stats["deleted"] == 0
+    before = set(factory().list_blocks())
+    assert v1_bids <= before
+
+    # v1's lease expired, v2's still live (pushed 1000s later)
+    after_v1 = 1_000_000.0 + DEFAULT_LEASE_SECONDS + 1
+    stats = merkle.collect_garbage(spark, factory, now=after_v1)
+    remaining = set(factory().list_blocks())
+    # exactly the v1-only blocks went: a.dat's content + the two stale
+    # manifests (dir v1, root v1)
+    assert hashlib.sha256(b"v1-only").hexdigest() not in remaining
+    assert hashlib.sha256(b"shared").hexdigest() in remaining
+    assert hashlib.sha256(b"v2-only").hexdigest() in remaining
+    assert stats["deleted"] == 3
+    deleted = before - remaining
+    assert len(deleted) == 3
+    assert deleted <= v1_bids  # only v1-era blocks were touched
+    assert stats["live_blocks"] == len(remaining)
+
+    # a fresh consumer can still mount the label and read every byte
+    fresh = DataStore(str(tmp_path / "s2"), remote=factory())
+    mnt = fresh.mount_by_label(ROOT_INODE, "mnt", "rel")
+    assert fresh.read_path("/mnt/dir/shared.dat") == b"shared"
+    assert fresh.read_path("/mnt/dir/b.dat") == b"v2-only"
+    assert mnt
