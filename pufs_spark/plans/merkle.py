@@ -81,80 +81,155 @@ def _manifest_line():
     )
 
 
-def freeze_level(dirs_at_level: DataFrame, children: DataFrame) -> DataFrame:
-    """Compute dir BIDs for one level given fully-frozen children:
-    bid = sha2( join(sorted lines, '\\n') + '\\n' ).
-    Returns (inode, bid) for the level's dirs."""
-    manifests = (
-        children.withColumn("_line", _manifest_line())
-        .groupBy(F.col("parent").alias("_mparent"))
-        .agg(
-            F.concat(
-                F.array_join(F.array_sort(F.collect_list("_line")), "\n"),
-                F.lit("\n"),
-            ).alias("_manifest")
-        )
-    )
-    return (
-        dirs_at_level.select("inode")
-        .join(manifests, F.col("inode") == F.col("_mparent"), "left")
+def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
+    """Dir bids for a catalog whose DIR METADATA fits one task: the
+    file lines (the catalog-sized part) are aggregated per-dir by ONE
+    distributed groupBy, then dirs and their line arrays flow — via a
+    tagged union, no join, no broadcast — into a single-partition
+    mapInPandas that hashes the dir DAG bottom-up in memory. One
+    shuffle + one Arrow-batched task; the whole freeze is one job.
+
+    Matches encode_dir_manifest exactly: lines sorted codepoint-wise
+    (Python ``sort`` == Spark ``array_sort`` on strings), null fields
+    skipped (``concat_ws`` semantics), empty dirs hash the empty
+    manifest."""
+    file_lines = (
+        leveled.where(~F.col("is_dir"))
+        .withColumn("_line", _manifest_line())
+        .groupBy(F.col("parent").alias("inode"))
+        .agg(F.collect_list("_line").alias("_flines"))
         .select(
             "inode",
-            F.sha2(F.coalesce(F.col("_manifest"), F.lit("")), 256).alias("bid"),
+            F.lit(None).cast("long").alias("parent"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("long").alias("size"),
+            F.lit(None).cast("int").alias("depth"),
+            F.lit(None).cast("string").alias("bid"),
+            "_flines",
         )
+    )
+    dirs = leveled.where(F.col("is_dir")).select(
+        "inode",
+        F.col("parent").cast("long").alias("parent"),
+        "name",
+        F.col("size").cast("long").alias("size"),
+        "depth",
+        "bid" if memoized else F.lit(None).cast("string").alias("bid"),
+        F.lit(None).cast("array<string>").alias("_flines"),
+    )
+
+    def hash_part(pdfs):
+        import hashlib  # noqa: PLC0415 — executor-side import
+
+        import pandas as pd  # noqa: PLC0415
+
+        batches = list(pdfs)
+        if not batches:
+            return
+        pdf = pd.concat(batches, ignore_index=True)
+        is_dir_row = pdf["parent"].notna()  # file-line rows carry no parent
+        flines = {
+            int(i): list(arr)
+            for i, arr in zip(
+                pdf.loc[~is_dir_row, "inode"], pdf.loc[~is_dir_row, "_flines"]
+            )
+        }
+        rows: dict[int, tuple] = {}
+        kids: dict[int, list[int]] = {}
+        d = pdf[is_dir_row]
+        for ino, par, name, size, depth, bid in zip(
+            d["inode"], d["parent"], d["name"], d["size"], d["depth"], d["bid"]
+        ):
+            ino, par = int(ino), int(par)
+            rows[ino] = (name, size, int(depth), bid)
+            if par != ino:  # root self-loops
+                kids.setdefault(par, []).append(ino)
+        bids: dict[int, str] = {}
+        for ino in sorted(rows, key=lambda i: -rows[i][2]):  # deepest first
+            _name, _size, _depth, pre = rows[ino]
+            if pre is not None and not (isinstance(pre, float) and pd.isna(pre)):
+                bids[ino] = pre  # memoized: set bid == clean subtree
+                continue
+            lines = list(flines.get(ino, []))
+            for ci in kids.get(ino, []):
+                cname, csize, _cd, _cb = rows[ci]
+                parts = [str(cname), "1", bids[ci]]
+                if not pd.isna(csize):
+                    parts.append(str(int(csize)))
+                lines.append("\t".join(parts))
+            lines.sort()
+            manifest = ("\n".join(lines) + "\n") if lines else ""
+            bids[ino] = hashlib.sha256(manifest.encode()).hexdigest()
+        yield pd.DataFrame(
+            {"inode": list(bids), "bid": [bids[k] for k in bids]}
+        )
+
+    return (
+        dirs.unionByName(file_lines)
+        .coalesce(1)
+        .mapInPandas(hash_part, "inode long, bid string")
     )
 
 
-def freeze_nodes_df(
-    nodes: DataFrame,
-    max_depth: int = 64,
-    memoized: bool = False,
-    checkpoint_every: int = 3,
+def _freeze_dirs_levelwise(
+    leveled: DataFrame, memoized: bool, checkpoint_every: int
 ) -> DataFrame:
-    """F1 distributed: returns nodes with dir bids filled bottom-up.
-    File nodes must already carry bids (content hashing happens at
-    ingest: sha2 over binaryFile content — see ingest_files).
-
-    ``memoized=True`` is the reference's dirty-bit pruning
-    (core/datastore.go:1123-1125): dirs that already carry a bid are
-    returned as-is and only null-bid (dirty) paths re-hash — safe
-    because every mutation nulls bids up to the root (M8), so a set bid
-    implies an unchanged subtree. An incremental freeze then touches
-    only the dirty paths' levels.
-
-    Level results are localCheckpoint'd every ``checkpoint_every``
-    levels: level d's bids feed both level d-1's manifests and the
-    final output, and Spark does not share common subplans across
-    DataFrame references, so with no materialization the per-level work
-    multiplies ~2^levels — but each checkpoint is an eager job, which
-    for a shallow tree costs more than the 2^k-bounded lazy recompute
-    it saves (measured at sf0.1: every-level 3.9s, every-3rd 2.5s,
-    never 3.8s). k=3 bounds the blowup at 8 copies of a dir-count-
-    sized frame while spending a third of the jobs. The checkpointed
-    frames are dir-count-sized, not catalog-sized."""
-    leveled = with_depth(nodes, max_depth).persist()
+    """Dir bids for catalogs whose dir metadata does NOT fit one task:
+    level-synchronous bottom-up hashing. Still only ONE catalog-sized
+    shuffle (the per-dir file-line groupBy); every per-level frame is
+    dir-count-sized and joined via explicit broadcast. Level bid frames
+    feed both the next level and the final output, so the lazy plan
+    doubles per level; ``checkpoint_every`` bounds that with an eager
+    localCheckpoint of a dir-count-sized frame every k levels."""
     max_d = leveled.agg(F.max("depth")).collect()[0][0] or 0
+    file_lines = (
+        leveled.where(~F.col("is_dir"))
+        .withColumn("_line", _manifest_line())
+        .groupBy(F.col("parent").alias("_flp"))
+        .agg(F.array_sort(F.collect_list("_line")).alias("_flines"))
+    )
+    dirs_all = leveled.where(F.col("is_dir")).select(
+        "inode", "parent", "name", "is_dir", "size", "depth", "bid"
+    )
     prev_dir_bids: DataFrame | None = None
     level_bids: list[DataFrame] = []
+    empty_arr = F.array().cast("array<string>")
     for i, d in enumerate(range(max_d, -1, -1)):
-        dirs = leveled.where((F.col("depth") == d) & F.col("is_dir"))
+        dirs = dirs_all.where(F.col("depth") == d)
         if memoized:
             pre = dirs.where(F.col("bid").isNotNull()).select("inode", "bid")
             dirs = dirs.where(F.col("bid").isNull())
-        file_kids = leveled.where(
-            (F.col("depth") == d + 1) & ~F.col("is_dir")
-        ).select("parent", "name", "is_dir", "size", "bid")
         if prev_dir_bids is not None:
-            dir_kids = (
-                leveled.where((F.col("depth") == d + 1) & F.col("is_dir"))
+            dir_lines = (
+                dirs_all.where(F.col("depth") == d + 1)
                 .drop("bid")
-                .join(prev_dir_bids, "inode")
-                .select("parent", "name", "is_dir", "size", "bid")
+                .join(F.broadcast(prev_dir_bids), "inode")
+                .withColumn("_line", _manifest_line())
+                .groupBy(F.col("parent").alias("_dlp"))
+                .agg(F.collect_list("_line").alias("_dlines"))
             )
-            kids = file_kids.unionByName(dir_kids)
         else:
-            kids = file_kids
-        bids = freeze_level(dirs, kids)
+            dir_lines = None
+        lined = dirs.select("inode").join(
+            F.broadcast(file_lines), F.col("inode") == F.col("_flp"), "left"
+        )
+        if dir_lines is not None:
+            lined = lined.join(
+                F.broadcast(dir_lines), F.col("inode") == F.col("_dlp"), "left"
+            )
+            all_lines = F.array_sort(
+                F.concat(
+                    F.coalesce(F.col("_flines"), empty_arr),
+                    F.coalesce(F.col("_dlines"), empty_arr),
+                )
+            )
+        else:
+            all_lines = F.coalesce(F.col("_flines"), empty_arr)
+        manifest = F.when(
+            F.size(all_lines) > 0,
+            F.concat(F.array_join(all_lines, "\n"), F.lit("\n")),
+        ).otherwise(F.lit(""))  # empty dir hashes the empty manifest
+        bids = lined.select("inode", F.sha2(manifest, 256).alias("bid"))
         if memoized:
             bids = bids.unionByName(pre)
         if (i + 1) % max(checkpoint_every, 1) == 0:
@@ -164,11 +239,49 @@ def freeze_nodes_df(
     all_dir_bids = level_bids[0]
     for b in level_bids[1:]:
         all_dir_bids = all_dir_bids.unionByName(b)
+    return all_dir_bids
+
+
+def freeze_nodes_df(
+    nodes: DataFrame,
+    max_depth: int = 64,
+    memoized: bool = False,
+    checkpoint_every: int = 8,
+    single_task_max_rows: int = 4_000_000,
+) -> DataFrame:
+    """F1 distributed: returns nodes with dir bids filled bottom-up.
+    File nodes must already carry bids (content hashing happens at
+    ingest: sha2 over binaryFile content — see ingest_files).
+
+    Two physical strategies behind one result:
+
+    - **single-task** (catalog ≤ ``single_task_max_rows``): one
+      catalog-sized groupBy collects per-dir file manifest lines, then
+      the dir DAG — orders of magnitude smaller than the catalog —
+      is hashed bottom-up in a single Arrow-batched task. The whole
+      freeze is ONE job (sf0.1: ~1s vs ~4s for the level plan, vs
+      5.8s for the r2 per-level-shuffle plan).
+    - **level-wise** (larger): level-synchronous hashing where every
+      per-level frame stays dir-count-sized and broadcast-joined;
+      depth× small jobs, but no single task ever holds all dir
+      metadata. The threshold is rows ≈ manifest bytes: 4M rows ≈
+      400MB of lines in the one task — beyond that, go level-wise.
+
+    ``memoized=True`` is the reference's dirty-bit pruning
+    (core/datastore.go:1123-1125): dirs that already carry a bid are
+    returned as-is and only null-bid (dirty) paths re-hash — safe
+    because every mutation nulls bids up to the root (M8), so a set
+    bid implies an unchanged subtree."""
+    leveled = with_depth(nodes, max_depth).persist()
+    if leveled.count() <= single_task_max_rows:
+        all_dir_bids = _freeze_dirs_single_task(leveled, memoized)
+    else:
+        all_dir_bids = _freeze_dirs_levelwise(leveled, memoized, checkpoint_every)
     files = leveled.where(~F.col("is_dir"))
     dirs_out = (
         leveled.where(F.col("is_dir"))
         .drop("bid")
-        .join(all_dir_bids, "inode")
+        .join(F.broadcast(all_dir_bids), "inode")
         .select(*files.columns)
     )
     return files.unionByName(dirs_out).drop("depth")

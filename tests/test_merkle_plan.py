@@ -11,7 +11,14 @@ from pufs_spark.sources.remote import MemRemote
 from tests.conftest import SF_DIR
 
 
-def test_distributed_freeze_matches_driver(spark, tmp_path):
+import pytest
+
+
+# single_task_max_rows=0 forces the level-wise strategy; the default
+# exercises the single-task dir-DAG path. Both must agree with the
+# driver-side recursive freeze bit-for-bit.
+@pytest.mark.parametrize("st_rows", [4_000_000, 0], ids=["single-task", "level-wise"])
+def test_distributed_freeze_matches_driver(spark, tmp_path, st_rows):
     ds = DataStore(str(tmp_path / "s"), remote=MemRemote())
     a = ds.mkdir(ROOT_INODE, "a")
     b = ds.mkdir(a, "b")
@@ -24,7 +31,7 @@ def test_distributed_freeze_matches_driver(spark, tmp_path):
     nodes = queries.nodes_df(spark, ds).withColumn(
         "bid", F.when(F.col("is_dir"), F.lit(None)).otherwise(F.col("bid"))
     )
-    frozen = merkle.freeze_nodes_df(nodes)
+    frozen = merkle.freeze_nodes_df(nodes, single_task_max_rows=st_rows)
     got = {r["inode"]: r["bid"] for r in frozen.collect()}
     for inode, node in ds.nodes.items():
         assert got[inode] == node.bid, f"inode {inode}"
@@ -69,7 +76,8 @@ def test_fs_regions_mask(spark):
     assert mask.count() < regions.count()
 
 
-def test_memoized_freeze_skips_frozen_subtrees(spark, tmp_path):
+@pytest.mark.parametrize("st_rows", [4_000_000, 0], ids=["single-task", "level-wise"])
+def test_memoized_freeze_skips_frozen_subtrees(spark, tmp_path, st_rows):
     """Dirty-bit pruning: a dir with a pre-set bid is returned as-is
     (proven by a sentinel no hash could produce); null-bid dirs
     recompute — ancestors of the sentinel embed it (differ from a clean
@@ -88,7 +96,9 @@ def test_memoized_freeze_skips_frozen_subtrees(spark, tmp_path):
     )
     expected = {
         r["inode"]: r["bid"]
-        for r in merkle.freeze_nodes_df(clean).where("is_dir").collect()
+        for r in merkle.freeze_nodes_df(clean, single_task_max_rows=st_rows)
+        .where("is_dir")
+        .collect()
     }
 
     patched = clean.withColumn(
@@ -97,7 +107,9 @@ def test_memoized_freeze_skips_frozen_subtrees(spark, tmp_path):
     )
     out = {
         r["inode"]: r["bid"]
-        for r in merkle.freeze_nodes_df(patched, memoized=True)
+        for r in merkle.freeze_nodes_df(
+            patched, memoized=True, single_task_max_rows=st_rows
+        )
         .where("is_dir")
         .collect()
     }
