@@ -226,3 +226,35 @@ def test_gc_deletes_unreachable_blocks_with_lease_guard(spark, tmp_path):
     assert fresh.read_path("/mnt/dir/shared.dat") == b"shared"
     assert fresh.read_path("/mnt/dir/b.dat") == b"v2-only"
     assert mnt
+
+
+def test_freeze_strategies_agree_on_random_trees(spark, tmp_path):
+    """Both freeze strategies vs the driver freeze on irregular random
+    trees (deep chains, empty dirs, shared content, dirs mixing file
+    and dir children at every level) — seeds fixed for reproducibility."""
+    import random
+
+    for seed in (7, 23):
+        rnd = random.Random(seed)
+        ds = DataStore(str(tmp_path / f"s{seed}"), remote=MemRemote())
+        dirs = [ROOT_INODE]
+        for i in range(rnd.randint(15, 30)):
+            parent = rnd.choice(dirs)
+            if rnd.random() < 0.45:
+                dirs.append(ds.mkdir(parent, f"d{i}"))
+            else:
+                content = bytes([rnd.randint(0, 3)]) * rnd.randint(0, 64)
+                ds.add_immutable_bytes(parent, f"f{i}", content)
+        ds.freeze()
+        nodes = queries.nodes_df(spark, ds).withColumn(
+            "bid", F.when(F.col("is_dir"), F.lit(None)).otherwise(F.col("bid"))
+        )
+        for st_rows in (4_000_000, 0):
+            got = {
+                r["inode"]: r["bid"]
+                for r in merkle.freeze_nodes_df(
+                    nodes, single_task_max_rows=st_rows
+                ).collect()
+            }
+            for inode, node in ds.nodes.items():
+                assert got[inode] == node.bid, (seed, st_rows, inode)
