@@ -22,6 +22,7 @@ from pufs_spark.operators import (
     intervals,
     multimodal,
     pipeline,
+    sampling,
     similarity,
     text,
 )
@@ -381,6 +382,48 @@ def q_d2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("a") < F.col("b"))
     )
     return dedup.jaccard_pairs(docs, pairs).where(F.col("jaccard") >= 0.3)
+
+
+def q_d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: incremental dedup — near-dup pairs between an incoming batch
+    (doc_id < 100) and the existing corpus (the rest), LSH-joined and
+    exact-verified; output equals the brute-force new×corpus threshold
+    join the oracle runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") < 100)
+    corpus = docs.where(F.col("doc_id") >= 100)
+    return dedup.cross_near_dup_pairs(new, corpus, threshold=0.7)
+
+
+def q_t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7: deterministic hash sample — md5-keyed 20% of documents,
+    reproducible cross-engine (the oracle replays the exact filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, 0.2, seed=1).select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8: train/val/test assignment by hash range — stable per doc
+    across runs, engines, and re-shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.assign_splits(
+        docs, {"train": 0.9, "val": 0.05, "test": 0.05}, seed=2
+    ).select("doc_id", "split")
+
+
+def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: stratified training mix — per-source sampling rates as a
+    scan-level filter (no join, no shuffle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return sampling.stratified_hash_sample(
+        docs,
+        rates={"src0": 1.0, "src1": 0.25, "src2": 0.5},
+        strata_col="source",
+        seed=3,
+        default_rate=0.1,
+    ).select("doc_id", "source")
 
 
 def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1503,6 +1546,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "U3_has_chunk": q_u3,
         "D1_minhash_lsh_neardup": q_d1,
         "D2_ngram_jaccard": q_d2,
+        "D3_cross_corpus_neardup": q_d3,
+        "T7_hash_sample": q_t7,
+        "T8_split_assign": q_t8,
+        "T9_stratified_sample": q_t9,
         "T1_token_quality": q_t1,
         "T2_lang_id": q_t2,
         "T3_fingerprint": q_t3,
@@ -1840,6 +1887,35 @@ def oracle_sql() -> dict[str, str]:
             FROM d a JOIN d b ON a.doc_id < b.doc_id
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""",
+        "D3_cross_corpus_neardup": f"""
+            WITH n AS (SELECT doc_id, {shingles} AS sh FROM documents WHERE doc_id < 100),
+                 c AS (SELECT doc_id, {shingles} AS sh FROM documents WHERE doc_id >= 100)
+            SELECT n.doc_id AS a, c.doc_id AS b,
+                   len(list_intersect(n.sh, c.sh))::DOUBLE
+                   / len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard
+            FROM n JOIN c ON TRUE
+            WHERE len(list_intersect(n.sh, c.sh))::DOUBLE
+                  / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.7""",
+        "T7_hash_sample": f"""
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  < '{sampling.rate_threshold(0.2)}'""",
+        "T8_split_assign": f"""
+            SELECT doc_id,
+                   CASE WHEN substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                             < '{sampling.rate_threshold(0.9)}' THEN 'train'
+                        WHEN substr(md5('2:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                             < '{sampling.rate_threshold(0.95)}' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents""",
+        "T9_stratified_sample": f"""
+            SELECT doc_id, source FROM documents
+            WHERE substr(md5('3:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                  < CASE source
+                      WHEN 'src0' THEN '{sampling.rate_threshold(1.0)}'
+                      WHEN 'src1' THEN '{sampling.rate_threshold(0.25)}'
+                      WHEN 'src2' THEN '{sampling.rate_threshold(0.5)}'
+                      ELSE '{sampling.rate_threshold(0.1)}' END""",
         "X8_winnow_fingerprints": """
             WITH g AS (
               SELECT doc_id,

@@ -137,15 +137,9 @@ def minhash_signatures(
     return g.select(F.col(id_col), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 2
-) -> DataFrame:
-    """Band the signatures and self-join on (band, band_key): docs
-    agreeing on all rows of any band become candidates. Returns distinct
-    (a, b) with a < b. The signature must have at least bands*rows slots
-    — slot indexing past the array end fails mid-job (callers that build
-    signatures themselves: num_hashes >= bands*rows)."""
-    banded = sigs.select(
+def _banded(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, band, key) — each signature exploded into its band keys."""
+    return sigs.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -161,6 +155,17 @@ def lsh_candidate_pairs(
             )
         ).alias("bk"),
     ).select(id_col, "bk.band", "bk.key")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", bands: int = 16, rows: int = 2
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_key): docs
+    agreeing on all rows of any band become candidates. Returns distinct
+    (a, b) with a < b. The signature must have at least bands*rows slots
+    — slot indexing past the array end fails mid-job (callers that build
+    signatures themselves: num_hashes >= bands*rows)."""
+    banded = _banded(sigs, id_col, bands, rows)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -185,14 +190,24 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    right: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for given (a, b) pairs."""
+    """Exact n-gram Jaccard for given (a, b) pairs. ``right`` resolves
+    the ``b`` side from a different corpus (cross-corpus dedup);
+    default is the self-join case."""
     sh = with_shingles(df, text_col, k).select(
         F.col(id_col), F.col("shingles")
     )
+    sh_b = (
+        sh
+        if right is None
+        else with_shingles(right, text_col, k).select(
+            F.col(id_col), F.col("shingles")
+        )
+    )
     return (
         pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("shingles", "sh_a"), "a")
-        .join(sh.withColumnRenamed(id_col, "b").withColumnRenamed("shingles", "sh_b"), "b")
+        .join(sh_b.withColumnRenamed(id_col, "b").withColumnRenamed("shingles", "sh_b"), "b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -203,14 +218,20 @@ def jaccard_pairs(
 
 
 def estimate_jaccard_pairs(
-    sigs: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    sigs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    sigs_b: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-estimated Jaccard for (a, b) pairs: fraction of agreeing
     signature slots. Two broadcast-able joins + a fixed-width zip — far
     cheaper than intersecting full shingle sets. At lake scale, bucket
-    both sides by id instead of broadcasting."""
+    both sides by id instead of broadcasting. ``sigs_b`` resolves the
+    ``b`` side from a different signature set (cross-corpus dedup)."""
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col(id_col).alias("b"), F.col("sig").alias("sig_b"))
+    sb = (sigs_b if sigs_b is not None else sigs).select(
+        F.col(id_col).alias("b"), F.col("sig").alias("sig_b")
+    )
     return (
         pairs.join(F.broadcast(sa), "a")
         .join(F.broadcast(sb), "b")
@@ -285,6 +306,56 @@ def near_dup_pairs(
     return jaccard_pairs(df, survivors, text_col, id_col, k).where(
         F.col("jaccard") >= threshold
     )
+
+
+def cross_near_dup_pairs(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 2,
+    est_margin: float = 0.25,
+) -> DataFrame:
+    """Incremental dedup: near-dup pairs BETWEEN a new batch and an
+    existing corpus — the ingest-time question a growing training set
+    asks on every batch ("which incoming docs are near-dups of
+    something we already have?"), without ever forming new×corpus
+    pairs. Returns (a=new id, b=corpus id, jaccard ≥ threshold); docs
+    appearing in both frames pair with themselves at jaccard 1.0
+    (ids are NOT assumed disjoint — the two sides never mix).
+
+    Same three-stage contract as near_dup_pairs (banding → estimated
+    prune → exact verify, identical recall math), but the banding join
+    is new-side × corpus-side only: candidates come from an equality
+    join on (band, key), so cost scales with band collisions, not
+    |new|×|corpus|. At lake scale the corpus side's signatures are the
+    persistent index: compute once, store as a table bucketed by
+    (band, key), and each batch joins against it."""
+    if num_hashes < bands * rows:
+        raise ValueError(
+            f"num_hashes={num_hashes} < bands*rows={bands * rows}: the "
+            "banding would index past the signature array"
+        )
+    sigs_n = minhash_signatures(new_df, text_col, id_col, k, num_hashes).persist()
+    sigs_c = minhash_signatures(corpus_df, text_col, id_col, k, num_hashes).persist()
+    with _ACTIVE_SIGS_LOCK:
+        _ACTIVE_SIGS.extend([sigs_n, sigs_c])
+        while len(_ACTIVE_SIGS) > 2 * _ACTIVE_SIGS_KEEP:
+            _ACTIVE_SIGS.pop(0).unpersist()
+    bn = _banded(sigs_n, id_col, bands, rows).withColumnRenamed(id_col, "a")
+    bc = _banded(sigs_c, id_col, bands, rows).withColumnRenamed(id_col, "b")
+    cand = bn.join(bc, ["band", "key"]).select("a", "b").distinct()
+    est = estimate_jaccard_pairs(sigs_n, cand, id_col, sigs_b=sigs_c)
+    survivors = est.where(
+        F.col("est_jaccard") >= threshold - est_margin
+    ).select("a", "b")
+    return jaccard_pairs(
+        new_df, survivors, text_col, id_col, k, right=corpus_df
+    ).where(F.col("jaccard") >= threshold)
 
 
 def prefix_filter_pairs(

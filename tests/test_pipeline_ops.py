@@ -445,3 +445,99 @@ def test_s2_lsh_equals_bruteforce_on_planted_corpus(spark, emb):
     assert len(lsh) == n
     assert all(b == a + 1000000 for a, b in lsh)
     corpus.unpersist()
+
+
+# -- deterministic sampling / splits (operators/sampling.py) ------------
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark, docs):
+    from pufs_spark.operators import sampling
+
+    s1 = {r["doc_id"] for r in sampling.hash_sample(docs, 0.3, seed=5).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sampling.hash_sample(docs.repartition(13), 0.3, seed=5).collect()
+    }
+    assert s1 == s2  # partitioning must not change the sample
+    n = docs.count()
+    assert 0.15 * n < len(s1) < 0.45 * n  # rate is approximate, not wild
+    # python replay: the same md5 rule picks the same docs
+    import hashlib
+
+    thr = sampling.rate_threshold(0.3)
+    expected = {
+        r["doc_id"]
+        for r in docs.select("doc_id").collect()
+        if hashlib.md5(f"5:{r['doc_id']}".encode()).hexdigest()[:12] < thr
+    }
+    assert s1 == expected
+
+
+def test_assign_splits_partitions_completely(spark, docs):
+    from pufs_spark.operators import sampling
+
+    out = sampling.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=9
+    )
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert sum(counts.values()) == docs.count()  # every row exactly one split
+    assert counts["train"] > counts["val"]
+    # stability: a doc keeps its split when the frame is filtered
+    sub = sampling.assign_splits(
+        docs.where(F.col("doc_id") < 50), {"train": 0.8, "val": 0.1, "test": 0.1},
+        seed=9,
+    )
+    full = {r["doc_id"]: r["split"] for r in out.where(F.col("doc_id") < 50).collect()}
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == full
+
+
+def test_assign_splits_rejects_bad_weights(spark, docs):
+    from pufs_spark.operators import sampling
+
+    with pytest.raises(ValueError, match="sum"):
+        sampling.assign_splits(docs, {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_rates_respected(spark, docs):
+    from pufs_spark.operators import sampling
+
+    out = sampling.stratified_hash_sample(
+        docs, rates={"src0": 1.0, "src1": 0.0}, strata_col="source",
+        seed=4, default_rate=0.5,
+    )
+    by_src = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["source"]: r["n"] for r in docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("src0") == totals["src0"]  # rate 1.0 keeps all
+    assert "src1" not in by_src  # rate 0.0 drops all
+    other = {s for s in totals if s not in ("src0", "src1")}
+    kept_other = sum(by_src.get(s, 0) for s in other)
+    total_other = sum(totals[s] for s in other)
+    assert 0.25 * total_other < kept_other < 0.75 * total_other
+
+
+# -- incremental (cross-corpus) dedup -----------------------------------
+
+
+def test_cross_near_dup_matches_brute_force(spark, docs):
+    new = docs.where(F.col("doc_id") < 40)
+    corpus = docs.where(F.col("doc_id") >= 40)
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.cross_near_dup_pairs(new, corpus, threshold=0.5).collect()
+    }
+    pairs = (
+        new.select(F.col("doc_id").alias("a"))
+        .crossJoin(corpus.select(F.col("doc_id").alias("b")))
+    )
+    want = {
+        (r["a"], r["b"])
+        for r in dedup.jaccard_pairs(docs, pairs)
+        .where(F.col("jaccard") >= 0.5)
+        .collect()
+    }
+    assert got == want
+    assert all(a < 40 <= b for a, b in got)
