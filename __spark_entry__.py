@@ -426,6 +426,14 @@ def q_t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: eval-set decontamination — fraction of each doc's distinct
+    8-word-grams appearing in a pseudo eval set (every 50th doc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    return text.eval_contamination(docs, ev, n=8)
+
+
 def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: token counting + quality signals per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1550,6 +1558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "T7_hash_sample": q_t7,
         "T8_split_assign": q_t8,
         "T9_stratified_sample": q_t9,
+        "T10_eval_contamination": q_t10,
         "T1_token_quality": q_t1,
         "T2_lang_id": q_t2,
         "T3_fingerprint": q_t3,
@@ -1896,6 +1905,33 @@ def oracle_sql() -> dict[str, str]:
             FROM n JOIN c ON TRUE
             WHERE len(list_intersect(n.sh, c.sh))::DOUBLE
                   / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.7""",
+        "T10_eval_contamination": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+                          ELSE [array_to_string(list_slice(toks, i, i + 7), ' ')
+                                for i in range(1, len(toks) - 6)]
+                     END AS gs
+              FROM tok),
+            dg AS (SELECT DISTINCT doc_id, unnest(gs) AS gram FROM g),
+            ev AS (SELECT DISTINCT unnest(gs) AS gram FROM g WHERE doc_id % 50 = 0),
+            hit AS (SELECT doc_id, count(*) AS n_hit FROM dg
+                    WHERE gram IN (SELECT gram FROM ev) GROUP BY doc_id),
+            tot AS (SELECT doc_id, count(*) AS n_all FROM dg GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(tot.n_all, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_contaminated,
+                   CASE WHEN coalesce(tot.n_all, 0) = 0 THEN 0.0
+                        ELSE coalesce(hit.n_hit, 0)::DOUBLE / tot.n_all
+                   END AS contamination
+            FROM documents d
+            LEFT JOIN tot ON d.doc_id = tot.doc_id
+            LEFT JOIN hit ON d.doc_id = hit.doc_id""",
         "T7_hash_sample": f"""
             SELECT doc_id, lang, source FROM documents
             WHERE substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 12)

@@ -278,6 +278,64 @@ PII_PATTERNS = [
 ]
 
 
+def eval_contamination(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+) -> DataFrame:
+    """Decontamination: per-document overlap with an evaluation set,
+    measured as the fraction of the doc's DISTINCT word ``n``-grams
+    that appear anywhere in ``eval_df`` — the eval-leakage check of
+    large-model data pipelines (n-gram collision scan, Brown et al.
+    2020 appendix C; PaLM/Llama variants differ only in n). Returns
+    every doc with (n_grams, n_contaminated, contamination); filter
+    ``contamination > 0`` to quarantine.
+
+    Plan shape for 100 TB: eval sets are small by definition, so the
+    distinct eval n-grams broadcast into a left-semi probe of the
+    exploded doc grams — corpus-sized work is one explode + two hash
+    aggs with map-side partials; nothing quadratic, no shuffle of the
+    eval side."""
+    toks = tokens_col(text_col)
+    nt = F.size(toks)
+    gs = F.when(nt < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nt - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        )
+    )
+    doc_grams = df.select(F.col(id_col), F.explode(gs).alias("gram")).distinct()
+    eval_grams = (
+        eval_df.select(F.explode(gs).alias("gram")).distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("_hit"))
+    )
+    totals = doc_grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("_all"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_all"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("_hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.when(F.coalesce(F.col("_all"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.coalesce(F.col("_hit"), F.lit(0))
+                / F.col("_all").cast("double")
+            )
+            .alias("contamination"),
+        )
+    )
+
+
 def redact_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "redacted"
 ) -> DataFrame:

@@ -541,3 +541,30 @@ def test_cross_near_dup_matches_brute_force(spark, docs):
     }
     assert got == want
     assert all(a < 40 <= b for a, b in got)
+
+
+def test_eval_contamination_properties(spark, docs):
+    ev = docs.where(F.col("doc_id") % 25 == 0)
+    out = text.eval_contamination(docs, ev, n=8).cache()
+    assert out.count() == docs.count()  # every doc scored
+    # eval members' grams are all in the eval set by construction
+    member = out.join(ev.select("doc_id"), "doc_id").where(F.col("n_grams") > 0)
+    assert member.where(F.col("contamination") != 1.0).count() == 0
+    # bounds + zero-gram docs score 0.0, not null
+    bad = out.where(
+        (F.col("contamination") < 0) | (F.col("contamination") > 1)
+        | F.col("contamination").isNull()
+    )
+    assert bad.count() == 0
+    # python replay on one contaminated + one clean doc
+    rows = {r["doc_id"]: r for r in out.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    ev_ids = {r["doc_id"] for r in ev.collect()}
+    def grams(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + 8]) for i in range(len(toks) - 7)}
+    ev_grams = set().union(*(grams(texts[i]) for i in ev_ids))
+    for did in list(texts)[:40]:
+        g = grams(texts[did])
+        want = (len(g & ev_grams) / len(g)) if g else 0.0
+        assert abs(rows[did]["contamination"] - want) < 1e-9, did
