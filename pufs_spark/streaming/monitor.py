@@ -170,6 +170,46 @@ def stream_rates(spark, events_path: str, max_files_per_trigger: int | None = No
     )
 
 
+def _with_event_time(df: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks/event time require TIMESTAMP; a TIMESTAMP_NTZ input
+    (driver fixtures ship it) is cast in place. With the session tz
+    pinned to UTC (session.py) the cast is value-preserving."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
+def stream_sessions(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """E1 live: gap-based sessionization on a stream via the native
+    ``session_window`` — Catalyst's merging session state, not a
+    custom stateful UDF. State is bounded to sessions still open
+    within the watermark horizon; closed sessions age out, so memory
+    scales with concurrent activity, not history. Semantics match the
+    batch ``sessionize`` (same gap rule); the window end is
+    last-event + gap per session_window's definition.
+
+    Also valid on a BATCH frame (session_window works in both), which
+    is how tests pin the stream output to the batch operator."""
+    return (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), F.col(key))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def stream_dedup(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("content_hash",),
@@ -187,8 +227,10 @@ def stream_dedup(
     watermark) instead of growing with every key ever seen — the same
     bounded-state reasoning as the reference's in-flight transfer map
     (region/pending.go), applied to dedup."""
-    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(key_cols)
+    return (
+        _with_event_time(stream, ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(list(key_cols))
     )
 
 

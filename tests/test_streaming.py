@@ -227,3 +227,40 @@ def test_stream_dedup_drops_redeliveries(spark, tmp_path):
     rows = spark.sql("SELECT bid FROM sdedup").collect()
     bids = sorted(r["bid"] for r in rows)
     assert bids == ["a", "b", "c", "d"]
+
+
+def test_stream_sessions_match_batch_operators(spark, tmp_path):
+    """Native session_window streaming sessionize: the stream output
+    must equal the same session_window run as a batch agg, and the
+    session STRUCTURE (count + per-user event multiset) must match the
+    gaps-and-islands batch operator (sessionize) at the same gap."""
+    path = str(tmp_path / "ev")
+    _write_events(spark, path)
+    ev = load_table(spark, SF_DIR, "events")
+    ts_type = dict(ev.dtypes)["ts"]
+
+    stream = spark.readStream.schema(
+        f"event_id long, ts {ts_type}, user_id long, "
+        "event_type string, value double, props string"
+    ).parquet(path)
+    q = _run_to_end(monitor.stream_sessions(stream), "sessions")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    )
+    q.stop()
+
+    expect = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in monitor.stream_sessions(ev).collect()
+    )
+    assert got == expect
+    assert len(got) > 100
+
+    batch = monitor.sessionize(ev)  # 30-min gap default on both
+    assert batch.count() == len(got)
+    stream_ms = sorted((u, n) for u, _s, _e, n in got)
+    batch_ms = sorted(
+        (r["user_id"], r["n_events"]) for r in batch.collect()
+    )
+    assert stream_ms == batch_ms
