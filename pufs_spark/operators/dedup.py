@@ -308,6 +308,37 @@ def near_dup_pairs(
     )
 
 
+def build_near_dup_index(
+    corpus_df: DataFrame,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 2,
+    buckets: int = 64,
+) -> None:
+    """Persist the corpus side of incremental dedup as a reusable
+    BUCKETED index: (id, band, key, sig), bucketed+sorted by
+    (band, key). Each ingest batch then LSH-joins against the index
+    with no corpus-side shuffle (the bucketed scan is pre-partitioned;
+    only the new batch exchanges) and no corpus signature recompute —
+    the signatures ride along for the estimate stage. Callers must
+    pass the SAME (k, num_hashes, bands, rows) to
+    ``cross_near_dup_pairs`` that built the index."""
+    sigs = minhash_signatures(corpus_df, text_col, id_col, k, num_hashes)
+    index = _banded(sigs, id_col, bands, rows).join(sigs, id_col)
+    (
+        index.write.bucketBy(buckets, "band", "key")
+        .sortBy("band", "key")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
 def cross_near_dup_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,
@@ -319,6 +350,7 @@ def cross_near_dup_pairs(
     bands: int = 16,
     rows: int = 2,
     est_margin: float = 0.25,
+    corpus_index: str | None = None,
 ) -> DataFrame:
     """Incremental dedup: near-dup pairs BETWEEN a new batch and an
     existing corpus — the ingest-time question a growing training set
@@ -332,22 +364,35 @@ def cross_near_dup_pairs(
     prune → exact verify, identical recall math), but the banding join
     is new-side × corpus-side only: candidates come from an equality
     join on (band, key), so cost scales with band collisions, not
-    |new|×|corpus|. At lake scale the corpus side's signatures are the
-    persistent index: compute once, store as a table bucketed by
-    (band, key), and each batch joins against it."""
+    |new|×|corpus|.
+
+    ``corpus_index`` names a table built by ``build_near_dup_index``
+    (same LSH parameters): the corpus's banded signatures are then read
+    pre-bucketed — no corpus-side shuffle, no signature recompute per
+    batch — and ``corpus_df`` is only consulted to verify the
+    survivors' exact Jaccard."""
     if num_hashes < bands * rows:
         raise ValueError(
             f"num_hashes={num_hashes} < bands*rows={bands * rows}: the "
             "banding would index past the signature array"
         )
     sigs_n = minhash_signatures(new_df, text_col, id_col, k, num_hashes).persist()
-    sigs_c = minhash_signatures(corpus_df, text_col, id_col, k, num_hashes).persist()
+    if corpus_index is not None:
+        index = new_df.sparkSession.table(corpus_index)
+        bc = index.select(F.col(id_col).alias("b"), "band", "key")
+        sigs_c = index.select(id_col, "sig").distinct()
+    else:
+        sigs_c = minhash_signatures(
+            corpus_df, text_col, id_col, k, num_hashes
+        ).persist()
+        bc = _banded(sigs_c, id_col, bands, rows).withColumnRenamed(id_col, "b")
     with _ACTIVE_SIGS_LOCK:
-        _ACTIVE_SIGS.extend([sigs_n, sigs_c])
+        _ACTIVE_SIGS.append(sigs_n)
+        if corpus_index is None:
+            _ACTIVE_SIGS.append(sigs_c)
         while len(_ACTIVE_SIGS) > 2 * _ACTIVE_SIGS_KEEP:
             _ACTIVE_SIGS.pop(0).unpersist()
     bn = _banded(sigs_n, id_col, bands, rows).withColumnRenamed(id_col, "a")
-    bc = _banded(sigs_c, id_col, bands, rows).withColumnRenamed(id_col, "b")
     cand = bn.join(bc, ["band", "key"]).select("a", "b").distinct()
     est = estimate_jaccard_pairs(sigs_n, cand, id_col, sigs_b=sigs_c)
     survivors = est.where(

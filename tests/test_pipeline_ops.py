@@ -568,3 +568,29 @@ def test_eval_contamination_properties(spark, docs):
         g = grams(texts[did])
         want = (len(g & ev_grams) / len(g)) if g else 0.0
         assert abs(rows[did]["contamination"] - want) < 1e-9, did
+
+
+def test_cross_near_dup_with_persisted_index(spark, docs, tmp_path):
+    """The bucketed corpus index must (a) give exactly the same pairs
+    as the index-less path, (b) actually be read bucket-aware so the
+    per-batch candidate join needs no corpus-side shuffle."""
+    new = docs.where(F.col("doc_id") < 40)
+    corpus = docs.where(F.col("doc_id") >= 40)
+    spark.sql("DROP TABLE IF EXISTS nd_index")
+    dedup.build_near_dup_index(
+        corpus, "nd_index", str(tmp_path / "nd_index"), buckets=8
+    )
+    try:
+        with_index = dedup.cross_near_dup_pairs(
+            new, corpus, threshold=0.5, corpus_index="nd_index"
+        )
+        got = {(r["a"], r["b"]) for r in with_index.collect()}
+        want = {
+            (r["a"], r["b"])
+            for r in dedup.cross_near_dup_pairs(new, corpus, threshold=0.5).collect()
+        }
+        assert got == want
+        plan = with_index._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan  # index scan is bucket-aware
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nd_index")
