@@ -288,6 +288,75 @@ def fit_kmeans_centroids(
     return [list(map(float, c)) for c in cent]
 
 
+def _assign_to_centroids(
+    df: DataFrame, cent: DataFrame, id_col: str, vec_col: str,
+    id_alias: str, keep_n: int,
+) -> DataFrame:
+    """Nearest-``keep_n`` centroid assignment: broadcast the (tiny)
+    centroid table, rank by cosine. Returns (id_alias, _v, centroid_id)."""
+    sim = (
+        df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(cent))
+        .withColumn("_csim", cosine_sim_col("_v", "_cv"))
+    )
+    w = Window.partitionBy(id_alias).orderBy(
+        F.col("_csim").desc(), F.col("centroid_id")
+    )
+    return (
+        sim.withColumn("_cr", F.row_number().over(w))
+        .where(F.col("_cr") <= keep_n)
+        .select(id_alias, "_v", "centroid_id")
+    )
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    table: str,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    buckets: int = 16,
+    sample: int = 2048,
+    iters: int = 8,
+    seed: int = 42,
+) -> None:
+    """Persist an IVF index for reuse across query batches: k-means
+    centroids in ``<table>_centroids`` (tiny) plus the inverted lists
+    (vec_id, embedding, centroid_id) in ``table``, bucketed by
+    centroid_id. ``ivf_topk(corpus_index=...)`` then skips both the
+    centroid fit and the corpus-wide assignment per batch, and the
+    probe join reads the lists pre-partitioned — the assignment pass
+    over the full corpus happens ONCE at build time, which is the
+    economics a 100TB embedding store needs (queries arrive forever,
+    the corpus changes slowly)."""
+    spark = corpus.sparkSession
+    cents = fit_kmeans_centroids(
+        corpus, n_centroids, vec_col, id_col, sample, iters, seed
+    )
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(cents)],
+        "centroid_id long, _cv array<float>",
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}_centroids")
+    (
+        cent_df.write.option("path", f"{path}_centroids")
+        .mode("overwrite")
+        .saveAsTable(f"{table}_centroids")
+    )
+    inv = _assign_to_centroids(
+        corpus, cent_df, id_col, vec_col, id_col, 1
+    ).select(id_col, F.col("_v").alias(vec_col), "centroid_id")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        inv.write.bucketBy(buckets, "centroid_id")
+        .sortBy("centroid_id")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -298,6 +367,7 @@ def ivf_topk(
     n_probe: int = 4,
     centroid_stride: int | None = None,
     centroids: list[list[float]] | None = None,
+    corpus_index: str | None = None,
 ) -> DataFrame:
     """ANN via an IVF-style coarse quantizer: a deterministic sample of
     corpus vectors serves as centroids; every corpus vector is assigned
@@ -308,45 +378,44 @@ def ivf_topk(
     tiny and broadcast. ``n_centroids=None`` → ~sqrt(N) (balances list
     size against probe cost); k-means on a sample would replace the
     deterministic id-stride sampling without changing the
-    assignment/probe/re-rank plan."""
+    assignment/probe/re-rank plan. ``corpus_index`` names an index
+    built by ``build_ann_index``: centroids and the corpus assignment
+    are read from the persisted tables instead of recomputed."""
     import math
 
-    if n_centroids is None:
-        n_centroids = max(8, int(math.sqrt(max(corpus.count(), 1))))
-    if centroids is not None:
-        spark = corpus.sparkSession
-        cent = spark.createDataFrame(
-            [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
-            "centroid_id long, _cv array<float>",
+    spark = corpus.sparkSession
+    if corpus_index is not None:
+        cent = spark.table(f"{corpus_index}_centroids")
+        inv = spark.table(corpus_index).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+            "centroid_id",
         )
     else:
-        stride = centroid_stride or 97  # deterministic sample of corpus ids
-        cent = (
-            corpus.where((F.col(id_col) % stride) == 0)
-            .orderBy(id_col)
-            .limit(n_centroids)
-            .select(
-                F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv")
+        if n_centroids is None:
+            n_centroids = max(8, int(math.sqrt(max(corpus.count(), 1))))
+        if centroids is not None:
+            cent = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+                "centroid_id long, _cv array<float>",
             )
-        )
-
-    def assign(df, id_alias, keep_n):
-        sim = (
-            df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias("_v"))
-            .crossJoin(F.broadcast(cent))
-            .withColumn("_csim", cosine_sim_col("_v", "_cv"))
-        )
-        w = Window.partitionBy(id_alias).orderBy(
-            F.col("_csim").desc(), F.col("centroid_id")
-        )
-        return (
-            sim.withColumn("_cr", F.row_number().over(w))
-            .where(F.col("_cr") <= keep_n)
-            .select(id_alias, "_v", "centroid_id")
-        )
-
-    inv = assign(corpus, "neighbor_id", 1).withColumnRenamed("_v", "_nv")
-    probes = assign(queries, "query_id", n_probe).withColumnRenamed("_v", "_qv")
+        else:
+            stride = centroid_stride or 97  # deterministic sample of corpus ids
+            cent = (
+                corpus.where((F.col(id_col) % stride) == 0)
+                .orderBy(id_col)
+                .limit(n_centroids)
+                .select(
+                    F.col(id_col).alias("centroid_id"),
+                    F.col(vec_col).alias("_cv"),
+                )
+            )
+        inv = _assign_to_centroids(
+            corpus, cent, id_col, vec_col, "neighbor_id", 1
+        ).withColumnRenamed("_v", "_nv")
+    probes = _assign_to_centroids(
+        queries, cent, id_col, vec_col, "query_id", n_probe
+    ).withColumnRenamed("_v", "_qv")
     cand = (
         probes.join(inv, "centroid_id")
         .where(F.col("query_id") != F.col("neighbor_id"))

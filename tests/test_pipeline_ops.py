@@ -594,3 +594,43 @@ def test_cross_near_dup_with_persisted_index(spark, docs, tmp_path):
         assert "Bucketed: true" in plan  # index scan is bucket-aware
     finally:
         spark.sql("DROP TABLE IF EXISTS nd_index")
+
+
+def test_ivf_index_matches_fresh_path(spark, emb, tmp_path):
+    """A persisted IVF index (centroids + bucketed inverted lists) must
+    reproduce the index-less ivf_topk results computed with the same
+    fitted centroids."""
+    from pufs_spark.operators import similarity
+
+    queries = emb.where(F.col("vec_id") < 10)
+    spark.sql("DROP TABLE IF EXISTS ann_idx")
+    spark.sql("DROP TABLE IF EXISTS ann_idx_centroids")
+    similarity.build_ann_index(
+        emb, "ann_idx", str(tmp_path / "ann_idx"), n_centroids=8, seed=11
+    )
+    try:
+        with_idx = similarity.ivf_topk(
+            queries, emb, k=5, corpus_index="ann_idx"
+        )
+        got = [
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in with_idx.orderBy("query_id", "rank").collect()
+        ]
+        cents = [
+            list(r["_cv"])
+            for r in spark.table("ann_idx_centroids")
+            .orderBy("centroid_id")
+            .collect()
+        ]
+        fresh = similarity.ivf_topk(queries, emb, k=5, centroids=cents)
+        want = [
+            (r["query_id"], r["rank"], r["neighbor_id"])
+            for r in fresh.orderBy("query_id", "rank").collect()
+        ]
+        assert got == want
+        assert len(got) == 10 * 5
+        plan = with_idx._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_idx")
+        spark.sql("DROP TABLE IF EXISTS ann_idx_centroids")
