@@ -13,7 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pufs_spark.operators import dedup, text
+from pufs_spark.operators import dedup, sampling, text
+from pufs_spark.sources import dataset
 
 
 def clean_corpus(
@@ -62,4 +63,43 @@ def clean_corpus(
             out, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
         ).localCheckpoint()
         out = dedup.dedup_keep_first(out, pairs, id_col)
+    return out
+
+
+def prepare_training_corpus(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    split_weights: dict[str, float] | None = None,
+    split_seed: int = 0,
+    eval_df: DataFrame | None = None,
+    max_contamination: float = 0.0,
+    **clean_kwargs,
+) -> DataFrame:
+    """The full corpus-preparation sink: clean (quality/lang/dedup) →
+    optional eval-decontamination gate → deterministic train/val/test
+    assignment → split-partitioned parquet layout. Returns the written
+    frame (with the ``split`` column) for inspection; the on-disk
+    layout is ``path/split=train/...`` etc., so downstream trainers
+    read exactly one split subtree with partition pruning and the
+    val/test sets can never leak into a training glob.
+
+    Contamination gate: with ``eval_df`` given, docs whose distinct
+    n-gram overlap with the eval set exceeds ``max_contamination`` are
+    dropped BEFORE split assignment (default 0.0 = any overlap drops).
+    Split assignment is md5-keyed (operators/sampling), so re-running
+    the pipeline — or re-sharding the input — never moves a doc
+    between splits."""
+    out = clean_corpus(docs, text_col, id_col, **clean_kwargs)
+    if eval_df is not None:
+        scores = text.eval_contamination(out, eval_df, text_col, id_col)
+        keep = scores.where(
+            F.col("contamination") <= max_contamination
+        ).select(id_col)
+        out = out.join(keep, id_col, "left_semi")
+    out = sampling.assign_splits(
+        out, split_weights, id_col, seed=split_seed
+    )
+    dataset.write_partitioned(out, path, ["split"], [id_col])
     return out

@@ -634,3 +634,44 @@ def test_ivf_index_matches_fresh_path(spark, emb, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_idx")
         spark.sql("DROP TABLE IF EXISTS ann_idx_centroids")
+
+
+def test_prepare_training_corpus_end_to_end(spark, docs, tmp_path):
+    """Full corpus sink: clean -> decontaminate -> split -> partitioned
+    layout. The written dataset must read back partition-pruned, splits
+    must partition the survivors, and no contaminated doc may survive."""
+    from pufs_spark.operators import pipeline as P
+    from pufs_spark.operators import text as T
+    from pufs_spark.sources import dataset
+
+    ev = docs.where(F.col("doc_id") % 100 == 0)
+    path = str(tmp_path / "corpus")
+    out = P.prepare_training_corpus(
+        docs, path,
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        eval_df=ev, max_contamination=0.5,
+        near_dup_threshold=None,  # keep the test fast; dedup covered elsewhere
+    )
+    kept = out.count()
+    assert 0 < kept < docs.count()
+
+    back = dataset.read_dataset(spark, path)
+    assert back.count() == kept
+    assert {r["split"] for r in back.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    # partition pruning: a split filter must prune directories
+    plan = back.where(F.col("split") == "val")._jdf.queryExecution().toString()
+    assert "split=val" in plan or "PartitionFilters" in plan
+    # contamination gate: every survivor scores <= 0.5 against the eval set
+    scores = T.eval_contamination(back, ev)
+    assert scores.where(F.col("contamination") > 0.5).count() == 0
+    # determinism: a doc's split never changes across reruns
+    again = P.prepare_training_corpus(
+        docs, str(tmp_path / "corpus2"),
+        split_weights={"train": 0.8, "val": 0.1, "test": 0.1},
+        eval_df=ev, max_contamination=0.5, near_dup_threshold=None,
+    )
+    a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in again.select("doc_id", "split").collect()}
+    assert a == b
