@@ -434,6 +434,20 @@ def q_t10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.eval_contamination(docs, ev, n=8)
 
 
+def q_t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: within-doc repetition signals (Gopher-style quality
+    filters): distinct-word ratio, top-word and top-2-gram fractions."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs)
+
+
+def q_e5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: ordered product funnel per user — first view, first click
+    after it, first purchase after that."""
+    ev = load_table(spark, sf_dir, "events")
+    return monitor.funnel(ev)
+
+
 def q_t1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1: token counting + quality signals per document."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1559,6 +1573,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "T8_split_assign": q_t8,
         "T9_stratified_sample": q_t9,
         "T10_eval_contamination": q_t10,
+        "T11_repetition_stats": q_t11,
+        "E5_funnel": q_e5,
         "T1_token_quality": q_t1,
         "T2_lang_id": q_t2,
         "T3_fingerprint": q_t3,
@@ -2134,6 +2150,53 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)
                   / (CASE WHEN a.nrm * b.nrm = 0 THEN 1.0 ELSE a.nrm * b.nrm END) >= 0.95""",
+        "E5_funnel": """
+            WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+            s1 AS (SELECT user_id, min(tus) AS t_view_us
+                   FROM e WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(tus) AS t_click_us
+                   FROM e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE event_type = 'click' AND tus > t_view_us
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(tus) AS t_purchase_us
+                   FROM e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE event_type = 'purchase' AND tus > t_click_us
+                   GROUP BY e.user_id)
+            SELECT s1.user_id, t_view_us, t_click_us, t_purchase_us
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id""",
+        "T11_repetition_stats": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents),
+            w AS (SELECT doc_id, unnest(toks) AS w FROM tok),
+            wc AS (SELECT doc_id, w, count(*) AS c FROM w GROUP BY doc_id, w),
+            ws AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, max(c) AS top
+                   FROM wc GROUP BY doc_id),
+            g AS (SELECT doc_id,
+                         CASE WHEN len(toks) < 2 THEN []::VARCHAR[]
+                              ELSE [array_to_string(list_slice(toks, i, i + 1), ' ')
+                                    for i in range(1, len(toks))]
+                         END AS gs
+                  FROM tok),
+            gu AS (SELECT doc_id, unnest(gs) AS g FROM g),
+            gc AS (SELECT doc_id, g, count(*) AS c FROM gu GROUP BY doc_id, g),
+            gst AS (SELECT doc_id, sum(c) AS gn, max(c) AS gtop
+                    FROM gc GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(ws.n, 0) AS BIGINT) AS n_tokens,
+                   CASE WHEN coalesce(ws.n, 0) = 0 THEN 0.0
+                        ELSE ws.nd::DOUBLE / ws.n END AS distinct_word_ratio,
+                   CASE WHEN coalesce(ws.n, 0) = 0 THEN 0.0
+                        ELSE ws.top::DOUBLE / ws.n END AS top_word_frac,
+                   CASE WHEN coalesce(gst.gn, 0) = 0 THEN 0.0
+                        ELSE gst.gtop::DOUBLE / gst.gn END AS top_2gram_frac
+            FROM documents d
+            LEFT JOIN ws ON d.doc_id = ws.doc_id
+            LEFT JOIN gst ON d.doc_id = gst.doc_id""",
         "E1_sessionize": """
             WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
             g AS (SELECT user_id, tus,

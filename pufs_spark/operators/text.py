@@ -278,6 +278,64 @@ PII_PATTERNS = [
 ]
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher repetition
+    filters, Rae et al. 2021 §A1.1: machine-generated and boilerplate
+    text repeats itself): distinct-word ratio, most-frequent-word
+    fraction, most-frequent-2-gram fraction. Low distinct ratio or a
+    high top-fraction flags spammy/templated docs.
+
+    Plan: explode words (and 2-grams) → per-(doc, term) count →
+    per-doc max/sum/distinct. Two hash-agg pipelines with map-side
+    partials, joined on doc_id — no windows, nothing quadratic."""
+    toks = tokens_col(text_col)
+    words = df.select(F.col(id_col), F.explode(toks).alias("_w"))
+    wstats = (
+        words.groupBy(id_col, "_w")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_n"),
+            F.count(F.lit(1)).alias("_distinct"),
+            F.max("_c").alias("_top"),
+        )
+    )
+    nt = F.size(toks)
+    grams2 = F.when(nt < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), nt - 1),
+            lambda i: F.array_join(F.slice(toks, i, 2), " "),
+        )
+    )
+    g2 = df.select(F.col(id_col), F.explode(grams2).alias("_g"))
+    gstats = (
+        g2.groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(F.sum("_c").alias("_gn"), F.max("_c").alias("_gtop"))
+    )
+    return (
+        df.select(id_col)
+        .join(wstats, id_col, "left")
+        .join(gstats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.when(F.coalesce(F.col("_n"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("_distinct") / F.col("_n").cast("double"))
+            .alias("distinct_word_ratio"),
+            F.when(F.coalesce(F.col("_n"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("_top") / F.col("_n").cast("double"))
+            .alias("top_word_frac"),
+            F.when(F.coalesce(F.col("_gn"), F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.col("_gtop") / F.col("_gn").cast("double"))
+            .alias("top_2gram_frac"),
+        )
+    )
+
+
 def eval_contamination(
     df: DataFrame,
     eval_df: DataFrame,

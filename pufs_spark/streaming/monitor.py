@@ -104,6 +104,45 @@ def transfer_rates(
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    key: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel: for each key, the earliest time it completed
+    each step STRICTLY AFTER its previous step (the classic product
+    funnel: first view, first click after that view, first purchase
+    after that click). One row per key that reached step 1;
+    ``t_<step>_us`` columns are NULL from the first uncompleted step
+    on.
+
+    Plan: one filtered min-agg per step, each joined on the key —
+    every shuffle is on the same key, so a pre-partitioned/bucketed
+    events table does the whole funnel with a single exchange. Step
+    count is fixed and small; nothing is per-event stateful."""
+    tus = _epoch_micros(events, ts_col)
+    ev = events.select(F.col(key), F.col(type_col).alias("_t"), tus.alias("_us"))
+    out: DataFrame | None = None
+    prev_col: str | None = None
+    for step in steps:
+        col = f"t_{step}_us"
+        stage = ev.where(F.col("_t") == step)
+        if out is None:
+            out = stage.groupBy(key).agg(F.min("_us").alias(col))
+        else:
+            nxt = (
+                stage.join(out.select(key, prev_col), key)
+                .where(F.col("_us") > F.col(prev_col))
+                .groupBy(key)
+                .agg(F.min("_us").alias(col))
+            )
+            out = out.join(nxt, key, "left")
+        prev_col = col
+    return out
+
+
 def last_k_events(
     events: DataFrame,
     k: int = 32,

@@ -675,3 +675,24 @@ def test_prepare_training_corpus_end_to_end(spark, docs, tmp_path):
     a = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
     b = {r["doc_id"]: r["split"] for r in again.select("doc_id", "split").collect()}
     assert a == b
+
+
+def test_repetition_stats_python_replay(spark, docs):
+    out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+    assert len(out) == docs.count()
+    from collections import Counter
+
+    for r in docs.select("doc_id", "text").take(40):
+        toks = r["text"].split()
+        row = out[r["doc_id"]]
+        assert row["n_tokens"] == len(toks)
+        if not toks:
+            continue
+        wc = Counter(toks)
+        assert row["distinct_word_ratio"] == pytest.approx(len(wc) / len(toks))
+        assert row["top_word_frac"] == pytest.approx(max(wc.values()) / len(toks))
+        if len(toks) >= 2:
+            g = Counter(" ".join(toks[i:i + 2]) for i in range(len(toks) - 1))
+            assert row["top_2gram_frac"] == pytest.approx(
+                max(g.values()) / (len(toks) - 1)
+            )

@@ -264,3 +264,35 @@ def test_stream_sessions_match_batch_operators(spark, tmp_path):
         (r["user_id"], r["n_events"]) for r in batch.collect()
     )
     assert stream_ms == batch_ms
+
+
+def test_funnel_ordering_semantics(spark):
+    """Steps must be completed strictly in order: events of a later
+    step BEFORE the previous step's first completion don't count, and
+    keys that never did step 1 are excluded."""
+    rows = [
+        # u1 completes the whole funnel in order
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # u2's only click precedes its first view -> click NULL
+        (2, "click", 8), (2, "view", 10),
+        # u3's purchase precedes its first click -> purchase NULL
+        (3, "view", 10), (3, "purchase", 11), (3, "click", 12),
+        # u4 never viewed -> not in the output at all
+        (4, "click", 5), (4, "purchase", 6),
+        # u5: second click after view counts even though first doesn't
+        (5, "click", 1), (5, "view", 10), (5, "click", 15),
+        (5, "purchase", 20),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, us) for u, t, us in rows], "user_id long, event_type string, us long"
+    ).select("user_id", "event_type", F.timestamp_micros("us").alias("ts"))
+    got = {
+        r["user_id"]: (r["t_view_us"], r["t_click_us"], r["t_purchase_us"])
+        for r in monitor.funnel(ev).collect()
+    }
+    assert got == {
+        1: (10, 20, 30),
+        2: (10, None, None),
+        3: (10, 12, None),
+        5: (10, 15, 20),
+    }
