@@ -441,6 +441,12 @@ def q_t11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.repetition_stats(docs)
 
 
+def q_t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: BM25 keyword search for a fixed 3-term query."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bm25_search(docs, ["spark", "join", "window"])
+
+
 def q_e5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: ordered product funnel per user — first view, first click
     after it, first purchase after that."""
@@ -1574,6 +1580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "T9_stratified_sample": q_t9,
         "T10_eval_contamination": q_t10,
         "T11_repetition_stats": q_t11,
+        "T12_bm25_search": q_t12,
         "E5_funnel": q_e5,
         "T1_token_quality": q_t1,
         "T2_lang_id": q_t2,
@@ -2150,6 +2157,23 @@ def oracle_sql() -> dict[str, str]:
             FROM n a JOIN n b ON a.vec_id < b.vec_id
             WHERE list_dot_product(a.v, b.v)
                   / (CASE WHEN a.nrm * b.nrm = 0 THEN 1.0 ELSE a.nrm * b.nrm END) >= 0.95""",
+        "T12_bm25_search": """
+            WITH tok AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks
+              FROM documents),
+            w AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS w FROM tok),
+            m AS (SELECT * FROM w WHERE w IN ('spark', 'join', 'window')),
+            stats AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM tok),
+            dfq AS (SELECT w, count(DISTINCT doc_id) AS df FROM m GROUP BY w),
+            tf AS (SELECT doc_id, w, dl, count(*) AS tf FROM m GROUP BY doc_id, w, dl)
+            SELECT doc_id,
+                   sum(ln((n - df + 0.5) / (df + 0.5) + 1)
+                       * tf * (1.2 + 1)
+                       / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
+            FROM tf JOIN dfq USING (w) CROSS JOIN stats
+            GROUP BY doc_id""",
         "E5_funnel": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
             s1 AS (SELECT user_id, min(tus) AS t_view_us

@@ -278,6 +278,63 @@ PII_PATTERNS = [
 ]
 
 
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Keyword search over the corpus: Okapi BM25 scores for a bag of
+    query terms (Robertson & Zaragoza 2009, the standard probabilistic
+    ranking function). Returns (id, score) for every doc matching at
+    least one term, optionally truncated to the global ``top_n``.
+
+    Plan shape for 100 TB: document frequencies for the query terms
+    are a filtered aggregate over the exploded corpus (the filter on
+    the tiny term list pushes below the explode), joined back broadcast;
+    per-doc term frequencies are one hash agg. No full-vocabulary
+    inverted index is materialized — for a standing search service,
+    persist the (term, doc, tf) explode as a bucketed table the same
+    way build_near_dup_index persists LSH bands."""
+    if not query_terms:
+        raise ValueError("query_terms is empty")
+    spark = df.sparkSession
+    terms = spark.createDataFrame([(t,) for t in query_terms], "_w string")
+    toks = tokens_col(text_col)
+    words = df.select(F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w"))
+    matched = words.join(F.broadcast(terms), "_w")
+    n_total = df.count()
+    avgdl = df.select(F.avg(F.size(toks))).collect()[0][0] or 1.0
+    dfreq = (
+        matched.select("_w", id_col)
+        .distinct()
+        .groupBy("_w")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    tf = matched.groupBy(id_col, "_w", "_dl").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    idf = F.log(
+        (F.lit(float(n_total)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+    )
+    per_term = tf.join(F.broadcast(dfreq), "_w").withColumn(
+        "_s",
+        idf
+        * (F.col("_tf") * (k1 + 1))
+        / (
+            F.col("_tf")
+            + k1 * (1 - b + b * F.col("_dl") / F.lit(float(avgdl)))
+        ),
+    )
+    scored = per_term.groupBy(id_col).agg(F.sum("_s").alias("score"))
+    if top_n is not None:
+        scored = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(top_n)
+    return scored
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -696,3 +696,34 @@ def test_repetition_stats_python_replay(spark, docs):
             assert row["top_2gram_frac"] == pytest.approx(
                 max(g.values()) / (len(toks) - 1)
             )
+
+
+def test_bm25_python_replay(spark, docs):
+    import math
+    from collections import Counter
+
+    terms = ["spark", "data"]
+    out = {r["doc_id"]: r["score"] for r in text.bm25_search(docs, terms).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    toks = {r["doc_id"]: r["text"].split() for r in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df_t = {t: sum(1 for d in toks.values() if t in d) for t in terms}
+    for did, tk in list(toks.items())[:60]:
+        c = Counter(tk)
+        want = 0.0
+        for t in terms:
+            if c[t] == 0:
+                continue
+            idf = math.log((n - df_t[t] + 0.5) / (df_t[t] + 0.5) + 1)
+            want += idf * c[t] * 2.2 / (c[t] + 1.2 * (0.25 + 0.75 * len(tk) / avgdl))
+        if want == 0.0:
+            assert did not in out  # no matching term -> no row
+        else:
+            assert out[did] == pytest.approx(want, rel=1e-9)
+    # top_n truncates globally and ranks by score
+    top = text.bm25_search(docs, terms, top_n=5).collect()
+    assert len(top) == 5
+    assert sorted((r["score"] for r in top), reverse=True) == [r["score"] for r in top]
+    with pytest.raises(ValueError):
+        text.bm25_search(docs, [])
