@@ -85,7 +85,14 @@ def main() -> None:
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
 
-    total = round(sum(t for t in timings.values() if t is not None), 3)
+    # A suite with failures reports value=null rather than the sum of
+    # the survivors — a partial sum would make a BROKEN round look
+    # FASTER than a healthy one in cross-round comparisons.
+    total = (
+        round(sum(t for t in timings.values() if t is not None), 3)
+        if not errors
+        else None
+    )
     out = {
         "metric": "headline_suite_wall",
         "value": total,

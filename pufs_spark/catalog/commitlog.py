@@ -154,6 +154,11 @@ class CommitLog:
             if newer:
                 break  # frontier moved past it: vacuumed, not mid-write
             time.sleep(0.01)
+        # Final re-check: between our last exists() and the break
+        # condition, the rename (and even a successor commit) may have
+        # landed — don't report NotFound for a file that is there now.
+        if os.path.exists(path):
+            return path
         raise E.NotFoundError(f"version {version} (never committed, or vacuumed)")
 
     # -- the commit protocol -------------------------------------------

@@ -702,13 +702,18 @@ class DataStore:
         if self.remote is None:
             raise E.CatalogError("no remote configured")
         root_bid = self.freeze(inode)
+        # Lease BEFORE uploading: a concurrent GC that can see any of
+        # our blocks in its inventory must also see their pin (GC reads
+        # inventory first, then pins — plans/merkle.collect_garbage).
+        # Leasing last would leave every uploaded block unpinned until
+        # the final write.
+        self.remote.set_lease(
+            secrets.token_hex(8), new_lease_expiry(self.clock()), root_bid
+        )
         for bid in self.collect_unpushed(inode):
             self.remote.put_block_if_absent(bid, self.freezer.get_bytes(bid))
             self.pushed.add(bid)
         self.remote.set_root(label, root_bid)
-        self.remote.set_lease(
-            secrets.token_hex(8), new_lease_expiry(self.clock()), root_bid
-        )
         return root_bid
 
     def mount_by_label(self, parent: int, name: str, label: str) -> int:

@@ -224,17 +224,20 @@ def estimate_jaccard_pairs(
     sigs_b: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash-estimated Jaccard for (a, b) pairs: fraction of agreeing
-    signature slots. Two broadcast-able joins + a fixed-width zip — far
-    cheaper than intersecting full shingle sets. At lake scale, bucket
-    both sides by id instead of broadcasting. ``sigs_b`` resolves the
-    ``b`` side from a different signature set (cross-corpus dedup)."""
+    signature slots. Two id-keyed joins + a fixed-width zip — far
+    cheaper than intersecting full shingle sets. The joins deliberately
+    carry NO broadcast hint: a corpus-sized signature table must not be
+    collected through the driver (the incremental-ingest case joins
+    against the WHOLE corpus index), and AQE broadcasts automatically
+    whenever a side is actually small. ``sigs_b`` resolves the ``b``
+    side from a different signature set (cross-corpus dedup)."""
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = (sigs_b if sigs_b is not None else sigs).select(
         F.col(id_col).alias("b"), F.col("sig").alias("sig_b")
     )
     return (
-        pairs.join(F.broadcast(sa), "a")
-        .join(F.broadcast(sb), "b")
+        pairs.join(sa, "a")
+        .join(sb, "b")
         .withColumn(
             "est_jaccard",
             F.aggregate(
@@ -380,7 +383,9 @@ def cross_near_dup_pairs(
     if corpus_index is not None:
         index = new_df.sparkSession.table(corpus_index)
         bc = index.select(F.col(id_col).alias("b"), "band", "key")
-        sigs_c = index.select(id_col, "sig").distinct()
+        # one sig per id — groupBy+first (map-side partials collapse the
+        # bands× duplication before the shuffle; all copies are equal)
+        sigs_c = index.groupBy(id_col).agg(F.first("sig").alias("sig"))
     else:
         sigs_c = minhash_signatures(
             corpus_df, text_col, id_col, k, num_hashes

@@ -302,12 +302,19 @@ def bm25_search(
     if not query_terms:
         raise ValueError("query_terms is empty")
     spark = df.sparkSession
-    terms = spark.createDataFrame([(t,) for t in query_terms], "_w string")
+    # Dedup the bag: a repeated term would double-join every matching
+    # token, inflating tf inside the saturation curve — not BM25's qtf
+    # weighting, just wrong scores.
+    terms = spark.createDataFrame(
+        [(t,) for t in sorted(set(query_terms))], "_w string"
+    )
     toks = tokens_col(text_col)
     words = df.select(F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w"))
     matched = words.join(F.broadcast(terms), "_w")
-    n_total = df.count()
-    avgdl = df.select(F.avg(F.size(toks))).collect()[0][0] or 1.0
+    n_total, avgdl = df.agg(
+        F.count(F.lit(1)), F.avg(F.size(toks))
+    ).collect()[0]  # one corpus pass for both stats
+    avgdl = avgdl or 1.0
     dfreq = (
         matched.select("_w", id_col)
         .distinct()

@@ -176,11 +176,17 @@ def _freeze_dirs_levelwise(
 ) -> DataFrame:
     """Dir bids for catalogs whose dir metadata does NOT fit one task:
     level-synchronous bottom-up hashing. Still only ONE catalog-sized
-    shuffle (the per-dir file-line groupBy); every per-level frame is
-    dir-count-sized and joined via explicit broadcast. Level bid frames
-    feed both the next level and the final output, so the lazy plan
-    doubles per level; ``checkpoint_every`` bounds that with an eager
-    localCheckpoint of a dir-count-sized frame every k levels."""
+    shuffle (the per-dir file-line groupBy). Joins here are plain
+    shuffle joins, NOT broadcasts: this path only runs when the dir
+    metadata exceeds one task, and ``file_lines`` in particular is
+    dir-count ROWS but catalog-manifest BYTES — broadcasting it would
+    ship the whole manifest text to every executor per level (and
+    through the driver). All the joins key on inode/parent, so AQE
+    still downgrades to broadcast when a level really is small. Level
+    bid frames feed both the next level and the final output, so the
+    lazy plan doubles per level; ``checkpoint_every`` bounds that with
+    an eager localCheckpoint of a dir-count-sized frame every k
+    levels."""
     max_d = leveled.agg(F.max("depth")).collect()[0][0] or 0
     file_lines = (
         leveled.where(~F.col("is_dir"))
@@ -203,7 +209,7 @@ def _freeze_dirs_levelwise(
             dir_lines = (
                 dirs_all.where(F.col("depth") == d + 1)
                 .drop("bid")
-                .join(F.broadcast(prev_dir_bids), "inode")
+                .join(prev_dir_bids, "inode")
                 .withColumn("_line", _manifest_line())
                 .groupBy(F.col("parent").alias("_dlp"))
                 .agg(F.collect_list("_line").alias("_dlines"))
@@ -211,11 +217,11 @@ def _freeze_dirs_levelwise(
         else:
             dir_lines = None
         lined = dirs.select("inode").join(
-            F.broadcast(file_lines), F.col("inode") == F.col("_flp"), "left"
+            file_lines, F.col("inode") == F.col("_flp"), "left"
         )
         if dir_lines is not None:
             lined = lined.join(
-                F.broadcast(dir_lines), F.col("inode") == F.col("_dlp"), "left"
+                dir_lines, F.col("inode") == F.col("_dlp"), "left"
             )
             all_lines = F.array_sort(
                 F.concat(
@@ -273,15 +279,21 @@ def freeze_nodes_df(
     because every mutation nulls bids up to the root (M8), so a set
     bid implies an unchanged subtree."""
     leveled = with_depth(nodes, max_depth).persist()
-    if leveled.count() <= single_task_max_rows:
+    single_task = leveled.count() <= single_task_max_rows
+    if single_task:
         all_dir_bids = _freeze_dirs_single_task(leveled, memoized)
+        # the bid table provably fits one task → broadcast the join-back
+        all_dir_bids = F.broadcast(all_dir_bids)
     else:
+        # dir metadata exceeds one task: a broadcast would collect it
+        # through the driver — shuffle-join instead (AQE may still
+        # downgrade if the bid table turns out small)
         all_dir_bids = _freeze_dirs_levelwise(leveled, memoized, checkpoint_every)
     files = leveled.where(~F.col("is_dir"))
     dirs_out = (
         leveled.where(F.col("is_dir"))
         .drop("bid")
-        .join(F.broadcast(all_dir_bids), "inode")
+        .join(all_dir_bids, "inode")
         .select(*files.columns)
     )
     return files.unionByName(dirs_out).drop("depth")
@@ -408,12 +420,21 @@ def remote_reachable_bids(
             .localCheckpoint()
         )
         if new.isEmpty():
-            break
+            return seen
         seen = seen.unionByName(new.select("bid")).localCheckpoint()
         frontier = new.where("is_dir").select("bid")
         if frontier.isEmpty():
-            break
-    return seen
+            return seen
+    # The frontier did not drain: reachability is TRUNCATED. Returning
+    # the partial set would classify everything deeper as garbage and
+    # delete live data — abort instead (same loud-failure contract as
+    # a fetch/parse error above).
+    from pufs_spark.catalog import errors as E
+
+    raise E.CatalogError(
+        f"reachability BFS did not converge within max_depth={max_depth}; "
+        "raise max_depth for deeper trees (refusing to under-reach)"
+    )
 
 
 def gc_delete(candidates: DataFrame, remote_factory) -> int:
@@ -447,13 +468,66 @@ def collect_garbage(
 
     ``all_blocks`` overrides the driver-side ``remote.list_blocks()``
     enumeration — at 100TB feed it a bucket-inventory DataFrame
-    instead of listing synchronously."""
+    instead of listing synchronously.
+
+    CONCURRENT-PUSH SAFETY (two invariants, one per side):
+
+    1. ``DataStore.push`` writes its lease BEFORE uploading a single
+       block, and uploads post-order (root manifest last).
+    2. GC captures the CAS inventory BEFORE reading roots/leases.
+       Blocks uploaded after the inventory snapshot are simply not in
+       it — never deleted. Blocks uploaded before the snapshot belong
+       to a push whose lease (written first) is visible by the time we
+       read the pins; if that push is still in flight its root
+       manifest is not in the inventory yet, which GC detects and
+       responds to by SKIPPING deletion this cycle (the partial tree
+       is unreachable precisely because its root hasn't landed).
+       A missing LABELED root, by contrast, is data loss and aborts.
+
+    A bucket-inventory ``all_blocks`` must likewise predate the GC
+    run, never postdate it."""
+    import time as _time
+
+    from pufs_spark.catalog import errors as E
+
     remote = remote_factory()
-    roots = live_root_bids(spark, remote, now=now)
     if all_blocks is None:
+        # The list() materializes here, before the root/lease reads
+        # below — ordering invariant 2.
         all_blocks = spark.createDataFrame(
             [(b,) for b in remote.list_blocks()], "bid string"
         )
+    ts = _time.time() if now is None else now
+    label_bids = {bid for _label, bid in remote.get_roots()}
+    lease_bids = {
+        bid
+        for _n, expiry, bid in remote.get_leases()
+        if bid is not None and expiry > ts
+    }
+    roots = spark.createDataFrame(
+        [(b,) for b in sorted(label_bids | lease_bids)], "bid string"
+    )
+    present = {
+        r["bid"]
+        for r in roots.join(all_blocks, "bid", "left_semi").collect()
+    }
+    missing_labels = label_bids - present
+    if missing_labels:
+        raise E.CatalogError(
+            f"labeled roots missing from the CAS: {sorted(missing_labels)} "
+            "(data loss — refusing to GC)"
+        )
+    inflight = (lease_bids - label_bids) - present
+    if inflight:
+        # a lease pins a root whose manifest hasn't landed: push in
+        # flight — its earlier-uploaded blocks are unreachable only
+        # because the root is last. Delete nothing; retry next cycle.
+        return {
+            "roots": roots.count(),
+            "live_blocks": 0,
+            "deleted": 0,
+            "skipped_inflight": len(inflight),
+        }
     live = remote_reachable_bids(roots, remote_factory, max_depth=max_depth)
     candidates = gc_candidates(all_blocks, live).localCheckpoint()
     deleted = gc_delete(candidates, remote_factory)

@@ -258,3 +258,45 @@ def test_freeze_strategies_agree_on_random_trees(spark, tmp_path):
             }
             for inode, node in ds.nodes.items():
                 assert got[inode] == node.bid, (seed, st_rows, inode)
+
+
+def test_gc_skips_cycle_when_push_in_flight(spark, tmp_path):
+    """A lease pinning a root whose manifest hasn't landed marks an
+    in-flight push (push leases BEFORE uploading): GC must delete
+    NOTHING that cycle. A labeled root missing from the CAS is data
+    loss and must abort instead."""
+    import functools
+
+    import pytest as _pytest
+
+    from pufs_spark.catalog import errors as E
+    from pufs_spark.sources.remote import LocalDirRemote
+
+    remote_dir = str(tmp_path / "remote")
+    factory = functools.partial(LocalDirRemote, remote_dir)
+    ds = DataStore(str(tmp_path / "s"), remote=factory())
+    d = ds.mkdir(ROOT_INODE, "dir")
+    ds.add_immutable_bytes(d, "f.dat", b"payload")
+    ds.push("rel")
+    before = set(factory().list_blocks())
+
+    # orphan garbage that a normal cycle WOULD collect
+    factory().put_block_if_absent("deadbeef", b"garbage")
+
+    # in-flight push: lease written, root manifest not uploaded yet
+    factory().set_lease("inflight", 9_999_999_999.0, "0" * 64)
+    stats = merkle.collect_garbage(spark, factory, now=1.0)
+    assert stats["deleted"] == 0
+    assert stats["skipped_inflight"] == 1
+    assert before <= set(factory().list_blocks())
+
+    # lease expires with the root never landing -> normal GC resumes,
+    # the orphan goes, the labeled tree survives
+    stats = merkle.collect_garbage(spark, factory, now=10_000_000_000.0)
+    assert stats["deleted"] == 1  # just deadbeef
+    assert before <= set(factory().list_blocks())
+
+    # a LABELED root missing from the CAS aborts loudly
+    factory().set_root("broken", "f" * 64)
+    with _pytest.raises(E.CatalogError, match="data loss"):
+        merkle.collect_garbage(spark, factory, now=10_000_000_000.0)

@@ -727,3 +727,11 @@ def test_bm25_python_replay(spark, docs):
     assert sorted((r["score"] for r in top), reverse=True) == [r["score"] for r in top]
     with pytest.raises(ValueError):
         text.bm25_search(docs, [])
+
+
+def test_bm25_duplicate_terms_equal_deduped(spark, docs):
+    a = {r["doc_id"]: r["score"]
+         for r in text.bm25_search(docs, ["spark", "spark", "data"]).collect()}
+    b = {r["doc_id"]: r["score"]
+         for r in text.bm25_search(docs, ["spark", "data"]).collect()}
+    assert a == b
