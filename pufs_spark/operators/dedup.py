@@ -222,19 +222,34 @@ def estimate_jaccard_pairs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     sigs_b: DataFrame | None = None,
+    broadcast_ok: bool = False,
 ) -> DataFrame:
     """MinHash-estimated Jaccard for (a, b) pairs: fraction of agreeing
     signature slots. Two id-keyed joins + a fixed-width zip — far
-    cheaper than intersecting full shingle sets. The joins deliberately
-    carry NO broadcast hint: a corpus-sized signature table must not be
-    collected through the driver (the incremental-ingest case joins
-    against the WHOLE corpus index), and AQE broadcasts automatically
-    whenever a side is actually small. ``sigs_b`` resolves the ``b``
-    side from a different signature set (cross-corpus dedup)."""
+    cheaper than intersecting full shingle sets.
+
+    ``broadcast_ok`` dispatches the physical join, per caller knowledge:
+
+    - ``False`` (default, the incremental/index path): NO hint. The
+      corpus-side signature table there is the WHOLE corpus index and
+      must never be collected through the driver; AQE may still
+      broadcast a side it measures as small.
+    - ``True`` (the ``near_dup_pairs`` self-join path only): hint
+      ``broadcast`` on both signature sides. That caller's ``sigs``
+      frame is persisted and bounded (one fixed-width row per distinct
+      doc of a single already-materialized corpus), and without the
+      hint AQE has no size statistics for the persisted frame mid-plan
+      and falls back to a sort-merge join — measured +70% on the
+      sf0.1 benchmark (BENCH_r04 vs r02).
+
+    ``sigs_b`` resolves the ``b`` side from a different signature set
+    (cross-corpus dedup)."""
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     sb = (sigs_b if sigs_b is not None else sigs).select(
         F.col(id_col).alias("b"), F.col("sig").alias("sig_b")
     )
+    if broadcast_ok:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
@@ -302,7 +317,11 @@ def near_dup_pairs(
         while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_KEEP:
             _ACTIVE_SIGS.pop(0).unpersist()
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows)
-    est = estimate_jaccard_pairs(sigs, cand, id_col)
+    # broadcast_ok=True is THIS caller's privilege: sigs is persisted,
+    # bounded (one fixed-width row per doc of the corpus we are already
+    # materializing in full), and feeding a self-join — the
+    # corpus-index path in cross_near_dup_pairs must stay hint-free.
+    est = estimate_jaccard_pairs(sigs, cand, id_col, broadcast_ok=True)
     survivors = est.where(
         F.col("est_jaccard") >= threshold - est_margin
     ).select("a", "b")

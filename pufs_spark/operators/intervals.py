@@ -76,42 +76,40 @@ def missing_regions(
             F.col("start") < F.col("qend"),
             F.col("end") > F.col("qstart"),
         ],
-        how="left",
+        # inner, not left: unmatched queries are re-introduced by their
+        # sentinel row below (whole range missing), so the join never
+        # has to carry NULL mask rows.
+        how="inner",
     ).select(q[key], qid, "qstart", "qend", "start", "end")
 
+    # Single-pass sweep: one sentinel row per query at start = qend
+    # turns the tail gap into just another head gap (the gap "before"
+    # the sentinel). The sentinel sorts strictly last — joined
+    # intervals all have start < qend — and a query with no overlap
+    # contributes only its sentinel, whose lag(end) is NULL, yielding
+    # the full [qstart, qend) range. One union arm is query-only
+    # (no mask dependency), so the expensive mask-side join + merge is
+    # planned ONCE (the previous head/tail two-arm union recomputed it
+    # per arm: 2x the mask merge, the r4 bench regression).
+    sentinels = q.select(
+        F.col(key),
+        F.col(qid),
+        "qstart",
+        "qend",
+        F.col("qend").alias("start"),
+        F.col("qend").alias("end"),
+    )
     w = Window.partitionBy(key, qid).orderBy("start")
-    # Gap before this interval: [max(qstart, prev_end), clipped_start)
     prev_end = F.lag("end").over(w)
     gap_start = F.greatest(F.coalesce(prev_end, F.col("qstart")), F.col("qstart"))
-    clipped_start = F.greatest(F.col("start"), F.col("qstart"))
-    head_gaps = (
-        j.where(F.col("start").isNotNull())
+    clipped_start = F.least(F.greatest(F.col("start"), F.col("qstart")), F.col("qend"))
+    return (
+        j.unionByName(sentinels)
         .withColumn("gstart", gap_start)
         .withColumn("gend", clipped_start)
         .where(F.col("gend") > F.col("gstart"))
         .select(key, qid, F.col("gstart").alias("start"), F.col("gend").alias("end"))
     )
-    # Tail gap after the last covered byte (or the whole query when no
-    # interval overlaps it).
-    tail_gaps = (
-        j.groupBy(key, qid, "qstart", "qend")
-        # least() skips NULLs, so guard: unmatched queries must keep
-        # max_end NULL to report the whole range missing.
-        .agg(
-            F.max(
-                F.when(
-                    F.col("end").isNotNull(),
-                    F.least(F.col("end"), F.col("qend")),
-                )
-            ).alias("max_end")
-        )
-        .withColumn("gstart", F.coalesce(F.col("max_end"), F.col("qstart")))
-        .where(F.col("gstart") < F.col("qend"))
-        .select(
-            key, qid, F.col("gstart").alias("start"), F.col("qend").alias("end")
-        )
-    )
-    return head_gaps.unionByName(tail_gaps)
 
 
 def add_region(log: DataFrame, additions: DataFrame, key: str = KEY) -> DataFrame:

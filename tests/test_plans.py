@@ -83,6 +83,26 @@ def test_d1_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_r1_hash_join_and_single_mask_merge(spark):
+    """missing_regions: the mask join must hash on the bid equality key
+    (never BNLJ — the range predicates ride as join-condition filters),
+    and the sentinel rewrite must plan the expensive mask merge exactly
+    once (the two-arm head/tail union recomputed it per arm, the r4
+    bench regression: 1.5s -> 3.0s)."""
+    plan = plan_of(spark, "R1_missing_regions")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        n_nodes(plan, "BroadcastHashJoin")
+        + n_nodes(plan, "SortMergeJoin")
+        + n_nodes(plan, "ShuffledHashJoin")
+        >= 1
+    )
+    # one island-merge pipeline = exactly two Window nodes from
+    # merge_intervals (prev-max-end + island-sum) plus one lag sweep.
+    assert n_nodes(plan, "Window") == 3
+
+
 def test_e1_single_shuffle_for_session_agg(spark):
     """The window partitions by user_id and the session aggregate groups
     by (user_id, session_id): hash-partitioning on user_id satisfies
