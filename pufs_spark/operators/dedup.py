@@ -30,13 +30,17 @@ from pufs_spark.operators.text import normalize_text
 
 MERSENNE31 = (1 << 31) - 1
 
-# Bounded signature cache: near_dup_pairs persists its signatures and
-# evicts the previous call's on entry (see the note inside).
+# Bounded signature cache: near_dup_pairs / cross_near_dup_pairs
+# persist their signatures and evict the oldest on entry (see the note
+# inside near_dup_pairs).
 _ACTIVE_SIGS: list[DataFrame] = []
 _ACTIVE_SIGS_LOCK = __import__("threading").Lock()
-_ACTIVE_SIGS_KEEP = 2  # current + previous: a build-plans-then-execute
-# caller holding two lazy near_dup_pairs results keeps both sig sets
-# cached; anything older is evicted (bounded memory).
+# ONE shared budget for both callers (a per-caller bound would let an
+# interleaved near_dup_pairs call unpersist signatures a still-lazy
+# cross_near_dup_pairs result depends on — silent full recompute).
+# 4 = two lazy results' worth from either caller: near_dup_pairs adds
+# one frame per call, cross_near_dup_pairs up to two (new + corpus).
+_ACTIVE_SIGS_BUDGET = 4
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -314,7 +318,7 @@ def near_dup_pairs(
     sigs = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
     with _ACTIVE_SIGS_LOCK:
         _ACTIVE_SIGS.append(sigs)
-        while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_KEEP:
+        while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
             _ACTIVE_SIGS.pop(0).unpersist()
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows)
     # broadcast_ok=True is THIS caller's privilege: sigs is persisted,
@@ -352,6 +356,10 @@ def build_near_dup_index(
     ``cross_near_dup_pairs`` that built the index."""
     sigs = minhash_signatures(corpus_df, text_col, id_col, k, num_hashes)
     index = _banded(sigs, id_col, bands, rows).join(sigs, id_col)
+    # DROP first (as build_ann_index does): saveAsTable with an explicit
+    # path fails or silently keeps the old external location when the
+    # table already exists at a different path.
+    corpus_df.sparkSession.sql(f"DROP TABLE IF EXISTS {table}")
     (
         index.write.bucketBy(buckets, "band", "key")
         .sortBy("band", "key")
@@ -414,7 +422,7 @@ def cross_near_dup_pairs(
         _ACTIVE_SIGS.append(sigs_n)
         if corpus_index is None:
             _ACTIVE_SIGS.append(sigs_c)
-        while len(_ACTIVE_SIGS) > 2 * _ACTIVE_SIGS_KEEP:
+        while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
             _ACTIVE_SIGS.pop(0).unpersist()
     bn = _banded(sigs_n, id_col, bands, rows).withColumnRenamed(id_col, "a")
     cand = bn.join(bc, ["band", "key"]).select("a", "b").distinct()

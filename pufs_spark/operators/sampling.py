@@ -33,10 +33,19 @@ _HEX_BITS = 48  # 12 hex digits
 def hash_bucket(key_col: str, seed: int = 0) -> Column:
     """Uniform 12-hex-digit bucket for a key: the first 48 bits of
     md5(seed || ':' || key) as lowercase hex. SQL twin:
-    ``substr(md5(seed || ':' || CAST(key AS VARCHAR)), 1, 12)``."""
-    return F.substring(
-        F.md5(F.concat(F.lit(f"{seed}:"), F.col(key_col).cast("string"))), 1, 12
-    )
+    ``substr(md5(seed || ':' || coalesce(CAST(key AS VARCHAR), chr(0))), 1, 12)``.
+
+    NULL-key policy (explicit, because sampling keys should never be
+    null but silently diverging when they are is a skew/leak hazard):
+    null keys hash through a NUL-byte sentinel, so they all land in ONE
+    deterministic bucket and every operator here treats them the same
+    way — sampled all-or-nothing at the stated rate, assigned one
+    consistent split. Without this, md5(null) is null and null-key rows
+    vanished from hash_sample while assign_splits routed them all to
+    the LAST split. Callers for whom null keys are meaningful should
+    coalesce or filter the key column themselves first."""
+    key = F.coalesce(F.col(key_col).cast("string"), F.lit("\x00"))
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), key)), 1, 12)
 
 
 def rate_threshold(rate: float) -> str:

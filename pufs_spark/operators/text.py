@@ -278,6 +278,56 @@ PII_PATTERNS = [
 ]
 
 
+def build_bm25_index(
+    corpus_df: DataFrame,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 64,
+) -> None:
+    """Persist the corpus side of BM25 as a reusable inverted index:
+    postings (``_w`` term, doc id, ``_dl`` doc length, ``_tf`` term
+    frequency) BUCKETED+sorted by term in ``table``, plus a one-row
+    corpus-stats table ``<table>_stats`` (n_docs, avgdl).
+
+    ``bm25_search(corpus_index=...)`` then answers a query from the
+    postings for just its terms (an In-filter that prunes the bucketed
+    scan) with no tokenize/explode over the corpus and no corpus-stats
+    pass — the full-corpus work happens ONCE here, which is the
+    economics a standing 100TB search service needs (queries arrive
+    forever, the corpus changes slowly). Same shape as
+    build_near_dup_index / build_ann_index."""
+    spark = corpus_df.sparkSession
+    toks = tokens_col(text_col)
+    words = corpus_df.select(
+        F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w")
+    )
+    postings = words.groupBy(id_col, "_w", "_dl").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    # DROP first: saveAsTable with an explicit path fails (or silently
+    # keeps the old external location) if the table already exists.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        postings.write.bucketBy(buckets, "_w")
+        .sortBy("_w")
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    stats = corpus_df.agg(
+        F.count(F.lit(1)).alias("_n_total"),
+        F.avg(F.size(toks)).alias("_avgdl"),
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
+    (
+        stats.write.option("path", f"{path}_stats")
+        .mode("overwrite")
+        .saveAsTable(f"{table}_stats")
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],
@@ -286,55 +336,72 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     top_n: int | None = None,
+    corpus_index: str | None = None,
 ) -> DataFrame:
     """Keyword search over the corpus: Okapi BM25 scores for a bag of
     query terms (Robertson & Zaragoza 2009, the standard probabilistic
     ranking function). Returns (id, score) for every doc matching at
     least one term, optionally truncated to the global ``top_n``.
 
-    Plan shape for 100 TB: document frequencies for the query terms
-    are a filtered aggregate over the exploded corpus (the filter on
-    the tiny term list pushes below the explode), joined back broadcast;
-    per-doc term frequencies are one hash agg. No full-vocabulary
-    inverted index is materialized — for a standing search service,
-    persist the (term, doc, tf) explode as a bucketed table the same
-    way build_near_dup_index persists LSH bands."""
+    ``corpus_index`` names a table built by ``build_bm25_index`` over
+    the same corpus: postings and corpus stats are then read from the
+    index — no tokenize/explode of ``df`` and no corpus-stats pass per
+    query; the term filter prunes the bucketed postings scan. Without
+    it, document frequencies come from a filtered aggregate over the
+    exploded corpus (the filter on the tiny term list pushes below the
+    explode) and corpus stats from one lazy corpus pass joined in as a
+    broadcast single-row frame (nothing executes until the returned
+    frame does)."""
     if not query_terms:
         raise ValueError("query_terms is empty")
     spark = df.sparkSession
     # Dedup the bag: a repeated term would double-join every matching
     # token, inflating tf inside the saturation curve — not BM25's qtf
     # weighting, just wrong scores.
-    terms = spark.createDataFrame(
-        [(t,) for t in sorted(set(query_terms))], "_w string"
-    )
+    qterms = sorted(set(query_terms))
     toks = tokens_col(text_col)
-    words = df.select(F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w"))
-    matched = words.join(F.broadcast(terms), "_w")
-    n_total, avgdl = df.agg(
-        F.count(F.lit(1)), F.avg(F.size(toks))
-    ).collect()[0]  # one corpus pass for both stats
-    avgdl = avgdl or 1.0
-    dfreq = (
-        matched.select("_w", id_col)
-        .distinct()
-        .groupBy("_w")
-        .agg(F.count(F.lit(1)).alias("_df"))
-    )
-    tf = matched.groupBy(id_col, "_w", "_dl").agg(
-        F.count(F.lit(1)).alias("_tf")
-    )
+    if corpus_index is not None:
+        # isin (not a join): an In predicate pushes into the bucketed
+        # parquet scan, so only the query terms' buckets/row-groups read.
+        tf = spark.table(corpus_index).where(F.col("_w").isin(qterms))
+        stats_df = spark.table(f"{corpus_index}_stats")
+    else:
+        terms = spark.createDataFrame([(t,) for t in qterms], "_w string")
+        words = df.select(
+            F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w")
+        )
+        matched = words.join(F.broadcast(terms), "_w")
+        tf = matched.groupBy(id_col, "_w", "_dl").agg(
+            F.count(F.lit(1)).alias("_tf")
+        )
+        stats_df = df.agg(
+            F.count(F.lit(1)).alias("_n_total"),
+            F.avg(F.size(toks)).alias("_avgdl"),
+        )
+    # tf has one row per (doc, term), so df(term) is a plain count.
+    dfreq = tf.groupBy("_w").agg(F.count(F.lit(1)).alias("_df"))
     idf = F.log(
-        (F.lit(float(n_total)) - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
+        (F.col("_n_total") - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0
     )
-    per_term = tf.join(F.broadcast(dfreq), "_w").withColumn(
-        "_s",
-        idf
-        * (F.col("_tf") * (k1 + 1))
-        / (
-            F.col("_tf")
-            + k1 * (1 - b + b * F.col("_dl") / F.lit(float(avgdl)))
-        ),
+    per_term = (
+        tf.join(F.broadcast(dfreq), "_w")
+        # 1-row broadcast stats frame instead of collected literals:
+        # keeps the whole query lazy (no action at plan-build time).
+        .join(F.broadcast(stats_df))
+        .withColumn(
+            "_s",
+            idf
+            * (F.col("_tf") * (k1 + 1))
+            / (
+                F.col("_tf")
+                + k1
+                * (
+                    1
+                    - b
+                    + b * F.col("_dl") / F.coalesce(F.col("_avgdl"), F.lit(1.0))
+                )
+            ),
+        )
     )
     scored = per_term.groupBy(id_col).agg(F.sum("_s").alias("score"))
     if top_n is not None:

@@ -500,6 +500,31 @@ def test_assign_splits_rejects_bad_weights(spark, docs):
         sampling.assign_splits(docs, {"train": 0.5, "val": 0.1})
 
 
+def test_null_keys_sampled_consistently(spark):
+    """Null sampling keys hash through one deterministic sentinel
+    bucket: rate-1.0 sampling keeps them (they used to vanish — md5 of
+    null is null), every null-key row lands in the SAME split, and that
+    split agrees with hash_sample's keep/drop decision at the matching
+    rate boundary."""
+    from pufs_spark.operators import sampling
+
+    rows = [(str(i),) for i in range(50)] + [(None,)] * 5
+    df = spark.createDataFrame(rows, "k string")
+    assert sampling.hash_sample(df, 1.0, key_col="k").count() == 55
+    nulls = sampling.assign_splits(
+        df, {"train": 0.5, "val": 0.5}, key_col="k", seed=3
+    ).where(F.col("k").isNull())
+    splits = {r["split"] for r in nulls.collect()}
+    assert len(splits) == 1  # all null keys share one split
+    # keep/drop at rate 0.5 must agree with the assigned half
+    kept_nulls = (
+        sampling.hash_sample(df, 0.5, key_col="k", seed=3)
+        .where(F.col("k").isNull())
+        .count()
+    )
+    assert kept_nulls == (5 if splits == {"train"} else 0)
+
+
 def test_stratified_rates_respected(spark, docs):
     from pufs_spark.operators import sampling
 
@@ -727,6 +752,54 @@ def test_bm25_python_replay(spark, docs):
     assert sorted((r["score"] for r in top), reverse=True) == [r["score"] for r in top]
     with pytest.raises(ValueError):
         text.bm25_search(docs, [])
+
+
+def test_bm25_with_persisted_index(spark, docs, tmp_path):
+    """The bucketed BM25 index must (a) score identically to the
+    index-less path, (b) be read bucket-aware with the query-term
+    filter pushed into the postings scan, (c) plan NO corpus-wide
+    tokenize/explode per query — the full-corpus work happened once at
+    build time."""
+    spark.sql("DROP TABLE IF EXISTS bm25_idx")
+    spark.sql("DROP TABLE IF EXISTS bm25_idx_stats")
+    text.build_bm25_index(docs, "bm25_idx", str(tmp_path / "bm25_idx"), buckets=8)
+    try:
+        terms = ["spark", "data"]
+        with_idx = text.bm25_search(docs, terms, corpus_index="bm25_idx")
+        got = {r["doc_id"]: r["score"] for r in with_idx.collect()}
+        want = {
+            r["doc_id"]: r["score"] for r in text.bm25_search(docs, terms).collect()
+        }
+        assert got.keys() == want.keys()
+        for k in got:
+            assert got[k] == pytest.approx(want[k], rel=1e-9)
+        plan = with_idx._jdf.queryExecution().executedPlan().toString()
+        assert "Generate" not in plan  # no per-query corpus explode
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan
+        assert "In(_w" in plan  # term filter pushed into the postings scan
+        # rebuild at a different path must not fail or keep the old
+        # external location (DROP-first contract)
+        text.build_bm25_index(
+            docs.limit(10), "bm25_idx", str(tmp_path / "bm25_idx2"), buckets=4
+        )
+        assert spark.table("bm25_idx").count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_idx")
+        spark.sql("DROP TABLE IF EXISTS bm25_idx_stats")
+
+
+def test_bm25_is_lazy(spark, docs):
+    """Building the search frame must run NO job: corpus stats ride as
+    a broadcast single-row frame, not an eager collect (the r4 advisor
+    finding: the old path fired a corpus pass at plan-build time even
+    if the result was never executed)."""
+    sc = spark.sparkContext
+    sc.setJobGroup("bm25_lazy_probe", "bm25 laziness check")
+    try:
+        text.bm25_search(docs, ["spark", "data"])
+        assert sc.statusTracker().getJobIdsForGroup("bm25_lazy_probe") == []
+    finally:
+        sc.setJobGroup(None, None)
 
 
 def test_bm25_duplicate_terms_equal_deduped(spark, docs):
