@@ -316,13 +316,35 @@ def open_log(
 # ---------------------------------------------------------------------------
 
 
+# Explicit record schema: skips the inference pass (one less read of
+# every record file) and pins the PERMISSIVE-mode behavior history_df
+# relies on below.
+_RECORD_SCHEMA = (
+    "version long, base_version long, writer string, ts double, "
+    "message string, touched array<string>, ops long, nodes long"
+)
+
+
 def history_df(spark, root_dir: str):
     """Commit history as a DataFrame (one row per committed version:
     version, base_version, writer, ts, message, touched, ops, nodes) —
     the audit/monitoring surface, like ``DESCRIBE HISTORY`` on a Delta
-    table."""
+    table.
+
+    Safe against in-flight commits: a record file is CLAIMED (created
+    empty) before its body is written, so a raw directory read can see
+    a claimed-but-unwritten file — the same window ``read_record`` /
+    ``wait_snapshot`` poll through. With the explicit schema, PERMISSIVE
+    mode turns any empty/partial record into an all-null row, and the
+    ``version IS NOT NULL`` filter drops it: the frame is simply the
+    history as of the moment the in-flight commit had not yet landed
+    (every COMPLETE record has a non-null version by construction)."""
     log = CommitLog(root_dir)
-    return spark.read.json(os.path.join(log.dir, "*.json"))
+    return (
+        spark.read.schema(_RECORD_SCHEMA)
+        .json(os.path.join(log.dir, "*.json"))
+        .where("version IS NOT NULL")
+    )
 
 
 def snapshot_df(spark, root_dir: str, version: int | None = None):

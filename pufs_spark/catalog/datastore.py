@@ -698,7 +698,12 @@ class DataStore:
         """F3: freeze → collect unpushed → upload → bind label
         (reference: core/datastore.go:999-1072). Uploads here are
         sequential driver-side; the distributed path
-        (plans/merkle.push_blocks) does foreachPartition uploads."""
+        (plans/merkle.push_blocks) does foreachPartition uploads.
+
+        The GC pin is a DEFAULT_LEASE_SECONDS (48h) lease: uploads that
+        outlast it would lose their pin mid-flight, so the lease is
+        re-issued under the same name just before set_root — the label
+        binding then always happens inside a fresh lease window."""
         if self.remote is None:
             raise E.CatalogError("no remote configured")
         root_bid = self.freeze(inode)
@@ -707,12 +712,12 @@ class DataStore:
         # inventory first, then pins — plans/merkle.collect_garbage).
         # Leasing last would leave every uploaded block unpinned until
         # the final write.
-        self.remote.set_lease(
-            secrets.token_hex(8), new_lease_expiry(self.clock()), root_bid
-        )
+        lease_name = secrets.token_hex(8)
+        self.remote.set_lease(lease_name, new_lease_expiry(self.clock()), root_bid)
         for bid in self.collect_unpushed(inode):
             self.remote.put_block_if_absent(bid, self.freezer.get_bytes(bid))
             self.pushed.add(bid)
+        self.remote.set_lease(lease_name, new_lease_expiry(self.clock()), root_bid)
         self.remote.set_root(label, root_bid)
         return root_bid
 

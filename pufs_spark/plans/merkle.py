@@ -498,11 +498,15 @@ def collect_garbage(
             [(b,) for b in remote.list_blocks()], "bid string"
         )
     ts = _time.time() if now is None else now
-    label_bids = {bid for _label, bid in remote.get_roots()}
+    roots_snapshot = set(remote.get_roots())
+    leases_snapshot = {
+        (name, expiry, bid)
+        for name, expiry, bid in remote.get_leases()
+        if expiry > ts
+    }
+    label_bids = {bid for _label, bid in roots_snapshot}
     lease_bids = {
-        bid
-        for _n, expiry, bid in remote.get_leases()
-        if bid is not None and expiry > ts
+        bid for _n, _e, bid in leases_snapshot if bid is not None
     }
     roots = spark.createDataFrame(
         [(b,) for b in sorted(label_bids | lease_bids)], "bid string"
@@ -512,12 +516,20 @@ def collect_garbage(
         for r in roots.join(all_blocks, "bid", "left_semi").collect()
     }
     missing_labels = label_bids - present
+    # A labeled root missing from the inventory is data loss — UNLESS a
+    # live lease pins that same bid: push leases before uploading and
+    # re-leases before set_root, so a label that appeared between our
+    # inventory snapshot and the roots read above is simply a push that
+    # landed mid-GC (its root postdates the snapshot). That is the
+    # in-flight case relative to THIS cycle's inventory, not loss.
+    raced = missing_labels & lease_bids
+    missing_labels -= raced
     if missing_labels:
         raise E.CatalogError(
             f"labeled roots missing from the CAS: {sorted(missing_labels)} "
             "(data loss — refusing to GC)"
         )
-    inflight = (lease_bids - label_bids) - present
+    inflight = ((lease_bids - label_bids) - present) | raced
     if inflight:
         # a lease pins a root whose manifest hasn't landed: push in
         # flight — its earlier-uploaded blocks are unreachable only
@@ -530,6 +542,29 @@ def collect_garbage(
         }
     live = remote_reachable_bids(roots, remote_factory, max_depth=max_depth)
     candidates = gc_candidates(all_blocks, live).localCheckpoint()
+    # PRE-DELETE RE-CHECK: a push STARTING after the pin reads above can
+    # reuse (put-if-absent no-op) a block this cycle classified garbage,
+    # then publish a root reaching it — deleting would corrupt that
+    # label. Every push writes its lease before touching any block, so
+    # re-reading pins right before the delete pass catches any such
+    # racer: if the live lease or root set moved, delete NOTHING this
+    # cycle. (The residual window — a push leasing between this check
+    # and the deletes below — needs store-side conditional ops to close
+    # completely; with 48h leases and seconds-long delete passes the
+    # conservative skip covers the practical race.)
+    roots_recheck = set(remote.get_roots())
+    leases_recheck = {
+        (name, expiry, bid)
+        for name, expiry, bid in remote.get_leases()
+        if expiry > ts
+    }
+    if roots_recheck != roots_snapshot or leases_recheck != leases_snapshot:
+        return {
+            "roots": roots.count(),
+            "live_blocks": live.count(),
+            "deleted": 0,
+            "skipped_raced": True,
+        }
     deleted = gc_delete(candidates, remote_factory)
     return {
         "roots": roots.count(),
@@ -538,11 +573,52 @@ def collect_garbage(
     }
 
 
-def push_blocks(to_push: DataFrame, remote_factory, freezer_root: str) -> int:
+def push_blocks(
+    to_push: DataFrame,
+    remote_factory,
+    freezer_root: str,
+    root_bid: str | None = None,
+    lease_name: str | None = None,
+    clock=None,
+) -> int:
     """F3 distributed upload: foreachPartition put-if-absent. The
     factory is a picklable zero-arg callable building a RemoteStore on
-    the executor (connections are never shipped)."""
+    the executor (connections are never shipped).
+
+    CONCURRENT-GC SAFETY: pass ``root_bid`` whenever a
+    ``collect_garbage`` may run concurrently. That engages both push
+    invariants GC relies on (collect_garbage's docstring, invariant 1):
+
+    1. a lease pinning ``root_bid`` is written BEFORE any upload, so a
+       GC whose inventory can see any of our blocks also sees the pin;
+    2. the root block uploads LAST, driver-side, after every executor
+       partition has completed — until then the partial tree is
+       unreachable and GC's in-flight check skips the cycle;
+    3. the lease is RE-ISSUED after the uploads, so a push that
+       outlasts the original lease window still holds its pin when the
+       caller binds the label (callers should set_root promptly after
+       this returns).
+
+    WITHOUT ``root_bid`` the blocks uploaded here are unpinned and
+    partition order is arbitrary: the caller must hold the root lease
+    themselves (as DataStore.push does) or guarantee no GC runs."""
+    import secrets as _secrets
+
     from pufs_spark.sources.cas import Freezer
+    from pufs_spark.sources.remote import new_lease_expiry
+
+    lease = None
+    if root_bid is not None:
+        lease = lease_name or _secrets.token_hex(8)
+        remote = remote_factory()
+        now = clock() if clock is not None else None
+        remote.set_lease(lease, new_lease_expiry(now), root_bid)
+        body, root = (
+            to_push.where(F.col("bid") != root_bid),
+            to_push.where(F.col("bid") == root_bid),
+        )
+    else:
+        body, root = to_push, None
 
     def upload(rows):
         remote = remote_factory()
@@ -553,5 +629,14 @@ def push_blocks(to_push: DataFrame, remote_factory, freezer_root: str) -> int:
             n += 1
         yield n
 
-    counts = to_push.select("bid").rdd.mapPartitions(upload).collect()
-    return sum(counts)
+    total = sum(body.select("bid").rdd.mapPartitions(upload).collect())
+    if root_bid is not None:
+        remote = remote_factory()
+        if not root.isEmpty():  # root may already be pushed (idempotent reruns)
+            remote.put_block_if_absent(
+                root_bid, Freezer(freezer_root).get_bytes(root_bid)
+            )
+            total += 1
+        now = clock() if clock is not None else None
+        remote.set_lease(lease, new_lease_expiry(now), root_bid)
+    return total

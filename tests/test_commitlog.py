@@ -321,6 +321,68 @@ def test_vacuumed_versions_fail_loudly_in_spark_readers(tmp_path, spark):
     assert CL.snapshot_df(spark, root).count() > 0  # latest unaffected
 
 
+def test_history_df_excludes_mid_write_records(tmp_path, spark):
+    """Deterministic coverage of the claim→body window: a record file
+    that is claimed-but-empty, and one with a truncated JSON body, must
+    never surface as corrupt/null rows — history_df reports the history
+    as of 'that commit has not landed yet'."""
+    root = str(tmp_path)
+    store, log = CL.open_log(root)
+    store.mkdir(ROOT_INODE, "seed")
+    assert log.commit(store, writer="w0") == 0
+
+    # claimed but body not yet written (exactly what try_claim creates)
+    fd = log.try_claim(1)
+    assert fd is not None
+    os.close(fd)
+    # claimed with a partial body (writer died mid-os.write)
+    with open(log.record_path(2), "w") as f:
+        f.write('{"version": 2, "wr')
+
+    rows = CL.history_df(spark, root).collect()
+    assert [r["version"] for r in rows] == [0]
+    assert all(r["writer"] == "w0" for r in rows)
+
+
+def test_history_df_never_corrupt_under_concurrent_commits(tmp_path, spark):
+    """A thread committing in a loop while history_df reads: no read
+    may ever yield a null/corrupt row (the raw directory listing can
+    see claimed-but-unwritten record files; the schema+filter must hide
+    them)."""
+    root = str(tmp_path)
+    store, log = CL.open_log(root)
+    store.mkdir(ROOT_INODE, "seed")
+    log.commit(store, writer="w0")
+
+    stop = threading.Event()
+    errs: list[Exception] = []
+
+    def committer():
+        i = 0
+        try:
+            while not stop.is_set():
+                store.mkdir(ROOT_INODE, f"d{i}")
+                log.commit(store, writer="w1")
+                i += 1
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    t = threading.Thread(target=committer)
+    t.start()
+    try:
+        for _ in range(20):
+            rows = CL.history_df(spark, root).collect()
+            assert rows, "history must never read empty once v0 landed"
+            for r in rows:
+                assert r["version"] is not None
+                assert r["writer"] is not None
+                assert r["ops"] is not None
+    finally:
+        stop.set()
+        t.join()
+    assert not errs
+
+
 def test_plain_store_refuses_commit(tmp_path):
     """A store that wasn't opened via open_log has no journal — letting
     it commit would silently skip conflict detection and rebase."""

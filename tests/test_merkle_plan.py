@@ -260,6 +260,134 @@ def test_freeze_strategies_agree_on_random_trees(spark, tmp_path):
                 assert got[inode] == node.bid, (seed, st_rows, inode)
 
 
+def test_push_blocks_lease_protocol(spark, tmp_path):
+    """The distributed upload path upholds GC invariant 1 when given
+    the root bid: the lease lands BEFORE any upload (observable when
+    the upload job dies: the pin is already there), the root block
+    uploads last, and the lease is re-issued pinning the root after the
+    uploads finish."""
+    import functools
+    import os as _os
+    import time as _time
+
+    from pufs_spark.sources.remote import LocalDirRemote
+
+    remote_dir = str(tmp_path / "remote")
+    factory = functools.partial(LocalDirRemote, remote_dir)
+    ds = DataStore(str(tmp_path / "s"), remote=factory())
+    d = ds.mkdir(ROOT_INODE, "dir")
+    ds.add_immutable_bytes(d, "a.dat", b"alpha")
+    ds.add_immutable_bytes(d, "b.dat", b"beta")
+    root_bid = ds.freeze()
+    freezer_root = str(tmp_path / "s" / "freezer")
+    bids = ds.collect_unpushed()
+    assert root_bid in bids
+
+    # lease-first: an upload that fails (bid missing from the freezer)
+    # must still leave the pin behind
+    bad = spark.createDataFrame([("f" * 64,), (root_bid,)], "bid string")
+    with pytest.raises(Exception):  # noqa: B017 — executor error surfaces wrapped
+        merkle.push_blocks(
+            bad, factory, freezer_root, root_bid=root_bid, lease_name="pin"
+        )
+    leases = {n: (e, b) for n, e, b in factory().get_leases()}
+    assert "pin" in leases and leases["pin"][1] == root_bid
+    assert leases["pin"][0] > _time.time()
+
+    # clean run: everything lands, root block newest, lease re-issued
+    to_push = spark.createDataFrame([(b,) for b in bids], "bid string")
+    n = merkle.push_blocks(
+        to_push, factory, freezer_root, root_bid=root_bid, lease_name="pin"
+    )
+    assert n == len(bids)
+    remote = factory()
+    assert set(remote.list_blocks()) >= set(bids)
+    mtimes = {
+        b: _os.stat(_os.path.join(remote_dir, "CAS", b)).st_mtime_ns
+        for b in bids
+    }
+    assert mtimes[root_bid] >= max(
+        m for b, m in mtimes.items() if b != root_bid
+    )
+    # published label survives a GC right after
+    remote.set_root("rel", root_bid)
+    stats = merkle.collect_garbage(spark, factory)
+    assert stats["deleted"] == 0
+    fresh = DataStore(str(tmp_path / "s2"), remote=factory())
+    fresh.mount_by_label(ROOT_INODE, "m", "rel")
+    assert fresh.read_path("/m/dir/a.dat") == b"alpha"
+
+    # rerun with the root already pushed stays idempotent (root row
+    # absent from to_push)
+    rest = spark.createDataFrame(
+        [(b,) for b in bids if b != root_bid], "bid string"
+    )
+    assert merkle.push_blocks(
+        rest, factory, freezer_root, root_bid=root_bid
+    ) == len(bids) - 1
+
+
+def test_gc_chaos_concurrent_pushes(spark, tmp_path):
+    """collect_garbage looping while N threads publish successive
+    versions of their own labels: no block of any labeled root is ever
+    deleted — every label reads back byte-identical after the dust
+    settles — while orphan garbage still gets collected once the
+    publishers go quiet."""
+    import functools
+    import threading
+
+    from pufs_spark.sources.remote import LocalDirRemote
+
+    remote_dir = str(tmp_path / "remote")
+    factory = functools.partial(LocalDirRemote, remote_dir)
+    n_threads, max_rounds = 3, 200
+    stop = threading.Event()
+    errs: list[Exception] = []
+    final_round = [0] * n_threads
+
+    def pusher(ti: int) -> None:
+        try:
+            ds = DataStore(str(tmp_path / f"s{ti}"), remote=factory())
+            d = ds.mkdir(ROOT_INODE, "dir")
+            for r in range(max_rounds):
+                ds.add_immutable_bytes(d, f"f{r}.dat", f"t{ti}r{r}".encode() * 64)
+                ds.push(f"rel{ti}")
+                final_round[ti] = r
+                if stop.is_set():
+                    break
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    threads = [
+        threading.Thread(target=pusher, args=(i,)) for i in range(n_threads)
+    ]
+    for t in threads:
+        t.start()
+    orphans = []
+    try:
+        for cycle in range(3):
+            orphan = f"{cycle:064d}"
+            factory().put_block_if_absent(orphan, b"orphan")
+            orphans.append(orphan)
+            merkle.collect_garbage(spark, factory)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not errs
+    # publishers quiet: one more cycle must clear the orphans without
+    # touching any labeled tree
+    stats = merkle.collect_garbage(spark, factory)
+    assert "skipped_raced" not in stats and "skipped_inflight" not in stats
+    remaining = set(factory().list_blocks())
+    assert not (set(orphans) & remaining)
+    for ti in range(n_threads):
+        fresh = DataStore(str(tmp_path / f"v{ti}"), remote=factory())
+        fresh.mount_by_label(ROOT_INODE, "m", f"rel{ti}")
+        for r in range(final_round[ti] + 1):
+            assert fresh.read_path(f"/m/dir/f{r}.dat") == f"t{ti}r{r}".encode() * 64
+
+
 def test_gc_skips_cycle_when_push_in_flight(spark, tmp_path):
     """A lease pinning a root whose manifest hasn't landed marks an
     in-flight push (push leases BEFORE uploading): GC must delete
