@@ -221,6 +221,15 @@ def jaccard_pairs(
     )
 
 
+def _est_jaccard_col(sig_a: str, sig_b: str):
+    """Estimated Jaccard = fraction of agreeing signature slots."""
+    return F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.size(sig_a)
+
+
 def estimate_jaccard_pairs(
     sigs: DataFrame,
     pairs: DataFrame,
@@ -257,17 +266,7 @@ def estimate_jaccard_pairs(
     return (
         pairs.join(sa, "a")
         .join(sb, "b")
-        .withColumn(
-            "est_jaccard",
-            F.aggregate(
-                F.zip_with(
-                    "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
-                ),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.size("sig_a"),
-        )
+        .withColumn("est_jaccard", _est_jaccard_col("sig_a", "sig_b"))
         .select("a", "b", "est_jaccard")
     )
 
@@ -407,31 +406,61 @@ def cross_near_dup_pairs(
             "banding would index past the signature array"
         )
     sigs_n = minhash_signatures(new_df, text_col, id_col, k, num_hashes).persist()
+    with _ACTIVE_SIGS_LOCK:
+        _ACTIVE_SIGS.append(sigs_n)
+        while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
+            _ACTIVE_SIGS.pop(0).unpersist()
+    bn = _banded(sigs_n, id_col, bands, rows).withColumnRenamed(id_col, "a")
+    sa = sigs_n.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
     if corpus_index is not None:
+        # The corpus signature rides the bucketed index scan THROUGH the
+        # collision join, so the estimate stage never regroups the
+        # bands×-duplicated index by id (that groupBy was a corpus-sized
+        # shuffle on every batch — measured ~45% of per-batch wall at
+        # sf0.1). The only per-batch shuffles are collision-sized: the
+        # (a,b) dedup groupBy and the join back to the new batch.
         index = new_df.sparkSession.table(corpus_index)
-        bc = index.select(F.col(id_col).alias("b"), "band", "key")
-        # one sig per id — groupBy+first (map-side partials collapse the
-        # bands× duplication before the shuffle; all copies are equal)
-        sigs_c = index.groupBy(id_col).agg(F.first("sig").alias("sig"))
+        bc = index.select(
+            F.col(id_col).alias("b"), "band", "key", F.col("sig").alias("sig_b")
+        )
+        cand_sig = (
+            bn.join(bc, ["band", "key"])
+            .groupBy("a", "b")
+            .agg(F.first("sig_b").alias("sig_b"))
+        )
+        est = (
+            cand_sig.join(sa, "a")
+            .withColumn("est_jaccard", _est_jaccard_col("sig_a", "sig_b"))
+            .select("a", "b", "est_jaccard")
+        )
     else:
         sigs_c = minhash_signatures(
             corpus_df, text_col, id_col, k, num_hashes
         ).persist()
-        bc = _banded(sigs_c, id_col, bands, rows).withColumnRenamed(id_col, "b")
-    with _ACTIVE_SIGS_LOCK:
-        _ACTIVE_SIGS.append(sigs_n)
-        if corpus_index is None:
+        with _ACTIVE_SIGS_LOCK:
             _ACTIVE_SIGS.append(sigs_c)
-        while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
-            _ACTIVE_SIGS.pop(0).unpersist()
-    bn = _banded(sigs_n, id_col, bands, rows).withColumnRenamed(id_col, "a")
-    cand = bn.join(bc, ["band", "key"]).select("a", "b").distinct()
-    est = estimate_jaccard_pairs(sigs_n, cand, id_col, sigs_b=sigs_c)
+            while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
+                _ACTIVE_SIGS.pop(0).unpersist()
+        bc = _banded(sigs_c, id_col, bands, rows).withColumnRenamed(id_col, "b")
+        cand = bn.join(bc, ["band", "key"]).select("a", "b").distinct()
+        est = estimate_jaccard_pairs(sigs_n, cand, id_col, sigs_b=sigs_c)
     survivors = est.where(
         F.col("est_jaccard") >= threshold - est_margin
     ).select("a", "b")
+    # Exact-verify cost must scale with SURVIVORS, not corpus size: probe
+    # the corpus through a broadcast semi-join on the surviving b-ids so
+    # only matching docs are shingled — without this, every batch paid a
+    # full corpus tokenize+shuffle in jaccard_pairs. The survivor
+    # pipeline executes twice (broadcast build + pairs side); it is
+    # collision-sized and reads pre-bucketed scans, which is the cheap
+    # side of that trade at any scale.
+    corpus_probe = corpus_df.join(
+        F.broadcast(survivors.select(F.col("b").alias(id_col)).distinct()),
+        id_col,
+        "left_semi",
+    )
     return jaccard_pairs(
-        new_df, survivors, text_col, id_col, k, right=corpus_df
+        new_df, survivors, text_col, id_col, k, right=corpus_probe
     ).where(F.col("jaccard") >= threshold)
 
 

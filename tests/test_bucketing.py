@@ -81,6 +81,45 @@ def test_bucketed_aggregate_has_no_exchange(spark, bucketed_tables):
     assert _n(plan, "Exchange") == 0, plan  # grouping key == bucket key
 
 
+def test_bucketed_funnel_single_partitioning_no_exchange(spark, tmp_path_factory):
+    """Pin the funnel docstring's claim (streaming/monitor.py): every
+    shuffle — the per-step filtered min-aggs AND the step joins — keys
+    on the funnel key alone, so an events table pre-bucketed by that
+    key runs the whole multi-step funnel with ZERO exchanges. If any
+    stage sneaks in a different partitioning (e.g. joining on
+    (key, step) or re-aggregating on a derived column), an Exchange
+    appears and this fails."""
+    from pufs_spark.streaming.monitor import funnel
+    from pufs_spark.tables import load_table
+
+    warehouse = tmp_path_factory.mktemp("funnel_bucketed")
+    events = load_table(spark, SF_DIR, "events")
+    spark.sql("DROP TABLE IF EXISTS b_events")
+    (
+        events.write.bucketBy(8, "user_id")
+        .sortBy("user_id")
+        .option("path", str(warehouse / "b_events"))
+        .mode("overwrite")
+        .saveAsTable("b_events")
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # broadcast joins would hide a partitioning mismatch at test
+        # scale; force the planner to prove hash-compatibility instead
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        out = funnel(spark.table("b_events"))
+        plan = _formatted(out)
+        assert _n(plan, "Exchange") == 0, plan
+        # and the result matches the shuffled plan over raw parquet
+        raw = funnel(events)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, raw.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS b_events")
+
+
 def test_bucketed_catalog_listing_no_exchange(spark, tmp_path_factory):
     """The lake-scale catalog layout: nodes bucketed by parent answer
     listing aggregations (children per dir, L1/L3 shapes) without a
