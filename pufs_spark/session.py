@@ -45,6 +45,10 @@ def get_spark(
         # The driver-generated parquet uses TIMESTAMP(NANOS) which Spark
         # refuses by default; read as long and convert in tables.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Off by default in Spark 4.1; the `pufs` data source implements
+        # pushFilters (point lookups / path prefixes prune partition
+        # planning driver-side and skip CAS opens entirely).
+        .config("spark.sql.python.filterPushdown.enabled", "true")
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -17,9 +17,14 @@ The catalog is the parquet file written by
 the reference's path-resolution loop done once at export). Partition
 planning happens driver-side from catalog metadata only; executors
 open CAS blocks directly, so a scan of a 10⁶-file tree fans out without
-the driver touching a single data byte. Metadata-only scans skip CAS reads
-entirely via ``.option("content", "false")`` (the Python DS API does
-not yet push column pruning into the reader).
+the driver touching a single data byte. With ``.option("pushdown",
+"true")``, filters on the metadata columns push down into partition
+planning (``PufsPushdownReader``, Spark 4.1 Python DS API): point
+lookups and path prefixes prune files before any partition exists, so
+their CAS blocks are never opened (opt-in — see PufsPushdownReader's
+docstring for the two Spark-side sharp edges). Column pruning has no
+Python DS hook yet, so metadata-only scans still skip CAS reads
+explicitly via ``.option("content", "false")``.
 
 Service surface (S12) mapping — the reference exposes a gRPC API
 (api/api.proto:4-28, served from pufs/cmd/mount.go:114-141); here each
@@ -39,9 +44,23 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    In,
+    InputPartition,
+    LessThan,
+    StringStartsWith,
+)
 
 SCHEMA = "path string, inode long, size long, bid string, content binary"
+
+# Metadata columns a filter can be evaluated on DRIVER-SIDE during
+# partition planning (everything but `content`, which only exists after
+# the CAS read).
+_PUSHABLE_COLS = {"path", "inode", "size", "bid"}
 
 
 class PufsFilePartition(InputPartition):
@@ -60,6 +79,8 @@ class PufsDataSource(DataSource):
         return SCHEMA
 
     def reader(self, schema):
+        if self.options.get("pushdown", "false").lower() == "true":
+            return PufsPushdownReader(self.options, schema)
         return PufsReader(self.options, schema)
 
 
@@ -75,6 +96,7 @@ class PufsReader(DataSourceReader):
             f.name == "content" for f in schema.fields
         )
         self.files_per_partition = int(options.get("filesperpartition", 64))
+        self._pushed: list = []
 
     def _file_rows(self) -> list[tuple[str, int, int, str]]:
         import pyarrow.parquet as pq
@@ -94,8 +116,31 @@ class PufsReader(DataSourceReader):
                 path == self.prefix or path.startswith(self.prefix + "/")
             ):
                 continue
-            rows.append((path, inode, size, bid))
+            row = (path, inode, size, bid)
+            if self._pushed and not self._keep(row):
+                continue
+            rows.append(row)
         return rows
+
+    def _keep(self, row: tuple[str, int, int, str]) -> bool:
+        vals = dict(zip(("path", "inode", "size", "bid"), row))
+        for f in self._pushed:
+            v = vals[f.attribute[0]]
+            if v is None:
+                return False  # SQL comparison semantics: NULL never matches
+            if isinstance(f, EqualTo):
+                ok = v == f.value
+            elif isinstance(f, GreaterThan):
+                ok = v > f.value
+            elif isinstance(f, LessThan):
+                ok = v < f.value
+            elif isinstance(f, In):
+                ok = v in f.value
+            else:  # StringStartsWith on path
+                ok = v.startswith(f.value)
+            if not ok:
+                return False
+        return True
 
     def partitions(self):
         rows = sorted(self._file_rows())
@@ -111,3 +156,52 @@ class PufsReader(DataSourceReader):
                 with open(os.path.join(self.cas, bid), "rb") as f:
                     content = f.read()
             yield (path, inode, size, bid, content)
+
+
+class PufsPushdownReader(PufsReader):
+    """OPT-IN (``.option("pushdown", "true")``) filter-pushdown reader.
+
+    Accepted filters are evaluated against catalog METADATA at
+    partition-planning time, so excluded files never become partitions
+    and their CAS blocks are never opened — `WHERE path = '/a/b'` is a
+    one-partition point lookup instead of a full-tree content scan, the
+    reference's path-resolution fast path (core/datastore.go:1355-1370)
+    expressed as scan pruning.
+
+    Opt-in rather than default for two Spark 4.1 reasons, both verified
+    against this build:
+
+    1. A reader that implements ``pushFilters`` fails ALL scans unless
+       ``spark.sql.python.filterPushdown.enabled`` is true
+       (``session.get_spark`` sets it; foreign sessions may not).
+    2. The JVM caches the planned (partitions, read function) on the
+       shared Python-data-source table object: a query with NO pushable
+       filters reuses the LAST planning of the same loaded DataFrame.
+       Queries with filters always replan correctly, and each
+       ``.load()`` gets a fresh table — but mixing filtered and
+       unfiltered queries over one pushdown-enabled DataFrame would
+       silently reuse the pruned scan for the unfiltered query. With
+       the option scoped per-load, a caller enables pushdown exactly
+       where the load-per-query pattern holds (point-lookup / subtree
+       services), keeping the default reader hazard-free.
+    """
+
+    def pushFilters(self, filters):
+        """Fully handled (not re-evaluated by Spark): EqualTo /
+        GreaterThan / LessThan / In on the metadata columns,
+        StringStartsWith on ``path``. Anything else (e.g. on `content`)
+        stays Spark-side."""
+        # Defensive reset: Spark constructs a fresh reader per pushdown
+        # planning today, but stale state here would silently drop rows.
+        self._pushed = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            supported = (
+                isinstance(f, (EqualTo, GreaterThan, LessThan, In))
+                and col in _PUSHABLE_COLS
+            ) or (isinstance(f, StringStartsWith) and col == "path")
+            if supported:
+                self._pushed.append(f)
+            else:
+                yield f

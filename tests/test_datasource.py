@@ -87,6 +87,88 @@ def test_metadata_only_scan_skips_cas(spark, tmp_path):
     assert df.count() == len(contents)
 
 
+def test_filter_pushdown_point_lookup_never_opens_other_blocks(spark, tmp_path):
+    """A `WHERE path = X` scan must prune partition planning to the one
+    matching file and never open any other CAS block — verified the
+    blunt way: delete every other block, then read. Also proves the
+    pushed filter is evaluated fully in the planner (the surviving
+    row's content still comes back byte-exact)."""
+    ds, contents = _build_store(tmp_path)
+    cat = str(tmp_path / "catalog.parquet")
+    ds.export_catalog(cat)
+    target = "/d3/f1.dat"
+    keep_bid = None
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(cat, columns=["path", "bid"])
+    for p, b in zip(t["path"].to_pylist(), t["bid"].to_pylist()):
+        if p == target:
+            keep_bid = b
+    assert keep_bid is not None
+    for bid in ds.freezer.list_bids():
+        if bid != keep_bid:
+            os.unlink(ds.freezer._path(bid))
+
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("cas", ds.freezer.chunks_dir)
+        .option("pushdown", "true")
+        .load()
+        .where(F.col("path") == target)
+    )
+    rows = df.collect()
+    assert len(rows) == 1
+    assert bytes(rows[0]["content"]) == contents[target]
+
+
+def test_filter_pushdown_range_and_prefix_match_plain_scan(spark, tmp_path):
+    """Pushed-down prefix/range/in filters return exactly what the
+    default (non-pushdown) reader returns for the same predicates —
+    and each case loads fresh, the supported pattern for pushdown
+    scans (see PufsPushdownReader's caching note)."""
+    ds, contents = _build_store(tmp_path)
+    cat = str(tmp_path / "catalog.parquet")
+    ds.export_catalog(cat)
+
+    def scan(pushdown: bool = True):
+        return (
+            spark.read.format("pufs")
+            .option("catalog", cat)
+            .option("cas", ds.freezer.chunks_dir)
+            .option("pushdown", "true" if pushdown else "false")
+            .load()
+        )
+
+    preds = [
+        F.col("path").startswith("/d1/"),
+        (F.col("size") > 50) & (F.col("size") < 400),
+        F.col("path").isin("/d0/f0.dat", "/d4/f3.dat", "/nope"),
+    ]
+    for pred in preds:
+        pushed = sorted(r["path"] for r in scan().where(pred).collect())
+        plain = sorted(r["path"] for r in scan(False).where(pred).collect())
+        assert pushed == plain and pushed, pred
+
+
+def test_default_reader_mixes_filtered_and_unfiltered_safely(spark, tmp_path):
+    """The DEFAULT reader must be immune to the Spark 4.1 planned-scan
+    caching hazard that makes pushdown opt-in: on one loaded DataFrame,
+    an unfiltered count after a filtered count still sees every row."""
+    ds, contents = _build_store(tmp_path)
+    cat = str(tmp_path / "catalog.parquet")
+    ds.export_catalog(cat)
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("cas", ds.freezer.chunks_dir)
+        .load()
+    )
+    assert df.count() == len(contents)
+    assert df.where(F.col("path").startswith("/d2/")).count() == 4
+    assert df.count() == len(contents)  # not poisoned by the filtered plan
+
+
 def test_push_mount_spark_read_roundtrip(spark, tmp_path):
     """Golden E2E consumed via Spark: publish on store A, mount on a
     fresh store B, export B's catalog, scan with spark.read, aggregate
