@@ -6,10 +6,13 @@ revalidates state after any network I/O done outside the lock
 several drivers/jobs may legitimately publish into one catalog, so this
 module provides the multi-writer analog sketched in SURVEY §3.1/§7.5:
 
-- every commit is a full catalog snapshot (one parquet file) plus a
-  JSON commit record in ``<root>/_commit_log/``, named by a
-  monotonically increasing version — the same file layout idea as
-  Delta Lake's ``_delta_log`` (public protocol);
+- every commit is a JSON commit record in ``<root>/_commit_log/``,
+  named by a monotonically increasing version — the same file layout
+  idea as Delta Lake's ``_delta_log`` (public protocol). Most commits
+  are DELTA records (post-commit node state of the touched paths,
+  O(change)); every ``checkpoint_every`` versions — or whenever the
+  journal can't fully describe the change — a full catalog parquet
+  checkpoints the chain (Delta's delta-JSON + checkpoint shape);
 - version N is CLAIMED atomically with ``O_CREAT|O_EXCL`` on the
   record file — the filesystem arbitrates racing writers, no locks held
   while snapshots are written;
@@ -30,9 +33,15 @@ from __future__ import annotations
 import json
 import os
 import time
+from dataclasses import asdict, replace
 
 from pufs_spark.catalog import errors as E
-from pufs_spark.catalog.datastore import DataStore
+from pufs_spark.catalog.datastore import (
+    ROOT_INODE,
+    DataStore,
+    Node,
+    RemoteSource,
+)
 
 
 class CommitConflict(E.CatalogError):
@@ -88,6 +97,7 @@ class CommitLog:
     DIRNAME = "_commit_log"
 
     def __init__(self, root_dir: str, clock=time.time):
+        self.root_dir = root_dir
         self.dir = os.path.join(root_dir, self.DIRNAME)
         os.makedirs(self.dir, exist_ok=True)
         self.clock = clock
@@ -99,6 +109,14 @@ class CommitLog:
 
     def snapshot_path(self, version: int) -> str:
         return os.path.join(self.dir, f"{version:012d}.parquet")
+
+    def cache_path(self, version: int) -> str:
+        """A MATERIALIZED delta version (checkpoint + replayed deltas,
+        written by ``materialize``). Disposable: re-derivable while the
+        base checkpoint lives. The ``cache-`` prefix keeps it invisible
+        to ``current_version``/``wait_snapshot``'s digit-prefix
+        matching."""
+        return os.path.join(self.dir, f"cache-{version:012d}.parquet")
 
     def current_version(self) -> int:
         """Highest CLAIMED version (-1 if the log is empty)."""
@@ -161,6 +179,182 @@ class CommitLog:
             return path
         raise E.NotFoundError(f"version {version} (never committed, or vacuumed)")
 
+    # -- incremental (delta) commits -----------------------------------
+    #
+    # A full catalog parquet per commit is O(catalog size) no matter how
+    # small the change — at a 4M-row catalog and a multi-writer commit
+    # rate, snapshot writes dominate. Delta commits write only the
+    # POST-COMMIT NODE STATE of the touched paths plus their ancestor
+    # spines (where dirty-bit propagation lands) into the JSON record,
+    # and no parquet at all; every ``checkpoint_every`` versions — or
+    # whenever the journal can't fully describe the change — a full
+    # checkpoint anchors the chain, exactly Delta Lake's
+    # delta-JSON + periodic-checkpoint shape. Reconstruction
+    # (``materialize``) loads the newest checkpoint at-or-below the
+    # requested version and applies the delta records in order.
+    #
+    # Fidelity contract: PATH-level (paths, kinds, sizes, mtimes, bids,
+    # flags, sources). Inode numbers are writer-local everywhere in this
+    # module already ("hold paths, not inodes") — a reconstructed store
+    # allocates its own.
+    #
+    # A delta record is only eligible when the journal fully describes
+    # the change:
+    #   - no ``rename`` ops (a rename moves a whole subtree: descendant
+    #     paths change without appearing in the touched set);
+    #   - no un-journaled catalog mutation since base (freeze results,
+    #     lazy child materialization — ``store._unjournaled_mutation``);
+    # otherwise commit falls back to a full checkpoint.
+
+    _DELTA_FIELDS = (
+        "is_dir", "size", "mtime", "is_dirty", "bid", "deferred", "local_path"
+    )
+
+    @staticmethod
+    def _delta_eligible(store: DataStore, journal: list[tuple]) -> bool:
+        return (
+            bool(journal)
+            and not store._unjournaled_mutation
+            and not any(op[0] == "rename" for op in journal)
+        )
+
+    @staticmethod
+    def _spine_closure(paths: set[str]) -> list[str]:
+        """``paths`` plus every ancestor prefix (including the root),
+        shallowest first — parents before children for apply."""
+        full: set[str] = set()
+        for p in paths:
+            parts = [c for c in p.split("/") if c]
+            for i in range(len(parts) + 1):
+                full.add("/" + "/".join(parts[:i]))
+        return sorted(full, key=lambda x: (len(x.split("/")), x))
+
+    def _delta_payload(self, store: DataStore, journal: list[tuple]) -> dict:
+        """Post-commit node state for the touched closure: upserts for
+        paths that resolve, absents for paths that no longer do."""
+        upserts, absent = [], []
+        for p in self._spine_closure(touched_paths(journal)):
+            try:
+                inode = store.resolve_path(p)
+            except E.CatalogError:
+                if p != "/":
+                    absent.append(p)
+                continue
+            n = store.nodes[inode]
+            row = {"path": p, "name": n.name}
+            for f in self._DELTA_FIELDS:
+                row[f] = getattr(n, f)
+            row["src"] = asdict(n.remote_source) if n.remote_source else None
+            upserts.append(row)
+        return {"upserts": upserts, "absent": absent}
+
+    @staticmethod
+    def _apply_delta(store: DataStore, delta: dict) -> None:
+        """Apply one delta record to ``store`` (a reconstruction store:
+        journaling off, no remote). Upserts land parents-first (the
+        payload is spine-closed and pre-sorted); absents remove whole
+        subtrees (covers unmount of an expanded mount)."""
+        for u in delta["upserts"]:
+            src = RemoteSource(**u["src"]) if u["src"] else None
+            if u["path"] == "/":
+                root = store.nodes[ROOT_INODE]
+                store.nodes[ROOT_INODE] = replace(
+                    root,
+                    size=u["size"], mtime=u["mtime"],
+                    is_dirty=u["is_dirty"], bid=u["bid"],
+                    deferred=u["deferred"],
+                )
+                continue
+            parent_path, _, name = u["path"].rpartition("/")
+            parent = store.resolve_path(parent_path or "/")
+            existing = store.children.get(parent, {}).get(name)
+            if existing is not None and store.nodes[existing].is_dir != u["is_dir"]:
+                # same name, different kind: the journal removed one and
+                # created the other — drop the stale subtree first
+                store._remove_recursive(parent, name, existing)
+                existing = None
+            if existing is not None:
+                store.nodes[existing] = replace(
+                    store.nodes[existing],
+                    size=u["size"], mtime=u["mtime"],
+                    is_dirty=u["is_dirty"], bid=u["bid"],
+                    deferred=u["deferred"], local_path=u["local_path"],
+                    remote_source=src,
+                )
+            else:
+                store._insert(
+                    Node(
+                        inode=store._alloc_inode(),
+                        parent=parent,
+                        name=name,
+                        is_dir=u["is_dir"],
+                        size=u["size"],
+                        mtime=u["mtime"],
+                        is_dirty=u["is_dirty"],
+                        bid=u["bid"],
+                        deferred=u["deferred"],
+                        local_path=u["local_path"],
+                        remote_source=src,
+                    ),
+                    mark_dirty=False,
+                )
+            if src is not None and not u["is_dir"] and u["bid"]:
+                store.block_sources[u["bid"]] = src
+        for p in sorted(delta["absent"], key=lambda x: -len(x.split("/"))):
+            try:
+                inode = store.resolve_path(p)
+            except E.CatalogError:
+                continue
+            parent_path, _, name = p.rpartition("/")
+            parent = store.resolve_path(parent_path or "/")
+            store._remove_recursive(parent, name, inode)
+
+    def materialize(self, version: int) -> str:
+        """Path of a parquet holding ``version``'s full catalog,
+        reconstructing through delta records when the version has no
+        snapshot of its own: walk back to the nearest checkpoint (or
+        cached materialization), apply the intervening deltas oldest
+        first, cache the result (atomic temp+rename — concurrent
+        materializers converge). Raises ``NotFoundError`` for
+        never-committed versions and for delta chains whose base
+        checkpoint was vacuumed."""
+        snap = self.snapshot_path(version)
+        if os.path.exists(snap):
+            return snap
+        cache = self.cache_path(version)
+        if os.path.exists(cache):
+            return cache
+        if not os.path.exists(self.record_path(version)):
+            raise E.NotFoundError(f"version {version} (never committed, or vacuumed)")
+        deltas: list[dict] = []
+        v = version
+        while True:
+            rec = self.read_record(v)
+            if "delta" not in rec:
+                # full-snapshot version: present (maybe mid-write) or
+                # vacuumed — wait_snapshot distinguishes and raises.
+                base = self.wait_snapshot(v)
+                break
+            deltas.append(rec["delta"])
+            v -= 1
+            if v < 0:
+                raise E.CatalogError(
+                    f"delta chain below version {version} has no checkpoint"
+                )
+            if os.path.exists(self.snapshot_path(v)):
+                base = self.snapshot_path(v)
+                break
+            if os.path.exists(self.cache_path(v)):
+                base = self.cache_path(v)
+                break
+        store = DataStore.load(self.root_dir, catalog_file=base)
+        for delta in reversed(deltas):
+            self._apply_delta(store, delta)
+        tmp = cache + f".tmp.{os.getpid()}.{id(store)}"
+        store.save(tmp)
+        os.replace(tmp, cache)
+        return cache
+
     # -- the commit protocol -------------------------------------------
 
     def try_claim(self, version: int) -> int | None:
@@ -181,14 +375,22 @@ class CommitLog:
         writer: str = "driver",
         message: str = "",
         max_retries: int = 50,
+        checkpoint_every: int = 16,
     ) -> int:
         """Commit ``store``'s current state as the next version.
 
-        Optimistic loop: snapshot → claim base+1 → on lost race, check
-        the winners' touched paths against ours; disjoint → rebase
-        (load winner snapshot, replay our journal) and retry, overlap →
-        ``CommitConflict``. On success the store's journal is cleared
-        and ``store.base_version`` advances.
+        Optimistic loop: snapshot/delta → claim base+1 → on lost race,
+        check the winners' touched paths against ours; disjoint →
+        rebase (load winner snapshot, replay our journal) and retry,
+        overlap → ``CommitConflict``. On success the store's journal is
+        cleared and ``store.base_version`` advances.
+
+        Every ``checkpoint_every``-th version (and whenever the journal
+        can't fully describe the change — renames, freeze results, lazy
+        expansion) writes a full catalog parquet; other commits write a
+        DELTA record only (touched-paths node state inside the JSON),
+        making commit cost O(change), not O(catalog).
+        ``checkpoint_every=1`` restores full snapshots everywhere.
 
         NOTE on rebase: the store object is updated IN PLACE but inode
         numbers may change (each writer allocates its own); hold paths,
@@ -201,19 +403,30 @@ class CommitLog:
         for _ in range(max_retries):
             base = store.base_version
             version = base + 1
-            # Snapshot BEFORE claiming, under a private name: once the
-            # claim lands the snapshot only needs an atomic rename, so
-            # no reader can observe a claimed version whose snapshot is
-            # still being written. The record body is written last —
-            # read_record treats an empty/partial record as "not yet
-            # committed", which transitively guards the snapshot too.
-            tmp = self.snapshot_path(version) + f".tmp.{os.getpid()}.{id(store)}"
             journal = list(store._journal)
-            store.save(tmp)
+            delta: dict | None = None
+            if (
+                checkpoint_every > 1
+                and version % checkpoint_every != 0
+                and self._delta_eligible(store, journal)
+            ):
+                delta = self._delta_payload(store, journal)
+            tmp = None
+            if delta is None:
+                # Snapshot BEFORE claiming, under a private name: once
+                # the claim lands the snapshot only needs an atomic
+                # rename, so no reader can observe a claimed version
+                # whose snapshot is still being written. The record body
+                # is written last — read_record treats an empty/partial
+                # record as "not yet committed", which transitively
+                # guards the snapshot too.
+                tmp = self.snapshot_path(version) + f".tmp.{os.getpid()}.{id(store)}"
+                store.save(tmp)
             fd = self.try_claim(version)
             if fd is not None:
                 try:
-                    os.replace(tmp, self.snapshot_path(version))
+                    if tmp is not None:
+                        os.replace(tmp, self.snapshot_path(version))
                     rec = {
                         "version": version,
                         "base_version": base,
@@ -223,15 +436,20 @@ class CommitLog:
                         "touched": sorted(touched_paths(journal)),
                         "ops": len(journal),
                         "nodes": len(store.nodes),
+                        "kind": "checkpoint" if delta is None else "delta",
                     }
+                    if delta is not None:
+                        rec["delta"] = delta
                     os.write(fd, json.dumps(rec).encode())
                     os.fsync(fd)
                 finally:
                     os.close(fd)
                 store.clear_journal()
+                store._unjournaled_mutation = False
                 store.base_version = version
                 return version
-            os.unlink(tmp)
+            if tmp is not None:
+                os.unlink(tmp)
             # Lost the race: someone owns base+1 (maybe more). Find the
             # frontier, check for conflicts, rebase our journal on it.
             current = self.current_version()
@@ -244,20 +462,40 @@ class CommitLog:
         raise E.CatalogError(f"commit did not land in {max_retries} tries")
 
     def vacuum(self, keep_last: int = 1) -> list[int]:
-        """Drop snapshot parquets for all but the newest ``keep_last``
-        committed versions. Records are never dropped: they are tiny,
-        and conflict checks + history queries need the full chain.
-        Time-traveling to a vacuumed version then fails loudly
-        (NotFoundError) instead of silently reading nothing. Returns
-        the versions whose snapshots were removed."""
+        """Drop snapshot parquets (and materialization caches) below
+        the newest ``keep_last`` committed versions. Records are never
+        dropped: they are tiny, and conflict checks + history queries
+        need the full chain. Time-traveling to a vacuumed version then
+        fails loudly (NotFoundError) instead of silently reading
+        nothing. Returns the versions whose snapshots were removed.
+
+        Delta-aware: a retained delta version needs its base checkpoint
+        to stay materializable, so the newest checkpoint at-or-below
+        the retention cut — and every checkpoint after it — is
+        protected even when older than the cut. Caches below the cut
+        are always removable (re-derivable while their base lives;
+        gone-for-good only when their chain is too, which is exactly
+        the vacuumed contract)."""
         current = self.current_version()
+        cut = max(current - keep_last + 1, 0)
+        ckpts = sorted(
+            int(f[:12])
+            for f in os.listdir(self.dir)
+            if f.endswith(".parquet") and f[:12].isdigit()
+        )
+        base_needed = max((c for c in ckpts if c <= cut), default=None)
         removed: list[int] = []
-        for v in range(0, max(current - keep_last + 1, 0)):
-            p = self.snapshot_path(v)
+        for c in ckpts:
+            if base_needed is not None and c < base_needed:
+                os.unlink(self.snapshot_path(c))
+                removed.append(c)
+        for v in range(0, cut):
+            p = self.cache_path(v)
             if os.path.exists(p):
                 os.unlink(p)
-                removed.append(v)
-        return removed
+                if v not in removed:
+                    removed.append(v)
+        return sorted(removed)
 
     def rebase(self, store: DataStore, version: int) -> None:
         """Reload ``store`` from committed ``version`` and replay its
@@ -268,13 +506,14 @@ class CommitLog:
             remote=store.remote,
             clock=store.clock,
             lister=store.lister,
-            catalog_file=self.wait_snapshot(version),
+            catalog_file=self.materialize(version),
         )
         store.nodes = fresh.nodes
         store.children = fresh.children
         store._next_inode = fresh._next_inode
         store.block_sources.update(fresh.block_sources)
         store.clear_journal()
+        store._unjournaled_mutation = False
         store.replay_ops(journal)  # re-journals via the public mutators
         store.base_version = version
 
@@ -301,7 +540,7 @@ def open_log(
     if v < 0:
         store = DataStore(root_dir, remote=remote, clock=clock, lister=lister)
     else:
-        snap = log.wait_snapshot(v)
+        snap = log.materialize(v)
         store = DataStore.load(
             root_dir, remote=remote, clock=clock, lister=lister,
             catalog_file=snap,
@@ -321,7 +560,8 @@ def open_log(
 # relies on below.
 _RECORD_SCHEMA = (
     "version long, base_version long, writer string, ts double, "
-    "message string, touched array<string>, ops long, nodes long"
+    "message string, touched array<string>, ops long, nodes long, "
+    "kind string"
 )
 
 
@@ -356,4 +596,4 @@ def snapshot_df(spark, root_dir: str, version: int | None = None):
     v = log.current_version() if version is None else version
     if v < 0:
         raise E.NotFoundError(f"version {v} (never committed, or vacuumed)")
-    return spark.read.parquet(log.wait_snapshot(v))
+    return spark.read.parquet(log.materialize(v))

@@ -143,6 +143,11 @@ class DataStore:
         # catalog/commitlog.open_log flips it on.
         self.journaling: bool = False
         self.base_version: int = -1  # last committed log version loaded
+        # True when catalog rows changed OUTSIDE the journal since the
+        # last commit (freeze results, lazy child materialization):
+        # commitlog must then write a full checkpoint — a delta record
+        # derived from the journal alone would silently drop those rows.
+        self._unjournaled_mutation: bool = False
 
     # ------------------------------------------------------------------
     # P-series: lookups (reference: core/nodedb.go:78-102,487-510)
@@ -259,6 +264,8 @@ class DataStore:
         node = self.nodes.get(inode)
         if node is None or not node.deferred:
             return
+        if self.journaling:
+            self._unjournaled_mutation = True
         if node.bid is not None:
             data = self._fetch_block(node.bid)
             for name, is_dir, bid, size in decode_dir_manifest(data):
@@ -640,6 +647,8 @@ class DataStore:
         node = self.get_node(inode)
         if node.bid is not None:
             return node.bid  # memoized: unchanged subtree
+        if self.journaling:
+            self._unjournaled_mutation = True
         if not node.is_dir:
             assert node.local_path is not None, "file with no bid nor content"
             bid = self.freezer.add_file(node.local_path)

@@ -228,14 +228,14 @@ def test_wait_snapshot_fails_fast_when_never_claimed(tmp_path):
     assert time.monotonic() - t0 < 0.5  # no pointless 2s poll
 
 
-def _three_versions(root: str) -> None:
+def _three_versions(root: str, checkpoint_every: int = 16) -> None:
     w, log = CL.open_log(root)
     w.mkdir(ROOT_INODE, "v0dir")
-    log.commit(w, message="v0")
+    log.commit(w, message="v0", checkpoint_every=checkpoint_every)
     w.add_immutable_bytes(ROOT_INODE, "v1file", b"one")
-    log.commit(w, message="v1")
+    log.commit(w, message="v1", checkpoint_every=checkpoint_every)
     w.remove(ROOT_INODE, "v0dir")
-    log.commit(w, message="v2")
+    log.commit(w, message="v2", checkpoint_every=checkpoint_every)
 
 
 def test_time_travel_open(tmp_path):
@@ -272,8 +272,10 @@ def test_time_traveled_store_commits_onto_frontier(tmp_path):
 
 
 def test_vacuum_keeps_records_drops_old_snapshots(tmp_path):
+    # checkpoint_every=1: full snapshots everywhere, the mode whose
+    # vacuum semantics this test pins (delta-chain vacuum below)
     root = str(tmp_path)
-    _three_versions(root)
+    _three_versions(root, checkpoint_every=1)
     log = CL.CommitLog(root)
     assert log.vacuum(keep_last=1) == [0, 1]
     # records survive for history/conflict checks
@@ -308,7 +310,7 @@ def test_vacuumed_versions_fail_loudly_in_spark_readers(tmp_path, spark):
     poll — a newer snapshot proves it's vacuumed, not mid-write), while
     history_df still serves the full record chain."""
     root = str(tmp_path)
-    _three_versions(root)
+    _three_versions(root, checkpoint_every=1)
     assert CL.CommitLog(root).vacuum(keep_last=1) == [0, 1]
 
     hist = CL.history_df(spark, root)
@@ -358,12 +360,16 @@ def test_history_df_never_corrupt_under_concurrent_commits(tmp_path, spark):
     errs: list[Exception] = []
 
     def committer():
-        i = 0
+        # Bounded: delta commits are ~1000/s, and an unbounded flood
+        # makes each history_df read (one task per record file) slower
+        # than the next flood round — the race window is fully
+        # exercised within the first few hundred records.
         try:
-            while not stop.is_set():
+            for i in range(300):
+                if stop.is_set():
+                    break
                 store.mkdir(ROOT_INODE, f"d{i}")
                 log.commit(store, writer="w1")
-                i += 1
         except Exception as exc:  # noqa: BLE001 — surfaced below
             errs.append(exc)
 
@@ -402,3 +408,179 @@ def test_commit_record_is_honest_about_footprint(tmp_path):
     rec = json.loads(open(log.record_path(0)).read())
     assert rec["touched"] == ["/a", "/a/f"]
     assert rec["nodes"] == 3  # root + dir + file
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) commits
+# ---------------------------------------------------------------------------
+
+
+def _catalog_map(store) -> dict:
+    """path → full node state (minus writer-local inode numbers) — the
+    fidelity contract a reconstructed version must meet."""
+    out = {}
+    stack = [(ROOT_INODE, "/")]
+    while stack:
+        inode, path = stack.pop()
+        n = store.nodes[inode]
+        out[path] = (
+            n.is_dir, n.size, n.mtime, n.is_dirty, n.bid, n.deferred,
+            n.local_path, n.remote_source,
+        )
+        for name, child in store.children.get(inode, {}).items():
+            stack.append((child, (path.rstrip("/") or "") + "/" + name))
+    return out
+
+
+def test_delta_reconstruction_matches_writer_state_at_every_version(tmp_path):
+    """checkpoint_every=4 over a mixed op sequence (nested mkdir, adds,
+    remove, kind change dir→file, remote link, writable create+write):
+    opening EVERY version reconstructs exactly the writer's post-commit
+    state at path level — including mtimes and dirty bits (recorded
+    state, not replay drift)."""
+    from pufs_spark.catalog.datastore import RemoteSource
+
+    root = str(tmp_path)
+    w, log = CL.open_log(root)
+    expected = {}
+
+    def commit(msg):
+        v = log.commit(w, message=msg, checkpoint_every=4)
+        expected[v] = _catalog_map(w)
+        return v
+
+    d = w.mkdir(ROOT_INODE, "a")
+    w.mkdir(d, "b")
+    commit("v0: nested dirs")                      # checkpoint (v0)
+    w.add_immutable_bytes(d, "f1", b"one")
+    w.add_immutable_bytes(ROOT_INODE, "top", b"t")
+    commit("v1: adds")                             # delta
+    w.remove(d, "f1")
+    commit("v2: remove")                           # delta
+    w.remove(w.resolve_path("/a"), "b")
+    w.add_immutable_bytes(d, "b", b"now a file")   # dir → file, same name
+    commit("v3: kind change")                      # delta
+    w.link_remote(
+        ROOT_INODE, "ext",
+        RemoteSource(kind="url", url="http://x/e", etag="E", size=3),
+        is_dir=False,
+    )
+    commit("v4: remote link")                      # checkpoint (4 % 4 == 0)
+    f = w.create_writable(d, "w1")
+    w.write(f, b"staged bytes")
+    commit("v5: writable")                         # delta
+
+    for v, want in expected.items():
+        got, _ = CL.open_log(root, version=v)
+        assert _catalog_map(got) == want, f"version {v} mismatch"
+    # content round-trips through the reconstruction too
+    latest, _ = CL.open_log(root)
+    assert latest.read_path("/a/b") == b"now a file"
+    assert latest.read_path("/a/w1") == b"staged bytes"
+
+
+def test_delta_commits_write_no_parquet_and_record_kind(tmp_path):
+    root = str(tmp_path)
+    w, log = CL.open_log(root)
+    w.mkdir(ROOT_INODE, "d0")
+    log.commit(w)                                  # v0: checkpoint
+    w.mkdir(ROOT_INODE, "d1")
+    log.commit(w)                                  # v1: delta
+    assert os.path.exists(log.snapshot_path(0))
+    assert not os.path.exists(log.snapshot_path(1))
+    assert log.read_record(0)["kind"] == "checkpoint"
+    rec1 = log.read_record(1)
+    assert rec1["kind"] == "delta"
+    # O(change): the delta carries only the touched path + its spine
+    assert {u["path"] for u in rec1["delta"]["upserts"]} == {"/", "/d1"}
+
+
+@pytest.mark.parametrize("trigger", ["rename", "freeze", "lazy"])
+def test_journal_gaps_force_a_checkpoint(tmp_path, trigger):
+    """Changes the journal can't fully describe — renames (subtree
+    paths move), freeze results, lazy child materialization — must fall
+    back to a full snapshot, never a delta that silently drops rows."""
+    from pufs_spark.sources.remote import MemRemote
+
+    root = str(tmp_path)
+    remote = MemRemote()
+    w, log = CL.open_log(root, remote=remote)
+    d = w.mkdir(ROOT_INODE, "dir")
+    w.add_immutable_bytes(d, "f", b"x")
+    log.commit(w)                                  # v0 checkpoint
+    if trigger == "rename":
+        w.rename(ROOT_INODE, "dir", ROOT_INODE, "dir2")
+    elif trigger == "freeze":
+        w.mkdir(ROOT_INODE, "extra")
+        w.freeze()
+    else:  # lazy: publish, mount, then expand the mount via a read
+        w.push("lbl")
+        w.mount_bid(ROOT_INODE, "mnt", remote.get_root("lbl"))
+        w.resolve_path("/mnt/dir/f")               # expands /mnt lazily
+    v = log.commit(w)
+    assert log.read_record(v)["kind"] == "checkpoint"
+    assert os.path.exists(log.snapshot_path(v))
+    # and the committed state reads back whole
+    fresh, _ = CL.open_log(root, remote=remote)
+    if trigger == "rename":
+        assert fresh.read_path("/dir2/f") == b"x"
+    else:
+        assert fresh.read_path("/dir/f") == b"x"
+
+
+def test_vacuum_protects_the_checkpoint_retained_deltas_need(tmp_path):
+    root = str(tmp_path)
+    w, log = CL.open_log(root)
+    for i in range(6):                             # ckpts at 0 and 4
+        w.mkdir(ROOT_INODE, f"d{i}")
+        log.commit(w, checkpoint_every=4)
+    assert os.path.exists(log.snapshot_path(0))
+    assert os.path.exists(log.snapshot_path(4))
+    log.materialize(3)                             # warm a cache below the cut
+    removed = log.vacuum(keep_last=1)              # cut=5: protect ckpt 4
+    assert 0 in removed and 4 not in removed
+    assert not os.path.exists(log.snapshot_path(0))
+    # frontier chain intact: v5 (delta on ckpt 4) and v4 materialize
+    assert CL.open_log(root, version=5)[0].resolve_path("/d5")
+    assert CL.open_log(root, version=4)[0].resolve_path("/d4")
+    # versions whose chain lost its base fail loudly and fast
+    t0 = time.monotonic()
+    with pytest.raises(E.NotFoundError):
+        log.materialize(2)
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_concurrent_delta_writers_disjoint_paths_all_land(tmp_path):
+    """8 threads × 5 delta commits each on disjoint paths: every commit
+    lands (auto-rebase), the final materialized catalog holds all 40
+    files, and no thread errors."""
+    root = str(tmp_path)
+    seed, log0 = CL.open_log(root)
+    seed.mkdir(ROOT_INODE, "seed")
+    log0.commit(seed)
+    errs: list[Exception] = []
+
+    def writer(k: int):
+        try:
+            w, log = CL.open_log(root)
+            d = w.mkdir(ROOT_INODE, f"w{k}")
+            log.commit(w, writer=f"w{k}")
+            for i in range(4):
+                w.add_immutable_bytes(
+                    w.resolve_path(f"/w{k}"), f"f{i}", f"{k}:{i}".encode()
+                )
+                log.commit(w, writer=f"w{k}")
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    final, log = CL.open_log(root)
+    assert final.base_version == 8 * 5  # seed + 40 commits
+    for k in range(8):
+        for i in range(4):
+            assert final.read_path(f"/w{k}/f{i}") == f"{k}:{i}".encode()
