@@ -447,6 +447,40 @@ def q_t12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bm25_search(docs, ["spark", "join", "window"])
 
 
+def q_t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T13: paragraph-level corpus dedup (Lee et al. 2022 family). The
+    fixture docs are single-paragraph, so the query first gives each a
+    deterministic structure — body + a shared footer (one of two,
+    by doc parity) + a unique paragraph for doc_id < 10 — and the
+    operator must strip every corpus-duplicated paragraph (both
+    footers, any duplicated bodies) while unique paragraphs survive.
+    The oracle replays the same construction in SQL."""
+    docs = load_table(spark, sf_dir, "documents")
+    structured = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0, F.lit("footer alpha boilerplate")
+            ).otherwise(F.lit("footer beta boilerplate")),
+            F.when(
+                F.col("doc_id") < 10,
+                F.concat(F.lit("unique paragraph "), F.col("doc_id").cast("string")),
+            ),
+        ).alias("text"),
+    )
+    return dedup.dedup_paragraphs(structured)
+
+
+def q_t14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: GPT-style sequence packing — concat-then-chunk layout
+    metadata (shard, token offset, start/end pack) at a 512-token
+    budget, md5-sharded for determinism (same rule as T7/T8)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pipeline.pack_sequences(docs, budget=512)
+
+
 def q_e5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E5: ordered product funnel per user — first view, first click
     after it, first purchase after that."""
@@ -1581,6 +1615,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "T10_eval_contamination": q_t10,
         "T11_repetition_stats": q_t11,
         "T12_bm25_search": q_t12,
+        "T13_dedup_paragraphs": q_t13,
+        "T14_pack_sequences": q_t14,
         "E5_funnel": q_e5,
         "T1_token_quality": q_t1,
         "T2_lang_id": q_t2,
@@ -2174,6 +2210,61 @@ def oracle_sql() -> dict[str, str]:
                        / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))) AS score
             FROM tf JOIN dfq USING (w) CROSS JOIN stats
             GROUP BY doc_id""",
+        "T13_dedup_paragraphs": """
+            WITH structured AS (
+              SELECT doc_id,
+                     text || chr(10) || chr(10)
+                     || (CASE WHEN doc_id % 2 = 0
+                              THEN 'footer alpha boilerplate'
+                              ELSE 'footer beta boilerplate' END)
+                     || (CASE WHEN doc_id < 10
+                              THEN chr(10) || chr(10) || 'unique paragraph '
+                                   || CAST(doc_id AS VARCHAR)
+                              ELSE '' END) AS text
+              FROM documents),
+            s AS (SELECT doc_id,
+                         string_split(text, chr(10) || chr(10)) AS ps
+                  FROM structured),
+            p AS (SELECT doc_id, i - 1 AS pos, ps[i] AS para
+                  FROM s, LATERAL unnest(range(1, len(ps) + 1)) AS t(i)),
+            c AS (SELECT para, count(*) AS n FROM p
+                  WHERE trim(para) <> '' GROUP BY para),
+            dup AS (SELECT para FROM c WHERE n >= 2),
+            k AS (SELECT doc_id, pos, para FROM p ANTI JOIN dup USING (para)),
+            agg AS (SELECT doc_id,
+                           string_agg(para, chr(10) || chr(10) ORDER BY pos)
+                             AS text_clean,
+                           count(*) AS n_kept
+                    FROM k GROUP BY doc_id),
+            n AS (SELECT doc_id, count(*) AS n_paras FROM p GROUP BY doc_id)
+            SELECT n.doc_id,
+                   coalesce(agg.text_clean, '') AS text_clean,
+                   CAST(n.n_paras AS BIGINT) AS n_paras,
+                   CAST(n.n_paras - coalesce(agg.n_kept, 0) AS BIGINT)
+                     AS n_dropped
+            FROM n LEFT JOIN agg USING (doc_id)""",
+        "T14_pack_sequences": """
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                     END AS n_tokens,
+                     substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 1) AS shard
+              FROM documents),
+            o AS (SELECT doc_id, shard, n_tokens,
+                         coalesce(sum(n_tokens) OVER (
+                             PARTITION BY shard ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0) AS tok_offset
+                  FROM t)
+            SELECT doc_id, shard,
+                   CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(tok_offset AS BIGINT) AS tok_offset,
+                   CAST(tok_offset // 512 AS BIGINT) AS start_pack,
+                   CAST(CASE WHEN n_tokens > 0
+                             THEN (tok_offset + n_tokens - 1) // 512
+                             ELSE tok_offset // 512 END AS BIGINT) AS end_pack
+            FROM o""",
         "E5_funnel": """
             WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
             s1 AS (SELECT user_id, min(tus) AS t_view_us

@@ -655,3 +655,73 @@ def duplicate_rank(
     content-hash group (rank 1 = keeper)."""
     w = Window.partitionBy(F.sha2(F.col(text_col), 256)).orderBy(F.col(id_col))
     return df.withColumn("dup_rank", F.row_number().over(w))
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Paragraph-granularity corpus dedup (the Lee et al. 2022
+    "Deduplicating Training Data" family at the granularity C4/Gopher
+    pipelines deduplicate boilerplate at): any paragraph whose EXACT
+    text occurs ``min_count``+ times ACROSS THE CORPUS is removed from
+    every document, and each document's text is reassembled in original
+    paragraph order. Returns (id, text_clean, n_paras, n_dropped).
+    Whitespace-only paragraphs are never counted or removed (they are
+    structure, not content). A count over occurrences (not distinct
+    docs) also removes a paragraph repeated inside ONE document — the
+    within-doc repetition case T11's Gopher stats flag.
+
+    Plan: posexplode → global count keyed on the paragraph's sha2
+    digest (64-hex digests shuffle in the count agg, never paragraph
+    text — exact_dedup's economics) → broadcast-eligible left join
+    marking duplicated paragraphs → ONE per-doc regroup computing the
+    counts and the ordered reassembly together
+    (sort_array(collect_list(struct(pos, para, keep)))). Two key-hashed
+    shuffles total (count agg + regroup), both map-side combine;
+    plan-checked at 2 Exchanges."""
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    )
+    dup_fps = (
+        paras.where(F.trim(F.col("para")) != "")
+        .groupBy(F.sha2(F.col("para"), 256).alias("fp"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select("fp", F.lit(True).alias("_dup"))
+    )
+    tagged = paras.withColumn("fp", F.sha2(F.col("para"), 256)).join(
+        dup_fps, "fp", "left"
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.filter(
+                        F.sort_array(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos"),
+                                    F.col("para"),
+                                    F.col("_dup").isNull().alias("keep"),
+                                )
+                            )
+                        ),
+                        lambda x: x.keep,
+                    ),
+                    lambda x: x.para,
+                ),
+                sep,
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+        .select(id_col, "text_clean", "n_paras", "n_dropped")
+    )

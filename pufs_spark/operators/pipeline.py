@@ -10,7 +10,7 @@ row."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pufs_spark.operators import dedup, sampling, text
@@ -103,3 +103,59 @@ def prepare_training_corpus(
     )
     dataset.write_partitioned(out, path, ["split"], [id_col])
     return out
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shard_hex: int = 1,
+    seed: int = 0,
+) -> DataFrame:
+    """GPT-style sequence-packing layout: documents are concatenated in
+    a deterministic order and chunked into fixed ``budget``-token
+    training sequences (documents span chunk boundaries — the standard
+    concat-then-chunk packing LM training uses). Returns per document
+    the metadata a training loader needs to slice it into its packs:
+    (id, shard, n_tokens, tok_offset, start_pack, end_pack).
+
+    Determinism and scale use the same md5 rule as operators/sampling:
+    a single global concatenation order would be ONE sorted task, so
+    docs shard by the first ``shard_hex`` hex digits of
+    md5(seed || ':' || id) — 16^shard_hex shards, content-keyed,
+    partition/rerun/engine invariant — and pack independently per shard
+    (one window sort per shard, all shards parallel). Zero-token docs
+    occupy no space (end_pack == start_pack, width 0).
+    """
+    from pufs_spark.operators.text import tokens_col
+
+    shard = F.substring(
+        F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+        1,
+        shard_hex,
+    )
+    t = docs.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return t.withColumn("tok_offset", off).select(
+        id_col,
+        "shard",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / budget).alias("start_pack"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.floor((F.col("tok_offset") + F.col("n_tokens") - 1) / budget),
+        )
+        .otherwise(F.floor(F.col("tok_offset") / budget))
+        .alias("end_pack"),
+    )

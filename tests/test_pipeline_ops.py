@@ -808,3 +808,74 @@ def test_bm25_duplicate_terms_equal_deduped(spark, docs):
     b = {r["doc_id"]: r["score"]
          for r in text.bm25_search(docs, ["spark", "data"]).collect()}
     assert a == b
+
+
+def test_dedup_paragraphs_semantics(spark):
+    """Corpus-duplicated paragraphs are removed everywhere; unique
+    paragraphs and paragraph ORDER survive; blank paragraphs are
+    structure (never counted, never removed); a paragraph repeated
+    within ONE doc counts as duplicated."""
+    rows = [
+        (1, "alpha unique\n\nshared footer\n\nbeta unique"),
+        (2, "gamma unique\n\nshared footer"),
+        (3, "self rep\n\nself rep\n\ndelta unique"),
+        (4, ""),  # empty doc: one blank paragraph, untouched
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in dedup.dedup_paragraphs(df, min_count=2).collect()
+    }
+    assert out[1]["text_clean"] == "alpha unique\n\nbeta unique"
+    assert out[1]["n_paras"] == 3 and out[1]["n_dropped"] == 1
+    assert out[2]["text_clean"] == "gamma unique"
+    assert out[3]["text_clean"] == "delta unique"  # within-doc repeat gone
+    assert out[3]["n_dropped"] == 2
+    assert out[4]["text_clean"] == "" and out[4]["n_dropped"] == 0
+
+
+def test_dedup_paragraphs_order_preserved_across_many(spark):
+    """Reassembly must follow original positions, not hash order."""
+    paras = [f"para number {i}" for i in range(30)]
+    df = spark.createDataFrame(
+        [(1, "\n\n".join(paras))], "doc_id long, text string"
+    )
+    out = dedup.dedup_paragraphs(df, min_count=2).collect()[0]
+    assert out["text_clean"] == "\n\n".join(paras)  # nothing duplicated
+
+
+def test_pack_sequences_invariants(spark, docs):
+    """Within every shard: offsets are the exact running token sum in
+    id order (no gaps, no overlap), pack ids are derived from offsets,
+    and zero-token docs occupy no space."""
+    from pufs_spark.operators.pipeline import pack_sequences
+
+    budget = 100
+    out = pack_sequences(docs, budget=budget).collect()
+    by_shard: dict = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert len(by_shard) > 1  # md5 actually shards
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        expect_off = 0
+        for r in rows:
+            assert r["tok_offset"] == expect_off, (shard, r)
+            assert r["start_pack"] == r["tok_offset"] // budget
+            if r["n_tokens"] > 0:
+                assert r["end_pack"] == (r["tok_offset"] + r["n_tokens"] - 1) // budget
+            else:
+                assert r["end_pack"] == r["start_pack"]
+            expect_off += r["n_tokens"]
+
+
+def test_pack_sequences_partition_invariant(spark, docs):
+    """The layout is content-keyed: recomputing over a repartitioned
+    input yields the identical assignment."""
+    from pufs_spark.operators.pipeline import pack_sequences
+
+    a = sorted(map(tuple, pack_sequences(docs, budget=64).collect()))
+    b = sorted(
+        map(tuple, pack_sequences(docs.repartition(13), budget=64).collect())
+    )
+    assert a == b

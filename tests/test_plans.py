@@ -126,6 +126,23 @@ def test_r2_one_shuffle(spark):
     assert n_nodes(plan, "Sort") == 1  # both windows share one sort
 
 
+def test_t13_two_exchanges_and_digest_shuffle(spark):
+    """Paragraph dedup: exactly two shuffles (digest-keyed count agg +
+    per-doc regroup); the dup set joins broadcast, never shuffled."""
+    plan = plan_of(spark, "T13_dedup_paragraphs")
+    assert n_nodes(plan, "Exchange") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_t14_single_shard_exchange(spark):
+    """Sequence packing: one hash exchange on the md5 shard key feeding
+    one per-shard window sort — no global sort task."""
+    plan = plan_of(spark, "T14_pack_sequences")
+    assert n_nodes(plan, "Exchange") == 1
+    assert n_nodes(plan, "Sort") == 1
+    assert n_nodes(plan, "Window") == 1
+
+
 @pytest.mark.parametrize(
     "name",
     [
