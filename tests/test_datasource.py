@@ -203,3 +203,63 @@ def test_push_mount_spark_read_roundtrip(spark, tmp_path):
     ).collect()[0]
     assert agg["n"] == 6
     assert agg["bytes"] == expected_total
+
+
+def test_commit_log_cdc_stream(spark, tmp_path):
+    """The `pufs_commits` streaming source tails the commit log as a
+    CDC feed: delta commits emit one row per changed path, checkpoint
+    commits one marker row; a restart from the streaming checkpoint
+    resumes at the next unseen version (offsets ARE versions)."""
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.catalog.datastore import ROOT_INODE
+    from pufs_spark.sources.datasource import PufsCommitsDataSource
+
+    spark.dataSource.register(PufsCommitsDataSource)
+    root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "data")
+    log.commit(w, writer="w0")                      # v0: checkpoint
+    w.add_immutable_bytes(d, "f1", b"one")
+    log.commit(w, writer="w0")                      # v1: delta
+    w.add_immutable_bytes(d, "f2", b"two")
+    log.commit(w, writer="w0")                      # v2: delta
+
+    out_dir = str(tmp_path / "cdc_out")
+
+    def drain():
+        q = (
+            spark.readStream.format("pufs_commits")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")  # memory sink can't resume
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir).collect()
+
+    rows = drain()
+    by_v = {}
+    for r in rows:
+        by_v.setdefault(r["version"], []).append(r)
+    assert by_v[0][0]["change"] == "checkpoint" and by_v[0][0]["kind"] == "checkpoint"
+    v1 = {r["path"]: r for r in by_v[1]}
+    assert v1["/data/f1"]["change"] == "upsert"
+    assert v1["/data/f1"]["size"] == 3 and not v1["/data/f1"]["is_dir"]
+    assert "/data" in v1 and "/" in v1              # ancestor spine rides along
+    assert {r["path"] for r in by_v[2]} >= {"/data/f2"}
+
+    # restart from the checkpoint: only NEW versions are emitted (the
+    # sink accumulates, so exactly-once shows as no duplicated rows)
+    w.remove(d, "f1")
+    log.commit(w, writer="w0")                      # v3: delta with absent
+    rows2 = drain()
+    chg = {(r["version"], r["path"], r["change"]) for r in rows2}
+    assert (3, "/data/f1", "absent") in chg
+    assert len(rows2) == len(chg), "replay duplicated rows"
+    assert (
+        sum(1 for r in rows2 if r["version"] == 1 and r["path"] == "/data/f1") == 1
+    )
