@@ -47,6 +47,10 @@ HEADLINE = [
     "Q6_forecast_revenue",
     "Q14_promo_revenue",
     "Q18_large_orders",
+    # Added round 5 (suite-total is therefore not directly comparable
+    # to rounds <= 4; per-query timings are the cross-round signal):
+    "T13_dedup_paragraphs",
+    "T14_pack_sequences",
 ]
 
 

@@ -584,3 +584,96 @@ def test_concurrent_delta_writers_disjoint_paths_all_land(tmp_path):
     for k in range(8):
         for i in range(4):
             assert final.read_path(f"/w{k}/f{i}") == f"{k}:{i}".encode()
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_DIRS = ["d0", "d1", "d2"]
+_FILES = ["f0", "f1", "f2", "f3"]
+
+_OP = st.one_of(
+    st.tuples(st.just("mkdir"), st.sampled_from(_DIRS)),
+    st.tuples(
+        st.just("add"),
+        st.sampled_from(["/"] + ["/" + d for d in _DIRS]),
+        st.sampled_from(_FILES),
+        st.binary(min_size=0, max_size=16),
+    ),
+    st.tuples(
+        st.just("remove"),
+        st.sampled_from(["/" + d for d in _DIRS]
+                        + [f"/{d}/{f}" for d in _DIRS for f in _FILES]
+                        + ["/" + f for f in _FILES]),
+    ),
+    st.tuples(st.just("commit")),
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(ops=st.lists(_OP, min_size=1, max_size=40))
+def test_delta_reconstruction_randomized(tmp_path_factory, ops):
+    """Property version of the fixed-sequence delta test: ANY valid
+    op sequence (mkdirs, adds, removes, interleaved commits) under
+    checkpoint_every=3 reconstructs, at EVERY version, exactly the
+    writer's post-commit path-level state."""
+    root = str(tmp_path_factory.mktemp("dlog"))
+    w, log = CL.open_log(root)
+    expected = {}
+
+    def try_commit():
+        if not w._journal:
+            return
+        v = log.commit(w, checkpoint_every=3)
+        expected[v] = _catalog_map(w)
+
+    for op in ops:
+        try:
+            if op[0] == "mkdir":
+                w.mkdir(ROOT_INODE, op[1])
+            elif op[0] == "add":
+                w.add_immutable_bytes(w.resolve_path(op[1]), op[2], op[3])
+            elif op[0] == "remove":
+                parent, _, name = op[1].rpartition("/")
+                w.remove(w.resolve_path(parent or "/"), name)
+            else:
+                try_commit()
+        except E.CatalogError:
+            pass  # invalid op against current state: skip, like a user would
+    try_commit()
+
+    for v, want in expected.items():
+        got, _ = CL.open_log(root, version=v)
+        assert _catalog_map(got) == want, f"version {v} mismatch"
+
+
+def test_unmount_through_delta_removes_expanded_subtree(tmp_path):
+    """A mount's lazy EXPANSION forces a checkpoint (unjournaled
+    mutation), but a later unmount-only commit is delta-eligible — its
+    single 'absent' row must remove the whole expanded subtree on
+    reconstruction (recursive apply), not just unlink the mount point."""
+    from pufs_spark.sources.remote import MemRemote
+
+    remote = MemRemote()
+    pub = DataStore(str(tmp_path / "pub"), remote=remote)
+    d = pub.mkdir(ROOT_INODE, "data")
+    pub.add_immutable_bytes(d, "f", b"x")
+    pub.push("lbl")
+
+    root = str(tmp_path / "cat")
+    w, log = CL.open_log(root, remote=remote)
+    w.mount_bid(ROOT_INODE, "mnt", remote.get_root("lbl"))
+    log.commit(w)
+    w.resolve_path("/mnt/data/f")                  # expand lazily
+    w.mkdir(ROOT_INODE, "x1")
+    v1 = log.commit(w)
+    assert log.read_record(v1)["kind"] == "checkpoint"  # expansion forced
+    w.unmount(ROOT_INODE, "mnt")
+    v2 = log.commit(w)
+    assert log.read_record(v2)["kind"] == "delta"
+
+    got, _ = CL.open_log(root, version=v2, remote=remote)
+    with pytest.raises(E.NotFoundError):
+        got.resolve_path("/mnt")
+    names = {n.name for n in got.nodes.values()}
+    assert "data" not in names and "f" not in names  # subtree truly gone

@@ -150,6 +150,44 @@ def bench_ivf(spark, warehouse: str) -> dict:
     }
 
 
+def bench_bm25(spark, warehouse: str) -> dict:
+    """Keyword search: per-query wall with the persisted postings index
+    vs the fresh corpus tokenize+explode per query."""
+    from pufs_spark.operators import text
+
+    docs = load_table(spark, SF_DIR, "documents")
+    queries = [
+        ["spark", "join", "window"],
+        ["hash", "table", "scan"],
+        ["batch", "sort", "merge"],
+    ]
+
+    fresh = [
+        timed(lambda q=q: force(text.bm25_search(docs, q))) for q in queries
+    ]
+    build_s = timed(
+        lambda: text.build_bm25_index(
+            docs, "bench_bm25_index", os.path.join(warehouse, "bm25_index")
+        )
+    )
+    indexed = [
+        timed(
+            lambda q=q: force(
+                text.bm25_search(docs, q, corpus_index="bench_bm25_index")
+            )
+        )
+        for q in queries
+    ]
+    spark.sql("DROP TABLE IF EXISTS bench_bm25_index")
+    spark.sql("DROP TABLE IF EXISTS bench_bm25_index_stats")
+    return {
+        "corpus_docs": docs.count(),
+        "index_build_s": build_s,
+        "per_query_fresh_s": fresh,
+        "per_query_indexed_s": indexed,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="pufs_spark_bench_index")
     with tempfile.TemporaryDirectory(prefix="pufs_index_bench_") as warehouse:
@@ -157,6 +195,7 @@ def main() -> None:
             "sf_dir": SF_DIR,
             "d3_near_dup": bench_d3(spark, warehouse),
             "x5_ivf_ann": bench_ivf(spark, warehouse),
+            "t12_bm25": bench_bm25(spark, warehouse),
         }
     print(json.dumps(report))
 
