@@ -263,3 +263,59 @@ def test_commit_log_cdc_stream(spark, tmp_path):
     assert (
         sum(1 for r in rows2 if r["version"] == 1 and r["path"] == "/data/f1") == 1
     )
+
+
+def test_catalog_mirror_tracks_commit_log(spark, tmp_path):
+    """The streaming catalog mirror equals the materialized latest
+    version at every rest point — through delta commits, a forced
+    checkpoint (freeze), removals, and a resume from the streaming
+    checkpoint."""
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.catalog.datastore import ROOT_INODE
+    from pufs_spark.streaming import mirror as M
+
+    root = str(tmp_path / "cat")
+    mdir = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "data")
+    log.commit(w)                                   # v0 checkpoint
+    w.add_immutable_bytes(d, "f1", b"one")
+    w.add_immutable_bytes(d, "f2", b"twoo")
+    log.commit(w)                                   # v1 delta
+
+    def refresh():
+        q = M.start_catalog_mirror(spark, root, mdir, ckpt)
+        q.awaitTermination(120)
+
+    def mirror_map():
+        return {
+            r["path"]: (r["is_dir"], r["size"], r["bid"])
+            for r in M.read_mirror(spark, mdir).collect()
+        }
+
+    def expected_map(version):
+        got, _ = CL.open_log(root, version=version)
+        out = {}
+        stack = [(ROOT_INODE, "/")]
+        while stack:
+            inode, path = stack.pop()
+            n = got.nodes[inode]
+            out[path] = (n.is_dir, n.size, n.bid)
+            for name, child in got.children.get(inode, {}).items():
+                stack.append((child, (path.rstrip("/") or "") + "/" + name))
+        return out
+
+    refresh()
+    assert mirror_map() == expected_map(1)
+
+    # freeze forces a checkpoint commit; then a delta removal on top
+    w.freeze()
+    log.commit(w)                                   # v2 checkpoint
+    w.remove(d, "f1")
+    log.commit(w)                                   # v3 delta (absent)
+    refresh()                                       # resumes from ckpt
+    m = mirror_map()
+    assert m == expected_map(3)
+    assert "/data/f1" not in m
+    assert m["/data/f2"][2] is not None             # frozen bid visible
