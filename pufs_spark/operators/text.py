@@ -328,6 +328,50 @@ def build_bm25_index(
     )
 
 
+def update_bm25_index(
+    new_docs: DataFrame,
+    table: str,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Incrementally fold a NEW batch of documents into a persisted
+    BM25 index (the ingest-side twin of ``build_near_dup_index``'s
+    batch economics): the batch's postings APPEND to the bucketed
+    table — Spark writes each insert's files under the existing bucket
+    spec, so the per-term scan pruning is preserved and only the batch
+    shuffles — and the one-row stats update EXACTLY from the old stats
+    plus batch aggregates (counts and sums compose:
+    avgdl' = (avgdl·n + Σ new_dl) / (n + n_new)), no corpus re-scan.
+    Caller contract: batch doc ids must be new (re-ingesting an id
+    would double its postings — dedup upstream, e.g. exact_dedup or
+    stream_dedup)."""
+    spark = new_docs.sparkSession
+    toks = tokens_col(text_col)
+    words = new_docs.select(
+        F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w")
+    )
+    postings = words.groupBy(id_col, "_w", "_dl").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    postings.select(
+        spark.table(table).columns  # align column order for insertInto
+    ).write.insertInto(table)
+    old = spark.table(f"{table}_stats").collect()[0]
+    batch = new_docs.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("s")
+    ).collect()[0]
+    n_new = old["_n_total"] + batch["n"]
+    total_len = (old["_avgdl"] or 0.0) * old["_n_total"] + (batch["s"] or 0)
+    stats = spark.createDataFrame(
+        [(n_new, (total_len / n_new) if n_new else None)],
+        "_n_total long, _avgdl double",
+    )
+    # Rewrite the one-row stats table in place (overwrite keeps the
+    # table's existing external path; it's a single tiny file).
+    stats.write.mode("overwrite").insertInto(f"{table}_stats", overwrite=True)
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: list[str],

@@ -523,7 +523,18 @@ def collect_garbage(
     # landed mid-GC (its root postdates the snapshot). That is the
     # in-flight case relative to THIS cycle's inventory, not loss.
     raced = missing_labels & lease_bids
-    missing_labels -= raced
+    # Second racer shape the lease pin can't catch: a publisher pushing
+    # in a LOOP overwrites its mount's lease with the NEXT push's root
+    # bid between our roots read and leases read, so the just-landed
+    # labeled root is neither in the (older) inventory nor lease-pinned
+    # under its own bid. Probe the store LIVE: a labeled root present
+    # NOW simply landed after the inventory snapshot — reachability BFS
+    # reads the live store, so tracing from it is safe, and its own
+    # blocks are absent from the inventory and thus never candidates.
+    landed = {
+        b for b in (missing_labels - raced) if remote.has_block(b)
+    }
+    missing_labels -= raced | landed
     if missing_labels:
         raise E.CatalogError(
             f"labeled roots missing from the CAS: {sorted(missing_labels)} "

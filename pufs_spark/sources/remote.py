@@ -165,9 +165,22 @@ class LocalDirRemote(RemoteStore):
             f.seek(offset)
             return f.read(length)
 
+    def _write_atomic(self, path: str, data: str) -> None:
+        """Temp+rename: readers see the old or the new value, never a
+        partial file. GCS objects (the reference's store,
+        remote/gcs.go:114-151) are atomic this way by construction; a
+        plain open(path, "w") here let a concurrent get_roots read an
+        EMPTY label mid-write — which GC's data-loss guard then
+        reported as a missing labeled root (rare chaos-test abort)."""
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(path), prefix=".w-"
+        )
+        with os.fdopen(fd, "w") as f:
+            f.write(data)
+        os.replace(tmp, path)
+
     def set_root(self, label: str, bid: str) -> None:
-        with open(os.path.join(self.root, "root", label), "w") as f:
-            f.write(bid)
+        self._write_atomic(os.path.join(self.root, "root", label), bid)
 
     def get_root(self, label: str) -> str:
         path = os.path.join(self.root, "root", label)
@@ -177,14 +190,20 @@ class LocalDirRemote(RemoteStore):
             return f.read().strip()
 
     def set_lease(self, name: str, expiry: float, bid: str | None = None) -> None:
-        # JSON analog of the reference's gob-encoded Lease{Expiry, BID}.
-        with open(os.path.join(self.root, "lease", name), "w") as f:
-            json.dump({"expiry": expiry, "bid": bid}, f)
+        # JSON analog of the reference's gob-encoded Lease{Expiry, BID};
+        # atomic for the same reason as set_root (a torn lease read
+        # would drop a GC pin).
+        self._write_atomic(
+            os.path.join(self.root, "lease", name),
+            json.dumps({"expiry": expiry, "bid": bid}),
+        )
 
     def get_roots(self) -> list[tuple[str, str]]:
         d = os.path.join(self.root, "root")
         out = []
         for label in sorted(os.listdir(d)):
+            if label.startswith(".w-"):  # in-flight atomic-write temp
+                continue
             with open(os.path.join(d, label)) as f:
                 out.append((label, f.read().strip()))
         return out
@@ -193,6 +212,8 @@ class LocalDirRemote(RemoteStore):
         d = os.path.join(self.root, "lease")
         out = []
         for name in sorted(os.listdir(d)):
+            if name.startswith(".w-"):  # in-flight atomic-write temp
+                continue
             with open(os.path.join(d, name)) as f:
                 raw = f.read()
             try:

@@ -428,3 +428,64 @@ def test_gc_skips_cycle_when_push_in_flight(spark, tmp_path):
     factory().set_root("broken", "f" * 64)
     with _pytest.raises(E.CatalogError, match="data loss"):
         merkle.collect_garbage(spark, factory, now=10_000_000_000.0)
+
+
+def test_gc_tolerates_label_landing_after_stale_inventory(spark, tmp_path):
+    """The production `all_blocks` contract: a bucket-inventory frame
+    may be HOURS older than the roots/leases GC reads (the docstring
+    only requires it to predate the run). Any label that moved since
+    the inventory then points at a root absent from it; if that push's
+    lease is also gone or torn, the data-loss guard used to
+    false-positive. GC must live-probe the store (has_block) and treat
+    a present root as landed-after-snapshot — reachability BFS reads
+    the live store, so tracing from it is safe — while a concurrent
+    unlanded lease pin still skips the cycle."""
+    import functools
+    import time as _time
+
+    from pufs_spark.sources.remote import LocalDirRemote
+
+    remote_dir = str(tmp_path / "remote")
+    factory = functools.partial(LocalDirRemote, remote_dir)
+
+    ds = DataStore(str(tmp_path / "s"), remote=factory())
+    d = ds.mkdir(ROOT_INODE, "dir")
+    ds.add_immutable_bytes(d, "f0.dat", b"v0" * 64)
+    ds.push("rel")                                  # version X
+
+    # GC's inventory snapshot predates everything below
+    stale_inventory = spark.createDataFrame(
+        [(b,) for b in factory().list_blocks()], "bid string"
+    ).localCheckpoint()
+
+    ds.add_immutable_bytes(d, "f1.dat", b"v1" * 64)
+    ds.push("rel")                                  # version Y lands fully
+    y_bid = factory().get_roots()
+    y = dict(y_bid)["rel"]
+    # Y's own push lease has aged out (inventory older than the lease
+    # horizon) — the label alone must carry it through the guard...
+    for name, _exp, bid in factory().get_leases():
+        if bid == y:
+            factory().set_lease(name, 0, None)
+    # ...while an unrelated publisher's in-flight pin is live
+    factory().set_lease("m-rel", _time.time() + 3600, "f" * 64)
+
+    stats = merkle.collect_garbage(
+        spark, factory, all_blocks=stale_inventory
+    )  # must NOT raise the data-loss abort
+    assert stats["deleted"] == 0                    # next push in flight
+    assert stats.get("skipped_inflight")
+
+    # with the stray pin gone, GC proceeds: Y stays fully readable and
+    # a planted orphan is collected even though Y postdates a (fresh)
+    # inventory
+    factory().set_lease("m-rel", 0, None)
+    orphan = "a" * 64
+    factory().put_block_if_absent(orphan, b"junk")
+    stats2 = merkle.collect_garbage(spark, factory)
+    assert orphan not in set(factory().list_blocks())
+    fresh = DataStore(str(tmp_path / "v"), remote=factory())
+    fresh.mount_by_label(ROOT_INODE, "m", "rel")
+    assert fresh.read_path("/m/dir/f0.dat") == b"v0" * 64
+    assert fresh.read_path("/m/dir/f1.dat") == b"v1" * 64
+    assert dict(y_bid)["rel"] == y  # sanity: label unchanged

@@ -879,3 +879,34 @@ def test_pack_sequences_partition_invariant(spark, docs):
         map(tuple, pack_sequences(docs.repartition(13), budget=64).collect())
     )
     assert a == b
+
+
+def test_update_bm25_index_equals_full_rebuild(spark, docs, tmp_path_factory):
+    """Index built on half the corpus then incrementally updated with
+    the other half must answer queries identically to an index built on
+    the whole corpus in one shot (exact stats composition, appended
+    bucketed postings)."""
+    wh = tmp_path_factory.mktemp("bm25_inc")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    q = ["spark", "join", "window"]
+
+    text.build_bm25_index(docs, "bm25_full", str(wh / "full"))
+    text.build_bm25_index(half_a, "bm25_inc", str(wh / "inc"))
+    text.update_bm25_index(half_b, "bm25_inc", str(wh / "inc"))
+    try:
+        full = {
+            r["doc_id"]: r["score"]
+            for r in text.bm25_search(docs, q, corpus_index="bm25_full").collect()
+        }
+        inc = {
+            r["doc_id"]: r["score"]
+            for r in text.bm25_search(docs, q, corpus_index="bm25_inc").collect()
+        }
+        assert set(full) == set(inc) and full
+        for k in full:
+            assert abs(full[k] - inc[k]) < 1e-9, k
+    finally:
+        for t in ("bm25_full", "bm25_inc"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            spark.sql(f"DROP TABLE IF EXISTS {t}_stats")
