@@ -1544,6 +1544,21 @@ def _commitlog_fixture(sf_dir: str) -> str:
     return root
 
 
+def q_h2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H2: per-path diff between two committed versions of the
+    commit-log fixture (version 6 → latest): every nation ranked past
+    the 7th contributes one added dir plus its files, all predictable
+    from the nation table alone — which is what the oracle recomputes.
+    Exercises materialize() (delta-chain reconstruction) + the
+    full-outer path diff (`commitlog.snapshot_changes`, the backfill
+    companion to the pufs_commits CDC stream)."""
+    root = _commitlog_fixture(sf_dir)
+    from pufs_spark.catalog import commitlog as CL
+
+    latest = CL.CommitLog(root).current_version()
+    return CL.snapshot_changes(spark, root, 6, latest)
+
+
 def q_h1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """H1: multi-writer commit-log history (catalog/commitlog.py) —
     the committed records read back as a DataFrame. The oracle predicts
@@ -1673,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "X9_clean_corpus": q_x_clean_corpus,
         "X10_embedding_neardup_lsh": q_x_emb_neardup_lsh,
         "H1_commit_history": q_h1,
+        "H2_snapshot_changes": q_h2,
     }
 
 
@@ -2058,6 +2074,21 @@ def oracle_sql() -> dict[str, str]:
                      ['/n_' || key || '/f' || j
                       for j in range(files)]), ',') AS touched_csv
             FROM n""",
+        "H2_snapshot_changes": """
+            WITH n AS (
+              SELECT n_nationkey AS key,
+                     n_nationkey % 3 AS files,
+                     row_number() OVER (ORDER BY n_nationkey) AS rk
+              FROM nation),
+            later AS (SELECT * FROM n WHERE rk > 7)
+            SELECT '/n_' || CAST(key AS VARCHAR) AS path,
+                   'added' AS change, TRUE AS is_dir,
+                   0::BIGINT AS size
+            FROM later
+            UNION ALL
+            SELECT '/n_' || CAST(key AS VARCHAR) || '/f' || CAST(j AS VARCHAR),
+                   'added', FALSE, 1::BIGINT
+            FROM later, LATERAL unnest(range(files)) AS t(j)""",
         "X4_neardup_groups": f"""
             WITH RECURSIVE d AS (SELECT doc_id, {shingles} AS sh FROM documents),
             p AS (

@@ -587,6 +587,58 @@ def history_df(spark, root_dir: str):
     )
 
 
+def snapshot_changes(spark, root_dir: str, v_from: int, v_to: int):
+    """Per-path changes between two committed versions: (path, change,
+    is_dir, size) with change in {'added', 'removed', 'changed'} —
+    the BACKFILL companion to the `pufs_commits` CDC stream, which
+    emits only a marker row at checkpoint commits; a consumer needing
+    row-level diffs across that gap asks this instead.
+
+    Driver cost: two ``materialize()`` + path exports (exactly the
+    checkpoint-rebuild cost profile); the compare itself is a Spark
+    full-outer join on path, so the diff classification scales out.
+    'changed' means kind, size, or content (bid) differ; unchanged
+    paths are not emitted."""
+    import tempfile
+
+    log = CommitLog(root_dir)
+    frames = []
+    for v in (v_from, v_to):
+        store = DataStore.load(root_dir, catalog_file=log.materialize(v))
+        out = os.path.join(
+            tempfile.mkdtemp(prefix="pufs_changes_"), f"cat{v}.parquet"
+        )
+        store.export_catalog(out, expand=False)
+        frames.append(
+            spark.read.parquet(out).select("path", "is_dir", "size", "bid")
+        )
+    from pyspark.sql import functions as F
+
+    a = frames[0].alias("a")
+    b = frames[1].alias("b")
+    j = a.join(b, F.col("a.path") == F.col("b.path"), "full_outer")
+    change = (
+        F.when(F.col("a.path").isNull(), F.lit("added"))
+        .when(F.col("b.path").isNull(), F.lit("removed"))
+        .when(
+            (F.col("a.is_dir") != F.col("b.is_dir"))
+            | (F.col("a.size") != F.col("b.size"))
+            | ~F.col("a.bid").eqNullSafe(F.col("b.bid")),
+            F.lit("changed"),
+        )
+    )
+    return (
+        j.withColumn("change", change)
+        .where(F.col("change").isNotNull())
+        .select(
+            F.coalesce(F.col("b.path"), F.col("a.path")).alias("path"),
+            F.col("change"),
+            F.coalesce(F.col("b.is_dir"), F.col("a.is_dir")).alias("is_dir"),
+            F.coalesce(F.col("b.size"), F.col("a.size")).alias("size"),
+        )
+    )
+
+
 def snapshot_df(spark, root_dir: str, version: int | None = None):
     """A committed catalog version as a DataFrame of node rows — time
     travel for distributed catalog queries (catalog/queries.py

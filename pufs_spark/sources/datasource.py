@@ -232,8 +232,8 @@ class PufsCommitsDataSource(DataSource):
     per changed path with ``change`` = 'upsert' | 'absent'; checkpoint
     commits (renames, freeze results, full snapshots) emit a single
     ``change`` = 'checkpoint' row — a consumer needing row-level diffs
-    across a checkpoint reads the two snapshots via
-    ``commitlog.snapshot_df`` and diffs them as DataFrames.
+    across a checkpoint calls ``commitlog.snapshot_changes`` (the
+    batch backfill companion: added/removed/changed per path).
 
     Usage:
         spark.dataSource.register(PufsCommitsDataSource)

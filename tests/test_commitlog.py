@@ -677,3 +677,30 @@ def test_unmount_through_delta_removes_expanded_subtree(tmp_path):
         got.resolve_path("/mnt")
     names = {n.name for n in got.nodes.values()}
     assert "data" not in names and "f" not in names  # subtree truly gone
+
+
+def test_snapshot_changes_classifies_all_kinds(tmp_path, spark):
+    """added / removed / changed (content and kind changes) between two
+    delta-committed versions, exercised through materialize()."""
+    root = str(tmp_path)
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "d")
+    w.add_immutable_bytes(d, "keep", b"same")
+    w.add_immutable_bytes(d, "gone", b"bye")
+    w.add_immutable_bytes(d, "grow", b"v1")
+    v0 = log.commit(w)
+    w.remove(d, "gone")
+    w.remove(d, "grow")
+    w.add_immutable_bytes(d, "grow", b"longer!")     # content+size change
+    w.add_immutable_bytes(d, "new", b"hi")
+    v1 = log.commit(w)
+
+    ch = {
+        r["path"]: (r["change"], r["is_dir"], r["size"])
+        for r in CL.snapshot_changes(spark, root, v0, v1).collect()
+    }
+    assert ch["/d/new"] == ("added", False, 2)
+    assert ch["/d/gone"] == ("removed", False, 3)
+    assert ch["/d/grow"] == ("changed", False, 7)
+    assert "/d/keep" not in ch                       # unchanged: not emitted
+    assert "/d" not in ch  # dir kind/size/bid identical (never frozen)
