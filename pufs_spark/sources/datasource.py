@@ -260,6 +260,14 @@ class PufsCommitsStreamReader(SimpleDataSourceStreamReader):
     def __init__(self, options):
         self.root = options["root"]
         self.start_version = int(options.get("startversion", 0))
+        # Opt-in: expand checkpoint commits into per-path diff rows
+        # (vs the previous version) instead of only the marker row.
+        # Costs a catalog-sized reconstruction per checkpoint — the
+        # same profile as the checkpoint itself; the marker row is
+        # still emitted so consumers can tell the batch kind apart.
+        self.checkpoint_diffs = (
+            options.get("checkpointdiffs", "false").lower() == "true"
+        )
 
     def _log(self):
         from pufs_spark.catalog.commitlog import CommitLog
@@ -271,11 +279,34 @@ class PufsCommitsStreamReader(SimpleDataSourceStreamReader):
         # in the batch whose range covers it.
         return {"version": self.start_version}
 
+    def _checkpoint_diff_rows(self, head, version: int):
+        """Per-path diffs for a checkpoint version, computed driver-
+        side from the two materialized states (no SparkSession in this
+        reader). Falls back to nothing if the previous version is
+        unreachable (vacuumed chain) — the marker row still signals
+        the consumer to resync."""
+        from pufs_spark.catalog import errors as E
+        from pufs_spark.streaming.mirror import _rebuild_state
+
+        try:
+            after = _rebuild_state(self.root, version)
+            before = {} if version == 0 else _rebuild_state(self.root, version - 1)
+        except E.CatalogError:
+            return
+        for p, (is_dir, size, bid) in after.items():
+            if before.get(p) != (is_dir, size, bid):
+                yield (*head, "upsert", p, is_dir, size, bid)
+        for p in before:
+            if p not in after:
+                yield (*head, "absent", p, None, None, None)
+
     def _rows_for(self, rec: dict):
         head = (rec["version"], rec["ts"], rec["writer"], rec.get("kind"))
         delta = rec.get("delta")
         if delta is None:
             yield (*head, "checkpoint", None, None, None, None)
+            if self.checkpoint_diffs:
+                yield from self._checkpoint_diff_rows(head, rec["version"])
             return
         for u in delta["upserts"]:
             yield (

@@ -319,3 +319,51 @@ def test_catalog_mirror_tracks_commit_log(spark, tmp_path):
     assert m == expected_map(3)
     assert "/data/f1" not in m
     assert m["/data/f2"][2] is not None             # frozen bid visible
+
+
+def test_cdc_checkpoint_diffs_option(spark, tmp_path):
+    """checkpointdiffs=true expands a checkpoint commit into per-path
+    upsert/absent rows (vs the previous version) alongside the marker
+    — so a consumer never needs a side-channel resync for the rows a
+    freeze-forced checkpoint changed."""
+    from pyspark.sql import functions as F2
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.catalog.datastore import ROOT_INODE
+    from pufs_spark.sources.datasource import PufsCommitsDataSource
+
+    spark.dataSource.register(PufsCommitsDataSource)
+    root = str(tmp_path / "cat")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "data")
+    w.add_immutable_bytes(d, "f1", b"one")
+    log.commit(w)                                   # v0 checkpoint
+    w.freeze()                                      # unjournaled → forces...
+    w.add_immutable_bytes(d, "f2", b"two")
+    log.commit(w)                                   # ...v1 checkpoint
+
+    out = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("pufs_commits")
+        .option("root", root)
+        .option("checkpointdiffs", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    v1 = [r for r in rows if r["version"] == 1]
+    kinds = {r["change"] for r in v1}
+    assert "checkpoint" in kinds and "upsert" in kinds
+    ups = {r["path"]: r for r in v1 if r["change"] == "upsert"}
+    # the only path-level change at v1 is the new file: f1's content
+    # bid was already set at add time (M3 freezes file bytes eagerly),
+    # and the dir spine's freeze-assigned bids were re-cleared when f2
+    # dirtied it before the commit
+    assert set(ups) == {"/data/f2"} and ups["/data/f2"]["bid"]
+    # v0's diff-vs-empty covers the initial tree
+    v0_ups = {r["path"] for r in rows if r["version"] == 0 and r["change"] == "upsert"}
+    assert {"/", "/data", "/data/f1"} <= v0_ups
