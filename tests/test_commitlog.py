@@ -704,3 +704,40 @@ def test_snapshot_changes_classifies_all_kinds(tmp_path, spark):
     assert ch["/d/grow"] == ("changed", False, 7)
     assert "/d/keep" not in ch                       # unchanged: not emitted
     assert "/d" not in ch  # dir kind/size/bid identical (never frozen)
+
+
+def test_concurrent_materialize_converges(tmp_path):
+    """N threads materializing the same delta version race on the
+    cache's temp+rename: all must return a readable path with
+    identical content, and the cache ends up written exactly once."""
+    root = str(tmp_path)
+    w, log = CL.open_log(root)
+    for i in range(5):
+        w.mkdir(ROOT_INODE, f"d{i}")
+        log.commit(w, checkpoint_every=16)          # v1..v4 are deltas
+    results: list = []
+    errs: list[Exception] = []
+
+    def worker():
+        try:
+            lg = CL.CommitLog(root)
+            p = lg.materialize(4)
+            got, _ = CL.open_log(root, version=4)
+            results.append(
+                (p, tuple(sorted(n.name for n in got.nodes.values())))
+            )
+        except Exception as exc:  # noqa: BLE001 — surfaced below
+            errs.append(exc)
+
+    threads = [threading.Thread(target=worker) for _ in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert len({r[1] for r in results}) == 1        # identical content
+    assert all(os.path.exists(r[0]) for r in results)
+    cache_files = [
+        f for f in os.listdir(CL.CommitLog(root).dir) if f.startswith("cache-")
+    ]
+    assert cache_files == ["cache-000000000004.parquet"]
