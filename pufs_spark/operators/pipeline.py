@@ -75,6 +75,7 @@ def prepare_training_corpus(
     split_seed: int = 0,
     eval_df: DataFrame | None = None,
     max_contamination: float = 0.0,
+    pack_budget: int | None = None,
     **clean_kwargs,
 ) -> DataFrame:
     """The full corpus-preparation sink: clean (quality/lang/dedup) →
@@ -90,7 +91,14 @@ def prepare_training_corpus(
     dropped BEFORE split assignment (default 0.0 = any overlap drops).
     Split assignment is md5-keyed (operators/sampling), so re-running
     the pipeline — or re-sharding the input — never moves a doc
-    between splits."""
+    between splits.
+
+    ``pack_budget`` additionally emits the sequence-packing layout
+    (``pack_sequences``) per split to ``path/_packing/split=<s>/`` —
+    the loader-side metadata to slice the written split into fixed
+    ``pack_budget``-token training sequences. Packing runs PER SPLIT
+    (after assignment), so a val/test doc can never share a pack with
+    a training doc."""
     out = clean_corpus(docs, text_col, id_col, **clean_kwargs)
     if eval_df is not None:
         scores = text.eval_contamination(out, eval_df, text_col, id_col)
@@ -102,6 +110,17 @@ def prepare_training_corpus(
         out, split_weights, id_col, seed=split_seed
     )
     dataset.write_partitioned(out, path, ["split"], [id_col])
+    if pack_budget is not None:
+        layout = pack_sequences(
+            out.select(id_col, text_col, "split"),
+            budget=pack_budget,
+            text_col=text_col,
+            id_col=id_col,
+            split_col="split",
+        )
+        dataset.write_partitioned(
+            layout, f"{path.rstrip('/')}/_packing", ["split"], [id_col]
+        )
     return out
 
 
@@ -112,6 +131,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     shard_hex: int = 1,
     seed: int = 0,
+    split_col: str | None = None,
 ) -> DataFrame:
     """GPT-style sequence-packing layout: documents are concatenated in
     a deterministic order and chunked into fixed ``budget``-token
@@ -127,6 +147,9 @@ def pack_sequences(
     partition/rerun/engine invariant — and pack independently per shard
     (one window sort per shard, all shards parallel). Zero-token docs
     occupy no space (end_pack == start_pack, width 0).
+
+    ``split_col`` packs within (split, shard) instead — train/val/test
+    never share a pack — and carries the split column through.
     """
     from pufs_spark.operators.text import tokens_col
 
@@ -135,20 +158,22 @@ def pack_sequences(
         1,
         shard_hex,
     )
+    keys = ([split_col] if split_col else []) + ["shard"]
     t = docs.select(
         F.col(id_col),
+        *([F.col(split_col)] if split_col else []),
         shard.alias("shard"),
         F.size(tokens_col(text_col)).cast("long").alias("n_tokens"),
     )
     w = (
-        Window.partitionBy("shard")
+        Window.partitionBy(*keys)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     return t.withColumn("tok_offset", off).select(
         id_col,
-        "shard",
+        *keys,
         "n_tokens",
         "tok_offset",
         F.floor(F.col("tok_offset") / budget).alias("start_pack"),

@@ -702,6 +702,40 @@ def test_prepare_training_corpus_end_to_end(spark, docs, tmp_path):
     assert a == b
 
 
+def test_prepare_training_corpus_emits_packing_layout(spark, docs, tmp_path):
+    """pack_budget writes the sequence-packing layout per split under
+    _packing/: every written doc gets exactly one layout row, packing
+    is contiguous within each (split, shard), and splits never share a
+    pack (the window keys on split)."""
+    from pufs_spark.operators import pipeline as P
+    from pufs_spark.sources import dataset
+
+    path = str(tmp_path / "corpus")
+    out = P.prepare_training_corpus(
+        docs, path,
+        split_weights={"train": 0.8, "val": 0.2},
+        near_dup_threshold=None,
+        pack_budget=128,
+    )
+    layout = dataset.read_dataset(spark, path + "/_packing")
+    assert layout.count() == out.count()
+    assert set(layout.columns) >= {
+        "doc_id", "split", "shard", "n_tokens", "tok_offset",
+        "start_pack", "end_pack",
+    }
+    rows = layout.collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault((r["split"], r["shard"]), []).append(r)
+    assert len({k[0] for k in groups}) == 2  # both splits packed
+    for _, g in groups.items():
+        g.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in g:
+            assert r["tok_offset"] == off  # contiguous within the group
+            off += r["n_tokens"]
+
+
 def test_repetition_stats_python_replay(spark, docs):
     out = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
     assert len(out) == docs.count()
