@@ -637,12 +637,42 @@ def simhash_near_dup_pairs(
 
 
 def dedup_keep_first(
-    df: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    keep: str = "min_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Filter a corpus down to near-dup group representatives (min id
-    per group) plus all untouched docs — the end-to-end dedup sink."""
+    """Filter a corpus down to ONE representative per near-dup group
+    plus all untouched docs — the end-to-end dedup sink.
+
+    ``keep`` selects the representative policy:
+    - ``"min_id"`` (default): the group's smallest id — deterministic
+      and join-free (group_id IS the min label by construction);
+    - ``"longest"``: the longest document (ties → min id) — the common
+      production choice when near-dups are truncations/excerpts of one
+      another and the fullest copy should survive. One window
+      row_number per group over the grouped docs only.
+    """
     groups = near_dup_groups(pairs)
-    losers = groups.where(F.col("doc_id") != F.col("group_id")).select("doc_id")
+    if keep == "min_id":
+        losers = groups.where(F.col("doc_id") != F.col("group_id")).select(
+            "doc_id"
+        )
+    elif keep == "longest":
+        grouped = df.join(
+            groups.withColumnRenamed("doc_id", id_col), id_col
+        ).select(F.col(id_col), F.length(text_col).alias("_len"), "group_id")
+        w = Window.partitionBy("group_id").orderBy(
+            F.col("_len").desc(), F.col(id_col)
+        )
+        losers = (
+            grouped.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") > 1)
+            .select(F.col(id_col).alias("doc_id"))
+        )
+    else:
+        raise ValueError(f"unknown keep policy {keep!r}")
     return df.join(
         losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )

@@ -944,3 +944,29 @@ def test_update_bm25_index_equals_full_rebuild(spark, docs, tmp_path_factory):
         for t in ("bm25_full", "bm25_inc"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             spark.sql(f"DROP TABLE IF EXISTS {t}_stats")
+
+
+def test_dedup_keep_longest_policy(spark):
+    """keep="longest": within each near-dup group the longest text
+    survives (ties break to min id); untouched docs always survive;
+    unknown policies fail loudly."""
+    rows = [
+        (1, "short"),
+        (2, "the much longer version of the document"),
+        (3, "untouched loner"),
+        (4, "tie a"),
+        (5, "tie b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (4, 5)], "a long, b long")
+    longest = {
+        r["doc_id"]
+        for r in dedup.dedup_keep_first(df, pairs, keep="longest").collect()
+    }
+    assert longest == {2, 3, 4}  # 2 beats 1 on length; 4 wins the tie
+    min_id = {
+        r["doc_id"] for r in dedup.dedup_keep_first(df, pairs).collect()
+    }
+    assert min_id == {1, 3, 4}
+    with pytest.raises(ValueError, match="keep policy"):
+        dedup.dedup_keep_first(df, pairs, keep="nope")
