@@ -184,3 +184,50 @@ def pack_sequences(
         .otherwise(F.floor(F.col("tok_offset") / budget))
         .alias("end_pack"),
     )
+
+
+def stream_clean_corpus(
+    stream: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "ts",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.5,
+    lang: str | None = "en",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """``clean_corpus`` for a STREAM — the ingest-time gate a
+    continuously-arriving corpus needs: the same quality and language
+    filters (stateless expressions, identical thresholds and
+    semantics: a doc passes the stream gate iff it passes the batch
+    gate), then exact dedup on the normalized-content fingerprint with
+    BOUNDED state (``monitor.stream_dedup``:
+    dropDuplicatesWithinWatermark — state sized by arrival-rate ×
+    watermark, keeping the FIRST arrival per content).
+
+    Near-dup dedup is deliberately absent: LSH banding needs
+    corpus-wide joins, which is batch work — run
+    ``cross_near_dup_pairs(corpus_index=...)`` on the micro-batched
+    output (foreachBatch) against the persisted index instead.
+    Returns the surviving stream rows (original columns + ``_fp``)."""
+    from pufs_spark.streaming.monitor import stream_dedup
+
+    cols = stream.columns
+    q = text.quality_stats(stream, text_col)
+    out = q.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    ).select(*cols)
+    if lang is not None:
+        out = (
+            text.lang_id(out, text_col)
+            .where(F.col("pred_lang") == lang)
+            .select(*cols)
+        )
+    out = out.withColumn(
+        "_fp", F.sha2(text.normalize_text(text_col), 256)
+    )
+    return stream_dedup(
+        out, key_cols=("_fp",), ts_col=ts_col, watermark=watermark
+    )

@@ -296,3 +296,85 @@ def test_funnel_ordering_semantics(spark):
         3: (10, 12, None),
         5: (10, 15, 20),
     }
+
+
+def test_stream_clean_corpus_matches_batch_gates(spark, tmp_path):
+    """Streamed ingest cleaning == batch cleaning, modulo the
+    documented representative rule: the stream keeps the FIRST ARRIVAL
+    per normalized-content fingerprint (bounded state), the batch
+    keeps the min id — so the surviving FINGERPRINT sets must be
+    identical, and the quality/language gates must pass exactly the
+    same docs."""
+    import pandas as pd
+
+    from pufs_spark.operators import pipeline as P
+    from pufs_spark.operators import text as T
+    from pufs_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    src = str(tmp_path / "src")
+    # arrival order = doc_id order via one file per micro-slice
+    pdf = docs.toPandas().sort_values("doc_id")
+    pdf["ts"] = pd.Timestamp("2026-01-01") + pd.to_timedelta(
+        range(len(pdf)), unit="s"
+    )
+    import os as _os
+
+    _os.makedirs(src)
+    for i, chunk in enumerate(
+        [pdf.iloc[j : j + 200] for j in range(0, len(pdf), 200)]
+    ):
+        chunk.to_parquet(
+            f"{src}/part{i:04d}.parquet",
+            index=False,
+            coerce_timestamps="us",  # Spark's streaming schema wants µs
+        )
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        P.stream_clean_corpus(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out)
+
+    batch = P.clean_corpus(docs, near_dup_threshold=None)
+    batch_fps = {
+        r["_fp"]
+        for r in batch.withColumn(
+            "_fp", F.sha2(T.normalize_text("text"), 256)
+        ).select("_fp").collect()
+    }
+    stream_fps = {r["_fp"] for r in got.select("_fp").collect()}
+    assert stream_fps == batch_fps and stream_fps
+    # one survivor per fingerprint (dedup actually deduped)
+    assert got.count() == len(stream_fps)
+    # gate equivalence at doc level: every streamed survivor passes the
+    # batch gates (its id may differ from batch's representative)
+    gate_ids = {
+        r["doc_id"]
+        for r in P.clean_corpus(docs, near_dup_threshold=None).collect()
+    }
+    quality_ids = {r["doc_id"] for r in got.collect()}
+    # survivors are drawn from docs that pass quality+lang (superset of
+    # batch representatives, same fingerprint classes)
+    all_pass = {
+        r["doc_id"]
+        for r in T.lang_id(
+            T.quality_stats(docs).where(
+                (F.col("n_tokens") >= 5)
+                & (F.col("punct_ratio") <= 0.2)
+                & (F.col("alpha_ratio") >= 0.5)
+            )
+        ).where(F.col("pred_lang") == "en").collect()
+    }
+    assert quality_ids <= all_pass
+    assert gate_ids <= all_pass
