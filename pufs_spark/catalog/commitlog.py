@@ -118,6 +118,28 @@ class CommitLog:
         matching."""
         return os.path.join(self.dir, f"cache-{version:012d}.parquet")
 
+    def export_path(self, version: int) -> str:
+        """A cached PATH-STATE export of ``version`` (path/is_dir/size/
+        bid rows, written by ``snapshot_changes``). Same lifecycle as
+        ``cache_path``: re-derivable while the version is, reclaimed by
+        ``vacuum`` below the retention cut."""
+        return os.path.join(self.dir, f"cache-export-{version:012d}.parquet")
+
+    def export_state(self, version: int) -> str:
+        """Materialize ``version`` and export its path-state parquet
+        (atomic temp+rename; repeat callers reuse the cached file, so
+        backfill consumers don't accumulate catalog-sized temp dirs)."""
+        out = self.export_path(version)
+        if os.path.exists(out):
+            return out
+        store = DataStore.load(
+            self.root_dir, catalog_file=self.materialize(version)
+        )
+        tmp = out + f".tmp.{os.getpid()}.{id(store)}"
+        store.export_catalog(tmp, expand=False)
+        os.replace(tmp, out)
+        return out
+
     def current_version(self) -> int:
         """Highest CLAIMED version (-1 if the log is empty)."""
         vs = [
@@ -485,15 +507,23 @@ class CommitLog:
         )
         base_needed = max((c for c in ckpts if c <= cut), default=None)
         removed: list[int] = []
+
+        def _unlink(path: str) -> bool:
+            # Two concurrent vacuums race each other to every unlink;
+            # losing the race just means the other vacuum did the work.
+            try:
+                os.unlink(path)
+                return True
+            except FileNotFoundError:
+                return False
+
         for c in ckpts:
             if base_needed is not None and c < base_needed:
-                os.unlink(self.snapshot_path(c))
-                removed.append(c)
+                if _unlink(self.snapshot_path(c)):
+                    removed.append(c)
         for v in range(0, cut):
-            p = self.cache_path(v)
-            if os.path.exists(p):
-                os.unlink(p)
-                if v not in removed:
+            for p in (self.cache_path(v), self.export_path(v)):
+                if os.path.exists(p) and _unlink(p) and v not in removed:
                     removed.append(v)
         return sorted(removed)
 
@@ -595,23 +625,21 @@ def snapshot_changes(spark, root_dir: str, v_from: int, v_to: int):
     row-level diffs across that gap asks this instead.
 
     Driver cost: two ``materialize()`` + path exports (exactly the
-    checkpoint-rebuild cost profile); the compare itself is a Spark
+    checkpoint-rebuild cost profile) — but both are CACHED under the
+    log's ``cache-`` namespace (``CommitLog.export_state``), so repeat
+    consumers (CDC backfill, the H2 harness) reuse them instead of
+    leaking a catalog-sized temp dir per call, and ``vacuum`` reclaims
+    them with the other caches. The compare itself is a Spark
     full-outer join on path, so the diff classification scales out.
     'changed' means kind, size, or content (bid) differ; unchanged
     paths are not emitted."""
-    import tempfile
-
     log = CommitLog(root_dir)
-    frames = []
-    for v in (v_from, v_to):
-        store = DataStore.load(root_dir, catalog_file=log.materialize(v))
-        out = os.path.join(
-            tempfile.mkdtemp(prefix="pufs_changes_"), f"cat{v}.parquet"
+    frames = [
+        spark.read.parquet(log.export_state(v)).select(
+            "path", "is_dir", "size", "bid"
         )
-        store.export_catalog(out, expand=False)
-        frames.append(
-            spark.read.parquet(out).select("path", "is_dir", "size", "bid")
-        )
+        for v in (v_from, v_to)
+    ]
     from pyspark.sql import functions as F
 
     a = frames[0].alias("a")

@@ -38,9 +38,16 @@ _ACTIVE_SIGS_LOCK = __import__("threading").Lock()
 # ONE shared budget for both callers (a per-caller bound would let an
 # interleaved near_dup_pairs call unpersist signatures a still-lazy
 # cross_near_dup_pairs result depends on — silent full recompute).
-# 4 = two lazy results' worth from either caller: near_dup_pairs adds
-# one frame per call, cross_near_dup_pairs up to two (new + corpus).
-_ACTIVE_SIGS_BUDGET = 4
+# 6 = two lazy results' worth from either caller: near_dup_pairs adds
+# one frame per call, cross_near_dup_pairs up to three (new-batch
+# sigs, corpus sigs on the index-less path, and the survivor set).
+_ACTIVE_SIGS_BUDGET = 6
+
+# cross_near_dup_pairs broadcasts its surviving b-id set only when it
+# is provably small: 1M id rows ≈ tens of MB on the driver. Above the
+# cap the semi-join plans without a hint (AQE may still pick broadcast
+# at runtime if the actual size allows).
+_SURVIVOR_BROADCAST_CAP = 1_000_000
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -309,7 +316,7 @@ def near_dup_pairs(
         )
     # Persist: sigs feed both sides of the banding self-join AND the
     # estimator joins — without it the signature pass runs 4x. The
-    # cache keeps the last _ACTIVE_SIGS_KEEP calls' signatures (evicting
+    # cache keeps the last _ACTIVE_SIGS_BUDGET calls' signatures (evicting
     # at build time of the call after next, so a caller holding two lazy
     # results still executes both against cached sigs) — an eager
     # checkpoint here would also bound the cache, but the barrier
@@ -446,19 +453,26 @@ def cross_near_dup_pairs(
         est = estimate_jaccard_pairs(sigs_n, cand, id_col, sigs_b=sigs_c)
     survivors = est.where(
         F.col("est_jaccard") >= threshold - est_margin
-    ).select("a", "b")
+    ).select("a", "b").persist()
+    with _ACTIVE_SIGS_LOCK:
+        _ACTIVE_SIGS.append(survivors)
+        while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
+            _ACTIVE_SIGS.pop(0).unpersist()
     # Exact-verify cost must scale with SURVIVORS, not corpus size: probe
-    # the corpus through a broadcast semi-join on the surviving b-ids so
-    # only matching docs are shingled — without this, every batch paid a
-    # full corpus tokenize+shuffle in jaccard_pairs. The survivor
-    # pipeline executes twice (broadcast build + pairs side); it is
-    # collision-sized and reads pre-bucketed scans, which is the cheap
-    # side of that trade at any scale.
-    corpus_probe = corpus_df.join(
-        F.broadcast(survivors.select(F.col("b").alias(id_col)).distinct()),
-        id_col,
-        "left_semi",
-    )
+    # the corpus through a semi-join on the surviving b-ids so only
+    # matching docs are shingled — without this, every batch paid a full
+    # corpus tokenize+shuffle in jaccard_pairs. The survivor count is
+    # data-dependent (collision count), so the broadcast hint is GATED
+    # on an actual count rather than forced: a duplicate-heavy batch
+    # whose survivor set exceeds the cap falls back to a plain semi-join
+    # (shuffle, but no driver/executor OOM from an oversized broadcast).
+    # Persisting survivors makes the count job reusable by both the
+    # probe build and the pairs side (one collision-pipeline execution,
+    # not three).
+    b_ids = survivors.select(F.col("b").alias(id_col)).distinct()
+    if b_ids.count() <= _SURVIVOR_BROADCAST_CAP:
+        b_ids = F.broadcast(b_ids)
+    corpus_probe = corpus_df.join(b_ids, id_col, "left_semi")
     return jaccard_pairs(
         new_df, survivors, text_col, id_col, k, right=corpus_probe
     ).where(F.col("jaccard") >= threshold)

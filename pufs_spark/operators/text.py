@@ -319,7 +319,7 @@ def build_bm25_index(
     stats = corpus_df.agg(
         F.count(F.lit(1)).alias("_n_total"),
         F.avg(F.size(toks)).alias("_avgdl"),
-    )
+    ).withColumn("_batches", F.array().cast("array<string>"))
     spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
     (
         stats.write.option("path", f"{path}_stats")
@@ -328,12 +328,21 @@ def build_bm25_index(
     )
 
 
+# How many applied-batch ids the stats row remembers for replay
+# detection. Replays come from the immediately-failed/retried batch
+# (foreachBatch at-least-once), so a short ring is plenty; a replay
+# older than the ring would re-apply, which the caller contract
+# (monotone batch ids from a streaming checkpoint) already precludes.
+_BM25_BATCH_RING = 64
+
+
 def update_bm25_index(
     new_docs: DataFrame,
     table: str,
     path: str,
     text_col: str = "text",
     id_col: str = "doc_id",
+    batch_id: str | None = None,
 ) -> None:
     """Incrementally fold a NEW batch of documents into a persisted
     BM25 index (the ingest-side twin of ``build_near_dup_index``'s
@@ -345,8 +354,28 @@ def update_bm25_index(
     avgdl' = (avgdl·n + Σ new_dl) / (n + n_new)), no corpus re-scan.
     Caller contract: batch doc ids must be new (re-ingesting an id
     would double its postings — dedup upstream, e.g. exact_dedup or
-    stream_dedup)."""
+    stream_dedup).
+
+    Crash/replay semantics: the two writes are not one transaction, so
+    ``batch_id`` (e.g. the foreachBatch epoch id) makes REPLAYS of a
+    completed update no-ops — applied ids are recorded in the stats
+    row (last ``_BM25_BATCH_RING``) and a seen id returns before
+    touching the table. Write order is postings first (all-or-nothing
+    at Spark job commit), stats+id last (single-file atomic rewrite):
+    the one remaining window — a crash strictly between the two
+    writes — leaves postings counted but stats stale, and a replay
+    would re-append; recover from that (or from an id-less failed
+    update) by rebuilding via ``build_bm25_index``, or periodically via
+    ``indexes.compact_index``. This is exactly the window a commit
+    protocol (Delta-style log) would close; for a one-row stats table
+    the detect-and-rebuild story costs less than carrying one."""
     spark = new_docs.sparkSession
+    old = spark.table(f"{table}_stats").collect()[0]
+    # .asDict(): tolerate a stats row from an index built before the
+    # _batches column existed (treated as "no ids recorded").
+    applied = list(old.asDict().get("_batches") or [])
+    if batch_id is not None and batch_id in applied:
+        return  # replay of a fully-applied batch
     toks = tokens_col(text_col)
     words = new_docs.select(
         F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w")
@@ -357,15 +386,16 @@ def update_bm25_index(
     postings.select(
         spark.table(table).columns  # align column order for insertInto
     ).write.insertInto(table)
-    old = spark.table(f"{table}_stats").collect()[0]
     batch = new_docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("s")
     ).collect()[0]
     n_new = old["_n_total"] + batch["n"]
     total_len = (old["_avgdl"] or 0.0) * old["_n_total"] + (batch["s"] or 0)
+    if batch_id is not None:
+        applied = (applied + [batch_id])[-_BM25_BATCH_RING:]
     stats = spark.createDataFrame(
-        [(n_new, (total_len / n_new) if n_new else None)],
-        "_n_total long, _avgdl double",
+        [(n_new, (total_len / n_new) if n_new else None, applied)],
+        "_n_total long, _avgdl double, _batches array<string>",
     )
     # Rewrite the one-row stats table in place (overwrite keeps the
     # table's existing external path; it's a single tiny file).

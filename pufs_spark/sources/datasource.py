@@ -326,15 +326,36 @@ class PufsCommitsStreamReader(SimpleDataSourceStreamReader):
         return rows
 
     def read(self, start: dict):
+        # current_version() counts CLAIMED records, but a writer can
+        # claim a version and die before writing the record body (the
+        # failure mode wait_snapshot documents). If the batch end were
+        # the claimed frontier, every retry of that micro-batch would
+        # re-hit the dead claim and fail — wedging the stream (and the
+        # catalog mirror on top of it) permanently. So the batch end is
+        # capped at the highest CONTIGUOUSLY READABLE version: probe
+        # records upward with a short poll and stop at the first
+        # unreadable one. A mid-write record from a live writer stalls
+        # the batch only until the body lands (next trigger picks it
+        # up); a dead claim stalls the stream AT that version instead
+        # of failing it — readable once overwritten or diagnosed.
+        # The probed records are returned directly (they are tiny JSON
+        # deltas) rather than re-read through readBetweenOffsets.
+        from pufs_spark.catalog import errors as E
+
         log = self._log()
-        frontier = log.current_version()  # highest CLAIMED version
+        frontier = log.current_version()
         begin = start["version"]
-        if frontier < begin:
+        rows, v = [], begin
+        while v <= frontier:
+            try:
+                rec = log.read_record(v, retries=5)
+            except E.CatalogError:
+                break  # claimed but not yet (or never) written
+            rows.extend(self._rows_for(rec))
+            v += 1
+        if v == begin:
             return [], start
-        end = {"version": frontier + 1}
-        # read_record polls through claimed-but-unwritten records, so a
-        # claim that races this batch still yields its full row set.
-        return self.readBetweenOffsets(start, end), end
+        return rows, {"version": v}
 
     def commit(self, end: dict) -> None:
         pass  # records are never deleted; nothing to release
