@@ -741,3 +741,60 @@ def test_concurrent_materialize_converges(tmp_path):
         f for f in os.listdir(CL.CommitLog(root).dir) if f.startswith("cache-")
     ]
     assert cache_files == ["cache-000000000004.parquet"]
+
+
+def test_concurrent_vacuums_race_cleanly(tmp_path):
+    """Two vacuums racing each other must both succeed: losing an
+    unlink race means the other vacuum did the work, not a crash."""
+    w, log = CL.open_log(str(tmp_path))
+    d = w.mkdir(ROOT_INODE, "data")
+    for i in range(6):
+        w.add_immutable_bytes(d, f"f{i}", b"x" * (i + 1))
+        log.commit(w, checkpoint_every=1)           # all checkpoints
+    errs: list[Exception] = []
+
+    def run():
+        try:
+            log.vacuum(keep_last=1)
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    ts = [threading.Thread(target=run) for _ in range(4)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errs
+    # retention contract still holds
+    assert os.path.exists(log.snapshot_path(log.current_version()))
+    assert not os.path.exists(log.snapshot_path(0))
+
+
+def test_snapshot_changes_caches_exports(tmp_path, spark):
+    """Repeat snapshot_changes calls reuse cached path-state exports
+    under the log's cache- namespace (no per-call temp-dir leak), and
+    vacuum reclaims them below the retention cut."""
+    root = str(tmp_path)
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "data")
+    log.commit(w, checkpoint_every=1)               # v0
+    w.add_immutable_bytes(d, "f1", b"one")
+    log.commit(w, checkpoint_every=1)               # v1
+
+    a = {tuple(r) for r in CL.snapshot_changes(spark, root, 0, 1).collect()}
+    assert os.path.exists(log.export_path(0))
+    assert os.path.exists(log.export_path(1))
+    mtimes = (
+        os.path.getmtime(log.export_path(0)),
+        os.path.getmtime(log.export_path(1)),
+    )
+    b = {tuple(r) for r in CL.snapshot_changes(spark, root, 0, 1).collect()}
+    assert a == b
+    assert mtimes == (
+        os.path.getmtime(log.export_path(0)),
+        os.path.getmtime(log.export_path(1)),
+    ), "second call re-exported instead of reusing the cache"
+    # vacuum reclaims exports below the cut alongside the other caches
+    w.add_immutable_bytes(d, "f2", b"two")
+    log.commit(w, checkpoint_every=1)               # v2
+    log.vacuum(keep_last=1)
+    assert not os.path.exists(log.export_path(0))
+    assert not os.path.exists(log.export_path(1))

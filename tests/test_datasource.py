@@ -367,3 +367,71 @@ def test_cdc_checkpoint_diffs_option(spark, tmp_path):
     # v0's diff-vs-empty covers the initial tree
     v0_ups = {r["path"] for r in rows if r["version"] == 0 and r["change"] == "upsert"}
     assert {"/", "/data", "/data/f1"} <= v0_ups
+
+
+def test_cdc_dead_claim_stalls_but_does_not_wedge(spark, tmp_path):
+    """A writer that claims a version and dies before writing the
+    record body must STALL the CDC stream at that version — not fail
+    every micro-batch retry forever (the batch end is capped at the
+    highest contiguously-readable record, not the claimed frontier).
+    Once the record body lands (overwritten/diagnosed), the stream
+    resumes and emits it exactly once."""
+    import json as _json
+
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.sources.datasource import PufsCommitsDataSource
+
+    spark.dataSource.register(PufsCommitsDataSource)
+    root = str(tmp_path / "cat")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "data")
+    log.commit(w)                                   # v0 checkpoint
+    w.add_immutable_bytes(d, "f1", b"one")
+    log.commit(w)                                   # v1 delta
+    # Simulate a dead claim: v2's record file exists but is empty.
+    fd = log.try_claim(2)
+    assert fd is not None
+    os.close(fd)
+
+    def drain():
+        q = (
+            spark.readStream.format("pufs_commits")
+            .option("root", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).collect()
+
+    rows = drain()                                  # must NOT raise
+    assert {r["version"] for r in rows} == {0, 1}
+
+    # Recovery: the dead claim's body is written (the overwrite path).
+    with open(log.record_path(2), "w") as f:
+        _json.dump(
+            {
+                "version": 2, "base_version": 1, "writer": "fixer",
+                "ts": 0.0, "message": "", "touched": [], "ops": 0,
+                "nodes": 3, "kind": "delta",
+                "delta": {
+                    "upserts": [
+                        {"path": "/data/f2", "is_dir": False,
+                         "size": 3, "bid": None}
+                    ],
+                    "absent": [],
+                },
+            },
+            f,
+        )
+    rows2 = drain()
+    assert sum(1 for r in rows2 if r["version"] == 2) == 1
+    # and nothing before it was re-emitted
+    assert sum(1 for r in rows2 if r["version"] == 1) == sum(
+        1 for r in rows if r["version"] == 1
+    )

@@ -970,3 +970,32 @@ def test_dedup_keep_longest_policy(spark):
     assert min_id == {1, 3, 4}
     with pytest.raises(ValueError, match="keep policy"):
         dedup.dedup_keep_first(df, pairs, keep="nope")
+
+
+def test_update_bm25_index_replay_is_noop(spark, docs, tmp_path_factory):
+    """An at-least-once replay of an already-applied update batch (same
+    batch_id) must change neither postings nor stats — the foreachBatch
+    retry case the non-transactional two-write update must survive."""
+    wh = tmp_path_factory.mktemp("bm25_replay")
+    half_a = docs.where(F.col("doc_id") % 2 == 0)
+    half_b = docs.where(F.col("doc_id") % 2 == 1)
+    q = ["spark", "join", "window"]
+    text.build_bm25_index(half_a, "bm25_rp", str(wh / "idx"))
+    try:
+        text.update_bm25_index(half_b, "bm25_rp", str(wh / "idx"), batch_id="b1")
+        once = {
+            r["doc_id"]: r["score"]
+            for r in text.bm25_search(docs, q, corpus_index="bm25_rp").collect()
+        }
+        text.update_bm25_index(half_b, "bm25_rp", str(wh / "idx"), batch_id="b1")
+        twice = {
+            r["doc_id"]: r["score"]
+            for r in text.bm25_search(docs, q, corpus_index="bm25_rp").collect()
+        }
+        assert once == twice and once
+        stats = spark.table("bm25_rp_stats").collect()[0]
+        assert stats["_batches"] == ["b1"]
+        assert stats["_n_total"] == docs.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bm25_rp")
+        spark.sql("DROP TABLE IF EXISTS bm25_rp_stats")
