@@ -375,6 +375,35 @@ def build_near_dup_index(
     )
 
 
+def update_near_dup_index(
+    new_docs: DataFrame,
+    table: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 2,
+) -> None:
+    """Fold a NEW batch's banded signatures into a persisted near-dup
+    index (``build_near_dup_index``) — the ingest-side step after
+    ``cross_near_dup_pairs`` has vetted the batch: accepted docs join
+    the corpus, so the NEXT batch's dedup sees them. The insert writes
+    the batch's files under the table's existing (band, key) bucket
+    spec (Spark shuffles only the batch by the bucket expression), so
+    per-batch cost is the batch's signature build — no corpus touch.
+
+    Caller contracts: ids must be new to the index (append, not
+    upsert), and (k, num_hashes, bands, rows) must equal the build's.
+    Each call appends up to one file per bucket; compact periodically
+    via ``indexes.compact_index`` (see that module's small-file
+    rationale)."""
+    spark = new_docs.sparkSession
+    sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
+    index = _banded(sigs, id_col, bands, rows).join(sigs, id_col)
+    index.select(spark.table(table).columns).write.insertInto(table)
+
+
 def cross_near_dup_pairs(
     new_df: DataFrame,
     corpus_df: DataFrame,

@@ -1,0 +1,130 @@
+"""Maintenance for the persisted bucketed indexes (BM25 postings —
+text.build_bm25_index; near-dup LSH — dedup.build_near_dup_index; IVF
+— similarity.build_ann_index).
+
+The incremental update paths (``update_bm25_index``,
+``update_near_dup_index``) append each batch's files under the
+existing bucket spec — correct and cheap per batch, but a standing
+ingest service accumulates unboundedly many small files per bucket
+(the classic streaming-ingest small-file problem): scan setup cost
+grows with file count even when bucket pruning is perfect, and at
+100TB ingest cadence the listing itself becomes the bottleneck.
+``compact_index`` is the counterpart: a bucket-preserving rewrite that
+folds a table's files back to one file per bucket, preserving the
+bucket/sort spec (discovered from the catalog, so it works on any of
+the indexes), the table name, and query results exactly.
+
+Not concurrent-safe: compaction drops and renames tables; run it from
+the ingest loop at a quiet point (the same discipline as Delta's
+OPTIMIZE). The swap order — write new data to a NEW path, drop the old
+table, rename the new table over the old name, delete the old files —
+means a crash mid-compact loses no data: either the old table is still
+fully live, or the new one is and only the old FILES are orphaned
+(re-deletable by a later compact of the same generation path).
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+from urllib.parse import urlparse
+
+from pyspark.sql.functions import col as F_col
+
+
+def table_location(spark, table: str) -> str:
+    """The table's storage location (a URI) from the catalog."""
+    for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+        if r["col_name"].strip() == "Location":
+            return r["data_type"].strip()
+    raise ValueError(f"table {table} has no Location (not an external table?)")
+
+
+def _bucket_spec(spark, table: str) -> tuple[int, list[str], list[str]]:
+    """(num_buckets, bucket_cols, sort_cols) from DESCRIBE FORMATTED."""
+    info = {
+        r["col_name"].strip(): (r["data_type"] or "").strip()
+        for r in spark.sql(f"DESCRIBE FORMATTED {table}").collect()
+    }
+    if "Num Buckets" not in info:
+        raise ValueError(f"table {table} is not bucketed")
+    cols = lambda s: re.findall(r"`([^`]+)`", s)  # noqa: E731
+    return (
+        int(info["Num Buckets"]),
+        cols(info.get("Bucket Columns", "")),
+        cols(info.get("Sort Columns", "")),
+    )
+
+
+def _local_path(location: str) -> str | None:
+    """Filesystem path for a file:-scheme location; None otherwise."""
+    u = urlparse(location)
+    if u.scheme in ("", "file"):
+        return u.path
+    return None
+
+
+def index_file_count(spark, table: str) -> int:
+    """Number of data files backing ``table`` — the compaction signal.
+    Counted via the input_file_name of a metadata-only scan, so it
+    works for any filesystem the session can read."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.table(table)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+
+
+def needs_compaction(spark, table: str, max_files_per_bucket: int = 8) -> bool:
+    """True when the table's file count exceeds
+    ``max_files_per_bucket`` × num_buckets (each clean build/compact
+    leaves exactly one file per non-empty bucket, and each incremental
+    update appends up to one more per bucket)."""
+    n_buckets, _, _ = _bucket_spec(spark, table)
+    return index_file_count(spark, table) > max_files_per_bucket * n_buckets
+
+
+def compact_index(spark, table: str, new_path: str) -> str:
+    """Rewrite ``table`` bucket-preserving into ``new_path`` and swap
+    it under the same name: queries before and after see identical
+    rows, the bucket/sort spec (and therefore every pruned-scan plan)
+    is preserved, and the file count drops back to ≤ one per bucket.
+    Old files are deleted for local (file:) tables, left for the
+    caller otherwise. Returns the new location."""
+    n_buckets, bucket_cols, sort_cols = _bucket_spec(spark, table)
+    old_loc = table_location(spark, table)
+    tmp_table = f"{table}__compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+    # Repartition on the bucket columns first: a bucketed write emits
+    # one file per (task, bucket) pair, and repartition's hash is the
+    # same Murmur3-pmod as bucketing's, so aligning tasks to buckets
+    # collapses the output to one file per non-empty bucket — which is
+    # the entire point of compacting. The read-side bucketing conf is
+    # disabled for the rewrite: with it on, the source table ADVERTISES
+    # HashPartitioning(bucket_cols, n) and the optimizer elides the
+    # repartition as redundant — while the actual scan may run
+    # unbucketed ("disabled by query planner"), leaving tasks unaligned
+    # and re-fragmenting the output (observed: 4 ingest generations
+    # compacted to 18 files instead of 8). Write-side bucketing is
+    # independent of the flag.
+    prev = spark.conf.get("spark.sql.sources.bucketing.enabled")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    try:
+        df = spark.table(table).repartition(
+            n_buckets, *[F_col(c) for c in bucket_cols]
+        )
+        w = df.write.bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            w = w.sortBy(*sort_cols)
+        w.option("path", new_path).mode("overwrite").saveAsTable(tmp_table)
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.enabled", prev)
+    spark.sql(f"DROP TABLE {table}")
+    spark.sql(f"ALTER TABLE {tmp_table} RENAME TO {table}")
+    old_fs = _local_path(old_loc)
+    if old_fs is not None:
+        shutil.rmtree(old_fs, ignore_errors=True)
+    return table_location(spark, table)
