@@ -354,7 +354,14 @@ class PufsCommitsStreamReader(SimpleDataSourceStreamReader):
             rows.extend(self._rows_for(rec))
             v += 1
         if v == begin:
-            return [], start
+            # MUST be a real iterator, not a list: on a no-progress tick
+            # Spark's prefetch cache validates emptiness via next(it)
+            # (datasource_internal.add_result_to_cache), and
+            # next([]) is a TypeError that kills the query — continuous
+            # triggers idle-tick through this branch constantly. The
+            # progressing branch stays a LIST because cached batches are
+            # copy.copy()d for replay, and generators aren't copyable.
+            return iter(()), start
         return rows, {"version": v}
 
     def commit(self, end: dict) -> None:
