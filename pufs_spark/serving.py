@@ -136,6 +136,227 @@ class PufsService:
         }
 
 
+class MirrorStore:
+    """Read-only catalog view over a streaming catalog mirror
+    (streaming/mirror.py) — the scale-out read path: the reference
+    splits its gRPC server from the writer by serving straight off the
+    BoltDB file (pufs/cmd/mount.go:199-233); here the server reads the
+    mirror parquet the streaming fold maintains, fully decoupled from
+    the single-writer driver DataStore.
+
+    Bucket-grain caching: the mirror is bucketed by top-level path
+    component, and unchanged buckets are HARD-LINKED between state
+    versions, so a cache keyed by each bucket file's (inode, mtime,
+    size) signature survives version bumps for untouched buckets —
+    refresh cost after a fold is O(changed buckets), and a lookup or
+    non-root listing touches exactly one bucket. Only a root listing
+    or stat() faults in every bucket (once per change)."""
+
+    def __init__(self, mirror_dir: str):
+        self.mirror_dir = mirror_dir
+        self._cache: dict[str, tuple[tuple, dict]] = {}  # file → (sig, rows)
+        self._lock = threading.Lock()
+
+    # -- state access ---------------------------------------------------
+
+    def version(self) -> int:
+        from pufs_spark.streaming.mirror import mirror_version
+
+        return mirror_version(self.mirror_dir)
+
+    def _state_dir(self) -> str:
+        from pufs_spark.streaming import mirror as M
+
+        v = M.mirror_version(self.mirror_dir)
+        if v < 0:
+            raise E.NotFoundError(f"no mirror state in {self.mirror_dir}")
+        return M._state_dir(self.mirror_dir, v)
+
+    def _bucket_rows(self, state_dir: str, fname: str) -> dict:
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        f = _os.path.join(state_dir, fname)
+        try:
+            st = _os.stat(f)
+        except FileNotFoundError:
+            return {}
+        sig = (st.st_ino, st.st_mtime_ns, st.st_size)
+        with self._lock:
+            hit = self._cache.get(fname)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+        t = pq.read_table(f)
+        rows = {
+            p: (d, s, b)
+            for p, d, s, b in zip(
+                t["path"].to_pylist(),
+                t["is_dir"].to_pylist(),
+                t["size"].to_pylist(),
+                t["bid"].to_pylist(),
+            )
+        }
+        with self._lock:
+            self._cache[fname] = (sig, rows)
+        return rows
+
+    def _bucket_for(self, path: str, state_dir: str) -> dict:
+        from pufs_spark.streaming import mirror as M
+
+        import json as _json
+        import os as _os
+
+        meta = _json.load(open(_os.path.join(self.mirror_dir, "mirror_meta.json")))
+        b = M._bucket(path, meta.get("n_buckets", M.N_BUCKETS))
+        return self._bucket_rows(state_dir, f"bucket-{b:04d}.parquet")
+
+    def _all_rows(self, state_dir: str):
+        import os as _os
+
+        for fname in sorted(_os.listdir(state_dir)):
+            if fname.startswith("bucket-"):
+                yield from self._bucket_rows(state_dir, fname).items()
+
+    # -- queries --------------------------------------------------------
+
+    def lookup(self, path: str) -> tuple:
+        """(is_dir, size, bid) or NotFoundError. One bucket touched."""
+        sd = self._state_dir()
+        row = self._bucket_for(path, sd).get(path)
+        if row is None:
+            raise E.NotFoundError(path)
+        return row
+
+    def list_dir(self, path: str) -> list[tuple[str, tuple]]:
+        """[(name, (is_dir, size, bid))] for the directory's direct
+        children. Non-root listings are bucket-local (the subtree
+        shares the parent's top component)."""
+        sd = self._state_dir()
+        norm = path.rstrip("/") or "/"
+        if norm == "/":
+            it = self._all_rows(sd)
+        else:
+            if not self._bucket_for(norm, sd).get(norm, (False,))[0]:
+                # missing, or a file: same errors the DataStore raises
+                self.lookup(norm)  # raises NotFoundError if absent
+                raise E.NotDirError(norm)
+            it = self._bucket_for(norm, sd).items()
+        prefix = "" if norm == "/" else norm
+        out = []
+        for p, row in it:
+            if not p.startswith(prefix + "/"):
+                continue
+            name = p[len(prefix) + 1:]
+            if name and "/" not in name:  # "" is the dir's own row
+                out.append((name, row))
+        return sorted(out)
+
+    def stat_totals(self) -> dict:
+        sd = self._state_dir()
+        nodes = dirs = files = nbytes = 0
+        for _, (is_dir, size, _bid) in self._all_rows(sd):
+            nodes += 1
+            if is_dir:
+                dirs += 1
+            else:
+                files += 1
+                nbytes += size or 0
+        return {"nodes": nodes, "dirs": dirs, "files": files, "bytes": nbytes}
+
+
+class MirrorService:
+    """The S12 service surface served from a catalog MIRROR instead of
+    a live DataStore: same ops, same proto field names, plus a
+    ``mirrorVersion`` staleness bound in every response (the last
+    commit-log version the mirror has applied — a client comparing it
+    to ``CommitLog.current_version()`` knows exactly how far behind the
+    read path is). Read-only by construction; ``read`` serves block
+    bytes straight from a CAS directory when one is provided (frozen
+    files only — the mirror carries bids, not writer-local paths).
+
+    Field mapping vs PufsService: the CDC feed (and therefore the
+    mirror) deliberately carries the publication-relevant projection —
+    path, kind, size, bid — not writer-local inode numbers or mtimes
+    ("hold paths, not inodes" is the commit-log contract), so ``id``
+    and ``modTimeSeconds`` are 0 and ``isDirty`` is derived (a file
+    without a bid is unfrozen)."""
+
+    def __init__(self, store: MirrorStore, cas=None):
+        self.store = store
+        self.cas = cas
+
+    def _entry(self, name: str, row: tuple) -> dict:
+        is_dir, size, bid = row
+        return {
+            "id": 0,
+            "name": name,
+            "isDirty": bool(not is_dir and not bid),
+            "isDir": bool(is_dir),
+            "size": size or 0,
+            "modTimeSeconds": 0,
+            "blockId": bid or "",
+            "populatedRegionCount": 0,
+            "populatedSize": 0,
+        }
+
+    def handle(self, req: dict) -> dict:
+        try:
+            op = req.get("op")
+            v = self.store.version()
+            if op == "get_dir_contents":
+                entries = [
+                    self._entry(n, r) for n, r in self.store.list_dir(req["path"])
+                ]
+                return {"entries": entries, "errorMsg": "", "mirrorVersion": v}
+            if op == "getattr":
+                is_dir, size, bid = self.store.lookup(req["path"])
+                return {
+                    **self._entry(req["path"].rstrip("/").rpartition("/")[2], (is_dir, size, bid)),
+                    "errorMsg": "",
+                    "mirrorVersion": v,
+                }
+            if op == "resolve":
+                self.store.lookup(req["path"])  # existence check
+                return {"id": 0, "errorMsg": "", "mirrorVersion": v}
+            if op == "read":
+                return self._read(
+                    req["path"], req.get("offset", 0), req.get("length"), v
+                )
+            if op == "stat":
+                return {
+                    **self.store.stat_totals(),
+                    "errorMsg": "",
+                    "mirrorVersion": v,
+                }
+            return {"errorMsg": f"unknown op {op!r}", "mirrorVersion": v}
+        except E.CatalogError as exc:
+            return {"errorMsg": f"{type(exc).__name__}: {exc}"}
+        except KeyError as exc:
+            return {"errorMsg": f"missing field {exc}"}
+
+    def _read(self, path: str, offset: int, length, v: int) -> dict:
+        if self.cas is None:
+            return {"errorMsg": "read not served: no CAS configured"}
+        is_dir, _size, bid = self.store.lookup(path)
+        if is_dir:
+            return {"errorMsg": f"IsADirectoryError: {path}"}
+        if not bid:
+            return {"errorMsg": f"NotFoundError: {path} has no block (unfrozen)"}
+        try:
+            data = self.cas.read(bid, offset=offset, length=length)
+        except FileNotFoundError:
+            # in-band, like every other error: the mirror can be ahead
+            # of a CAS replica that hasn't pulled the block yet
+            return {"errorMsg": f"NotFoundError: block {bid} not in CAS"}
+        return {
+            "data": base64.b64encode(data).decode(),
+            "n": len(data),
+            "errorMsg": "",
+            "mirrorVersion": v,
+        }
+
+
 class _Handler(socketserver.StreamRequestHandler):
     def handle(self):  # one connection, many requests (like a channel)
         while True:
@@ -171,6 +392,19 @@ def serve(
     """Start serving ``store`` on a background thread; returns the
     server and its bound port (``port=0`` picks a free one)."""
     server = PufsServer(PufsService(store, region_stats), host, port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return server, server.server_address[1]
+
+
+def serve_mirror(
+    mirror_dir: str, cas=None, host: str = "127.0.0.1", port: int = 0,
+) -> tuple[PufsServer, int]:
+    """Serve the S12 surface from a streaming catalog mirror — the
+    read path decoupled from the single-writer driver (see
+    MirrorService). ``cas`` (a sources.cas.Freezer) additionally
+    enables ranged ``read`` of frozen blocks."""
+    server = PufsServer(MirrorService(MirrorStore(mirror_dir), cas), host, port)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, server.server_address[1]

@@ -104,3 +104,83 @@ def test_concurrent_clients(served):
     for t in ts:
         t.join()
     assert errs == []
+
+
+@pytest.fixture()
+def mirror_served(spark, tmp_path):
+    """A commit-log catalog with frozen content, its streaming mirror,
+    and a MirrorService speaking the same line protocol over TCP."""
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.sources.cas import Freezer
+    from pufs_spark.streaming import mirror as M
+
+    root = str(tmp_path / "cat")
+    mdir = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "docs")
+    w.add_immutable_bytes(d, "a.txt", b"alpha contents")
+    w.add_immutable_bytes(d, "b.bin", bytes(range(100)))
+    w.mkdir(d, "sub")
+    log.commit(w)
+
+    def refresh():
+        q = M.start_catalog_mirror(spark, root, mdir, ckpt)
+        q.awaitTermination(120)
+
+    refresh()
+    import os
+    server, port = serving.serve_mirror(
+        mdir, cas=Freezer(os.path.join(root, "freezer"))
+    )
+    client = serving.PufsClient("127.0.0.1", port)
+    yield w, log, refresh, client
+    client.close()
+    server.shutdown()
+
+
+def test_mirror_service_parity_and_staleness(mirror_served, tmp_path):
+    """The mirror-backed read path answers the same surface as the
+    store-backed service — names, kinds, sizes, blockIds, in-band
+    errors — and every response carries the mirror's last-applied
+    commit version as its staleness bound."""
+    w, log, refresh, client = mirror_served
+
+    resp = client.get_dir_contents("/docs")
+    assert resp["errorMsg"] == ""
+    assert resp["mirrorVersion"] == 0
+    by_name = {e["name"]: e for e in resp["entries"]}
+    assert set(by_name) == {"a.txt", "b.bin", "sub"}
+    assert by_name["a.txt"]["size"] == 14 and not by_name["a.txt"]["isDir"]
+    assert by_name["sub"]["isDir"]
+    assert by_name["a.txt"]["blockId"]  # frozen eagerly at add time
+
+    # root listing spans buckets
+    root_names = {e["name"] for e in client.get_dir_contents("/")["entries"]}
+    assert root_names == {"docs"}
+
+    # in-band errors, same taxonomy as the store-backed service
+    assert "NotFoundError" in client.get_dir_contents("/nope")["errorMsg"]
+    assert "NotDirError" in client.get_dir_contents("/docs/a.txt")["errorMsg"]
+
+    # ranged content read straight from the CAS by bid
+    assert client.read_bytes("/docs/a.txt") == b"alpha contents"
+    assert client.read_bytes("/docs/b.bin", offset=10, length=5) == bytes(
+        range(10, 15)
+    )
+
+    # the mirror lags until refreshed — and the staleness bound says so
+    d = w.resolve_path("/docs")
+    w.add_immutable_bytes(d, "late.txt", b"late")
+    log.commit(w)                                  # v1
+    stale = client.get_dir_contents("/docs")
+    assert stale["mirrorVersion"] == 0             # read path is behind
+    assert "late.txt" not in {e["name"] for e in stale["entries"]}
+    refresh()
+    fresh = client.get_dir_contents("/docs")
+    assert fresh["mirrorVersion"] == 1
+    assert "late.txt" in {e["name"] for e in fresh["entries"]}
+
+    # stat totals span the whole mirror
+    st = client.call(op="stat")
+    assert st["files"] == 3 and st["dirs"] == 3    # /, /docs, /docs/sub
