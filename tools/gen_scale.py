@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Tile the driver's sf0.1 testdata to a larger scale factor for
+SCALING measurements (BASELINE.md's sf1.0 table): each replica shifts
+every key column by a disjoint stride so FK joins stay consistent and
+cardinalities scale linearly.
+
+Content columns are decorrelated across replicas so data-dependent
+operators scale linearly instead of quadratically:
+- documents.text: every token in replica i>0 gets an ``_i`` suffix —
+  shingle/token spaces of replicas never intersect, so true near-dup
+  pairs (D1) and posting lists (T12) grow 10x, not 45x/10x-dense;
+- embeddings.embedding: a deterministic value-dependent perturbation
+  (x + 0.05*i*sin(37x)) rotates each replica's vectors slightly so
+  high-threshold cosine neighbors stay within-replica.
+
+This is a PERF harness, not correctness data: oracles keep running on
+the driver's own sf dirs. Output goes outside the repo (default
+/tmp/pufs_sf1.0) and is gitignored territory.
+
+Usage: python tools/gen_scale.py [src_dir] [out_dir] [factor]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+STRIDE = 10_000_000  # > any key at the source scale, uniform for all keys
+
+# table -> columns to shift by replica*STRIDE
+KEY_SHIFTS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+COPY_ONLY = ["region", "nation"]  # TPC-H dims don't scale
+
+
+def replica_select(table: str, cols: list[str], i: int) -> str:
+    shifts = set(KEY_SHIFTS.get(table, []))
+    out = []
+    for c in cols:
+        if c in shifts:
+            out.append(f"{c} + {i * STRIDE} AS {c}")
+        elif table == "documents" and c == "text" and i > 0:
+            out.append(rf"regexp_replace(text, '(\S+)', '\1_{i}', 'g') AS text")
+        elif table == "embeddings" and c == "embedding" and i > 0:
+            out.append(
+                f"list_transform(embedding, x -> "
+                f"CAST(x + 0.05 * {i} * sin(37.0 * x) AS FLOAT)) AS embedding"
+            )
+        else:
+            out.append(c)
+    return ", ".join(out)
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pufs_sf1.0"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    tables = sorted(
+        f[:-8] for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    for t in tables:
+        src_f = os.path.join(src, f"{t}.parquet")
+        dst_f = os.path.join(out, f"{t}.parquet")
+        if t in COPY_ONLY:
+            con.sql(
+                f"COPY (SELECT * FROM read_parquet('{src_f}')) TO '{dst_f}'"
+                " (FORMAT PARQUET)"
+            )
+            print(f"{t}: copied")
+            continue
+        cols = [
+            r[0]
+            for r in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{src_f}')"
+            ).fetchall()
+        ]
+        selects = " UNION ALL ".join(
+            f"SELECT {replica_select(t, cols, i)} "
+            f"FROM read_parquet('{src_f}')"
+            for i in range(factor)
+        )
+        # modest row groups so Spark gets split parallelism from the
+        # single output file
+        con.sql(
+            f"COPY ({selects}) TO '{dst_f}' "
+            "(FORMAT PARQUET, ROW_GROUP_SIZE 262144)"
+        )
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{dst_f}')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+
+if __name__ == "__main__":
+    main()
