@@ -26,6 +26,7 @@ def clean_corpus(
     min_alpha_ratio: float = 0.5,
     lang: str | None = "en",
     near_dup_threshold: float | None = 0.7,
+    near_dup_rows: int = 2,
 ) -> DataFrame:
     """Returns the surviving rows of ``docs`` (original columns).
 
@@ -36,7 +37,14 @@ def clean_corpus(
     3. exact dedup — keep the min-id doc per content hash;
     4. near-dup dedup — MinHash+LSH groups, keep each group's min id.
     Set ``lang=None`` / ``near_dup_threshold=None`` to skip a stage.
-    """
+
+    ``near_dup_rows`` is the LSH rows-per-band knob passed through to
+    ``near_dup_pairs``: the default 2 is recall-safe at any corpus
+    (miss ≈ 2e-5 at s=0.70) but pays ~20x the band collisions of
+    rows=4; a caller who KNOWS the corpus has no pairs near the
+    threshold (see near_dup_pairs' contract) can pass 4 — measured
+    4-5x faster on the whole clean_corpus composition at sf0.1, since
+    the near-dup stage dominates its wall (BASELINE.md)."""
     out = docs
     q = text.quality_stats(out, text_col)
     out = (
@@ -60,7 +68,8 @@ def clean_corpus(
     )
     if near_dup_threshold is not None:
         pairs = dedup.near_dup_pairs(
-            out, threshold=near_dup_threshold, text_col=text_col, id_col=id_col
+            out, threshold=near_dup_threshold, text_col=text_col,
+            id_col=id_col, rows=near_dup_rows,
         ).localCheckpoint()
         out = dedup.dedup_keep_first(out, pairs, id_col)
     return out

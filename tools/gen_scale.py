@@ -6,9 +6,15 @@ cardinalities scale linearly.
 
 Content columns are decorrelated across replicas so data-dependent
 operators scale linearly instead of quadratically:
-- documents.text: every token in replica i>0 gets an ``_i`` suffix —
-  shingle/token spaces of replicas never intersect, so true near-dup
-  pairs (D1) and posting lists (T12) grow 10x, not 45x/10x-dense;
+- documents.text: replica i>0 rotates the 12 most frequent letters by
+  i positions (translate) — near-dup shingles are CHARACTER 5-grams,
+  so a word-level marker is not enough (measured: suffixing every
+  word left replicas ~0.5 char-Jaccard similar, putting every doc in
+  a 10-clique at the banding threshold and inflating D1 106x); the
+  letter rotation kills virtually every shared 5-gram while
+  preserving lengths, token boundaries, and token counts, so true
+  near-dup pairs (D1), postings (T12), and quality stats (T1) scale
+  linearly;
 - embeddings.embedding: a deterministic value-dependent perturbation
   (x + 0.05*i*sin(37x)) rotates each replica's vectors slightly so
   high-threshold cosine neighbors stay within-replica.
@@ -50,7 +56,12 @@ def replica_select(table: str, cols: list[str], i: int) -> str:
         if c in shifts:
             out.append(f"{c} + {i * STRIDE} AS {c}")
         elif table == "documents" and c == "text" and i > 0:
-            out.append(rf"regexp_replace(text, '(\S+)', '\1_{i}', 'g') AS text")
+            src_l = "etaoinshrdlu"
+            dst_l = src_l[i % 12:] + src_l[: i % 12]
+            out.append(
+                f"translate(text, '{src_l}{src_l.upper()}', "
+                f"'{dst_l}{dst_l.upper()}') AS text"
+            )
         elif table == "embeddings" and c == "embedding" and i > 0:
             out.append(
                 f"list_transform(embedding, x -> "
