@@ -1,0 +1,193 @@
+"""The standing-ingest-service loop — the composition every persisted
+index in this repo exists for, closed end to end: batches of documents
+arrive forever, the corpus grows slowly, and EVERY per-batch cost must
+be batch-sized, never corpus-sized.
+
+Per batch, ``ingest_corpus_batch``:
+
+1. cleans the batch with the stateless gates (quality, language —
+   ``pipeline.clean_corpus`` semantics, narrow filters first);
+2. exact-dedups within the batch (min-id representative per content
+   hash — batch-sized shuffle of 64-hex digests);
+3. drops batch docs that near-duplicate the EXISTING corpus via the
+   persisted LSH index (``cross_near_dup_pairs(corpus_index=...)`` —
+   the bucketed index scan is pre-partitioned, only the batch
+   shuffles) and batch docs that near-duplicate an earlier-accepted
+   doc of the SAME batch (``near_dup_pairs`` on the cleaned batch);
+4. folds the accepted docs into both persisted indexes
+   (``update_near_dup_index`` so the NEXT batch's step 3 sees them;
+   ``update_bm25_index(batch_id=...)`` so search stays current, with
+   replay idempotency from the batch-id ring);
+5. compacts either index in place when its small-file count crosses
+   the threshold (``indexes.needs_compaction`` → ``compact_index``
+   into a generation-suffixed path) — the maintenance the append
+   paths defer.
+
+Returns the accepted rows (original columns) plus ingest stats. The
+caller owns durability of the accepted rows (e.g.
+``dataset.write_partitioned`` or ``prepare_training_corpus``); this
+module owns the index side.
+
+Scale notes: steps 1-2 are batch-local; step 3's cost is collision-
+sized (BASELINE.md's persisted-index table: flat in corpus size);
+step 4 shuffles only the batch by the bucket expressions; step 5 is
+the only corpus-sized cost and amortizes over
+``max_files_per_bucket`` batches. Nothing in the loop scans the
+corpus per batch.
+
+Streaming: run this inside ``foreachBatch`` on the output of
+``pipeline.stream_clean_corpus`` (skip_clean=True — the stream gates
+already ran; the stream's bounded-state exact dedup de-dupes across
+micro-batches, step 2 still catches within-batch pairs)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pufs_spark.operators import dedup, indexes, text
+
+
+@dataclass
+class IngestResult:
+    accepted: DataFrame
+    n_in: int
+    n_after_clean: int
+    n_after_exact: int
+    n_accepted: int
+    compacted: list[str]
+
+
+def _clean_gates(
+    batch: DataFrame,
+    text_col: str,
+    min_tokens: int,
+    max_punct_ratio: float,
+    min_alpha_ratio: float,
+    lang: str | None,
+) -> DataFrame:
+    cols = batch.columns
+    q = text.quality_stats(batch, text_col)
+    out = q.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    ).select(*cols)
+    if lang is not None:
+        out = (
+            text.lang_id(out, text_col)
+            .where(F.col("pred_lang") == lang)
+            .select(*cols)
+        )
+    return out
+
+
+def ingest_corpus_batch(
+    batch: DataFrame,
+    corpus_df: DataFrame,
+    nd_table: str,
+    bm25_table: str,
+    bm25_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 2,
+    batch_id: str | None = None,
+    skip_clean: bool = False,
+    lang: str | None = "en",
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.5,
+    max_files_per_bucket: int = 8,
+    compact_paths: dict[str, str] | None = None,
+) -> IngestResult:
+    """One turn of the ingest loop (see module docstring). The batch
+    is MATERIALIZED once up front (persist) — every stage and both
+    index updates reuse it. LSH parameters must match the ones the
+    indexes were built with.
+
+    ``corpus_df`` is the service's accepted-corpus frame (the parquet
+    the caller persists accepted rows to). It is consulted ONLY to
+    exact-verify the LSH survivors' Jaccard — a survivor-sized
+    semi-join probe, not a corpus scan (cross_near_dup_pairs'
+    contract). Caller contracts: batch ids are globally fresh (id
+    collisions with the corpus would double BM25 postings), and
+    ``corpus_df`` contains exactly the docs the indexes contain.
+
+    ``compact_paths`` maps table name → base path for generation-
+    suffixed compaction output (defaults to ``<current location> +
+    '-gN'``); compaction runs only when ``needs_compaction`` fires."""
+    spark = batch.sparkSession
+    cols = batch.columns
+    n_in = batch.count()
+
+    out = batch if skip_clean else _clean_gates(
+        batch, text_col, min_tokens, max_punct_ratio, min_alpha_ratio, lang
+    )
+    # exact dedup within the batch: min-id representative per hash
+    out = (
+        dedup.duplicate_rank(out, text_col, id_col)
+        .where(F.col("dup_rank") == 1)
+        .select(*cols)
+        .persist()
+    )
+    n_after_clean = n_in if skip_clean else out.count()
+    n_after_exact = out.count()
+
+    # near-dups vs the EXISTING corpus (persisted index; batch-sized)
+    vs_corpus = dedup.cross_near_dup_pairs(
+        out, corpus_df, threshold, text_col, id_col,
+        k, num_hashes, bands, rows, corpus_index=nd_table,
+    ).select(F.col("a").alias(id_col)).distinct()
+    survivors = out.join(vs_corpus, id_col, "left_anti")
+    # near-dups WITHIN the batch (min-id group representative — the
+    # same tested keep policy clean_corpus uses)
+    within = dedup.near_dup_pairs(
+        survivors, threshold, text_col, id_col, k, num_hashes, bands, rows
+    ).localCheckpoint()
+    # localCheckpoint, not persist: the returned rows must survive the
+    # index mutations below (compaction DELETES the old index files; a
+    # lazily-recomputed lineage through the index scan would then read
+    # missing files), and the caller holds them across future batches.
+    accepted = dedup.dedup_keep_first(survivors, within, id_col).localCheckpoint()
+    n_accepted = accepted.count()
+
+    if n_accepted:
+        dedup.update_near_dup_index(
+            accepted, nd_table, text_col, id_col, k, num_hashes, bands, rows
+        )
+        text.update_bm25_index(
+            accepted, bm25_table, bm25_path, text_col, id_col,
+            batch_id=batch_id,
+        )
+
+    compacted: list[str] = []
+    for t in (nd_table, bm25_table):
+        if indexes.needs_compaction(spark, t, max_files_per_bucket):
+            loc = indexes.table_location(spark, t)
+            base = (compact_paths or {}).get(t)
+            if base is None:
+                stem, _, gen = loc.rpartition("-g")
+                base = (
+                    f"{stem}-g{int(gen) + 1}"
+                    if gen.isdigit() and stem
+                    else f"{loc}-g1"
+                )
+            fs = indexes._local_path(base)
+            indexes.compact_index(spark, t, fs if fs is not None else base)
+            compacted.append(t)
+
+    out.unpersist()
+    return IngestResult(
+        accepted=accepted,
+        n_in=n_in,
+        n_after_clean=n_after_clean,
+        n_after_exact=n_after_exact,
+        n_accepted=n_accepted,
+        compacted=compacted,
+    )
