@@ -126,17 +126,21 @@ def ingest_corpus_batch(
     cols = batch.columns
     n_in = batch.count()
 
-    out = batch if skip_clean else _clean_gates(
-        batch, text_col, min_tokens, max_punct_ratio, min_alpha_ratio, lang
+    cleaned = (
+        batch
+        if skip_clean
+        else _clean_gates(
+            batch, text_col, min_tokens, max_punct_ratio, min_alpha_ratio, lang
+        ).persist()
     )
+    n_after_clean = n_in if skip_clean else cleaned.count()
     # exact dedup within the batch: min-id representative per hash
     out = (
-        dedup.duplicate_rank(out, text_col, id_col)
+        dedup.duplicate_rank(cleaned, text_col, id_col)
         .where(F.col("dup_rank") == 1)
         .select(*cols)
         .persist()
     )
-    n_after_clean = n_in if skip_clean else out.count()
     n_after_exact = out.count()
 
     # near-dups vs the EXISTING corpus (persisted index; batch-sized)
@@ -183,6 +187,8 @@ def ingest_corpus_batch(
             compacted.append(t)
 
     out.unpersist()
+    if cleaned is not batch:
+        cleaned.unpersist()
     return IngestResult(
         accepted=accepted,
         n_in=n_in,
