@@ -60,7 +60,11 @@ def force(df) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # extract the trailing sf<number> from any dir name ("sf0.1",
+    # "pufs_sf1.0", ...); fall back to the raw basename
+    base = os.path.basename(sf_dir.rstrip("/"))
+    m = __import__("re").search(r"sf([\d.]+)$", base)
+    sf = m.group(1) if m else base
     spark = get_spark(app_name="pufs_spark_bench")
     qs = entrymod.queries()
 
