@@ -230,8 +230,12 @@ class MirrorStore:
 
     def list_dir(self, path: str) -> list[tuple[str, tuple]]:
         """[(name, (is_dir, size, bid))] for the directory's direct
-        children. Non-root listings are bucket-local (the subtree
-        shares the parent's top component)."""
+        children. A dir at depth ≥ BUCKET_DEPTH lists from ONE bucket
+        (the subtree shares its key prefix); a depth-1 dir lists from
+        the buckets its top-group summary names; only the root walks
+        every bucket."""
+        from pufs_spark.streaming import mirror as M
+
         sd = self._state_dir()
         norm = path.rstrip("/") or "/"
         if norm == "/":
@@ -241,7 +245,18 @@ class MirrorStore:
                 # missing, or a file: same errors the DataStore raises
                 self.lookup(norm)  # raises NotFoundError if absent
                 raise E.NotDirError(norm)
-            it = self._bucket_for(norm, sd).items()
+            depth = len([c for c in norm.strip("/").split("/") if c])
+            if depth < M.BUCKET_DEPTH:
+                _v, n_buckets, summary = M._load_meta(self.mirror_dir)
+                it = (
+                    kv
+                    for b in sorted(M._buckets_for_top(norm, n_buckets, summary))
+                    for kv in self._bucket_rows(
+                        sd, f"bucket-{b:04d}.parquet"
+                    ).items()
+                )
+            else:
+                it = self._bucket_for(norm, sd).items()
         prefix = "" if norm == "/" else norm
         out = []
         for p, row in it:

@@ -13,21 +13,23 @@ reference's 10M-inode cap, a multi-GB driver dict and a full rewrite
 per 1-path delta):
 
 - The state is BUCKETED parquet: ``state-{version}/bucket-NNNN.parquet``
-  with bucket = md5(top-level path component) % n_buckets (the
-  sampling.py md5-bucket rule applied to a path PREFIX). A fold loads
-  and rewrites ONLY the buckets its changed paths touch; untouched
-  buckets are hard-linked into the new state dir (O(1) per bucket, no
-  data copied).
-- The TOP component (not the full path) is the bucket key because CDC
+  with bucket = md5(first BUCKET_DEPTH path components) % n_buckets
+  (the sampling.py md5-bucket rule applied to a path PREFIX). A fold
+  loads and rewrites ONLY the buckets its changed paths touch;
+  untouched buckets are hard-linked into the new state dir (O(1) per
+  bucket, no data copied).
+- A path PREFIX (not the full path) is the bucket key because CDC
   ``absent`` rows delete whole subtrees without enumerating them (and
-  carry no is_dir): a subtree shares its top component, so the delete
-  touches exactly one bucket. Full-path bucketing would spread a
-  subtree across every bucket and turn each delete into a full scan.
-  The trade is skew: per-batch work is O(Σ touched top-level subtree
-  sizes), which degenerates to O(catalog) only for a catalog that
-  keeps everything under ONE top dir — the reference's own layouts
-  (bucket mounts at the root) spread wider, and n_buckets only caps
-  the file count, not the skew.
+  carry no is_dir): a subtree at depth ≥ BUCKET_DEPTH shares its key
+  prefix, so the delete touches exactly one bucket; full-path
+  bucketing would spread a subtree across every bucket and turn each
+  delete into a full scan. Depth 2 (vs 1) bounds the skew — a catalog
+  that keeps everything under ONE top dir still spreads by its
+  second-level fanout. The cost of depth 2 is that a DEPTH-1 absent
+  ("/a" removed) spans buckets; those are found via a per-bucket
+  TOP-GROUP SUMMARY in the meta file (fixed-size bitmaps — see
+  SUMMARY_GROUPS) rather than a full scan, at worst a superset
+  rewrite (hash-group false positives), never a miss.
 - Atomicity: each fold writes a NEW ``state-{version}`` dir and then
   atomically renames the meta pointer onto it — readers never see a
   torn batch (the property the old temp+rename single file had). The
@@ -53,13 +55,39 @@ from pufs_spark.catalog.datastore import DataStore
 
 META_FILE = "mirror_meta.json"
 N_BUCKETS = 64
+# Bucket key depth: paths bucket by md5 of their first BUCKET_DEPTH
+# components, so even a catalog that keeps EVERYTHING under one top
+# dir spreads across buckets (depth 1 would put that whole catalog in
+# a single bucket — the skew the r6 ROADMAP flagged). A subtree absent
+# at depth >= BUCKET_DEPTH still lands in exactly one bucket (the
+# subtree shares the key prefix); a depth-1 absent ("/a" removed)
+# spans buckets, and those are found through the per-bucket
+# TOP-COMPONENT SUMMARY below instead of a full scan.
+BUCKET_DEPTH = 2
+# The summary is a fixed-size bitmap per bucket: bit md5(top)%GROUPS
+# is set iff the bucket holds any path with that top component. A
+# depth-1 absent rewrites the buckets whose bit is set — a SUPERSET of
+# the true set (hash-group collisions add false positives), never a
+# miss. 1024 bits = 256 hex chars per bucket in the meta file: bounded
+# regardless of catalog shape, unlike an exact component->buckets map
+# (1M top-level dirs would make that map catalog-sized).
+SUMMARY_GROUPS = 1024
+
+
+def _key(path: str) -> str:
+    comps = [c for c in path.lstrip("/").split("/") if c]
+    return "/".join(comps[:BUCKET_DEPTH])
 
 
 def _bucket(path: str, n_buckets: int) -> int:
-    """md5(top-level component) % n_buckets; the root path hashes the
-    empty component."""
+    """md5(first-BUCKET_DEPTH components) % n_buckets; the root path
+    hashes the empty key."""
+    return int(hashlib.md5(_key(path).encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _top_group(path: str) -> int:
     top = path.lstrip("/").split("/", 1)[0]
-    return int(hashlib.md5(top.encode()).hexdigest()[:8], 16) % n_buckets
+    return int(hashlib.md5(top.encode()).hexdigest()[:8], 16) % SUMMARY_GROUPS
 
 
 def _state_dir(mirror_dir: str, version: int) -> str:
@@ -70,13 +98,28 @@ def _bucket_file(state_dir: str, b: int) -> str:
     return os.path.join(state_dir, f"bucket-{b:04d}.parquet")
 
 
-def _load_meta(mirror_dir: str) -> tuple[int, int]:
-    """(last applied version, n_buckets); (-1, N_BUCKETS) if no state."""
+def _load_meta(mirror_dir: str) -> tuple[int, int, dict[int, int]]:
+    """(last applied version, n_buckets, summary) where summary maps
+    bucket id → top-group bitmask (int); (-1, N_BUCKETS, {}) if no
+    state."""
     meta = os.path.join(mirror_dir, META_FILE)
     if not os.path.exists(meta):
-        return -1, N_BUCKETS
+        return -1, N_BUCKETS, {}
     m = json.load(open(meta))
-    return m.get("version", -1), m.get("n_buckets", N_BUCKETS)
+    summary = {
+        int(b): int(bits, 16) if bits else 0
+        for b, bits in m.get("summary", {}).items()
+    }
+    return m.get("version", -1), m.get("n_buckets", N_BUCKETS), summary
+
+
+def _buckets_for_top(path: str, n_buckets: int, summary: dict[int, int]) -> set[int]:
+    """Buckets that may hold paths under depth-1 ``path`` (its summary
+    bit set), plus the path's own bucket. Superset, never a miss."""
+    bit = 1 << _top_group(path)
+    out = {b for b, bits in summary.items() if bits & bit}
+    out.add(_bucket(path, n_buckets))
+    return out
 
 
 def _load_buckets(state_dir: str, bucket_ids, n_buckets: int) -> dict:
@@ -136,10 +179,12 @@ def _save_state(
     version: int,
     n_buckets: int,
     prev_version: int,
+    summary: dict[int, int],
 ) -> None:
     """Publish a new state dir: fresh parquet for the touched buckets,
     hard links (fallback: copies) to the previous state's files for the
-    rest, then an atomic meta swing. Keeps the previous state dir for
+    rest, then an atomic meta swing (version + bucket rule + the
+    per-bucket top-group summary). Keeps the previous state dir for
     in-flight readers and prunes anything older."""
     new_dir = _state_dir(mirror_dir, version)
     tmp_dir = new_dir + f".tmp.{os.getpid()}"
@@ -166,7 +211,19 @@ def _save_state(
         os.replace(tmp_dir, new_dir)
     mtmp = os.path.join(mirror_dir, META_FILE + f".tmp.{os.getpid()}")
     with open(mtmp, "w") as f:
-        json.dump({"version": version, "n_buckets": n_buckets}, f)
+        json.dump(
+            {
+                "version": version,
+                "n_buckets": n_buckets,
+                "bucket_depth": BUCKET_DEPTH,
+                "summary": {
+                    str(b): format(bits, "x")
+                    for b, bits in sorted(summary.items())
+                    if bits
+                },
+            },
+            f,
+        )
     os.replace(mtmp, os.path.join(mirror_dir, META_FILE))
     # prune state dirs older than the previous one, plus tmp dirs left
     # by a crashed fold (folds are serialized by foreachBatch, so any
@@ -213,11 +270,17 @@ def _fold_rows(
     re-apply harmlessly (upserts overwrite, rebuilds rebuild). Loads
     and rewrites ONLY the buckets the batch's paths touch — unless a
     checkpoint marker forces a wholesale rebuild, which is exactly the
-    cost profile of the commit log's own checkpoints."""
+    cost profile of the commit log's own checkpoints.
+
+    Which buckets a row touches: an upsert (or an absent at depth ≥
+    BUCKET_DEPTH, whose whole subtree shares the key prefix) touches
+    exactly its own bucket; a depth-1 absent touches the buckets the
+    top-group summary names (superset, never a miss); an absent of
+    "/" rebuilds everything."""
     if not rows:
         return
     os.makedirs(mirror_dir, exist_ok=True)
-    prev_version, stored_n = _load_meta(mirror_dir)
+    prev_version, stored_n, summary = _load_meta(mirror_dir)
     if prev_version >= 0:
         n_buckets = stored_n  # existing state pins the bucket rule
     by_version: dict[int, list] = {}
@@ -230,12 +293,19 @@ def _fold_rows(
     if has_rebuild:
         touched_ids = set(range(n_buckets))
     else:
-        touched_ids = {
-            _bucket(r["path"], n_buckets)
-            for rs in by_version.values()
-            for r in rs
-            if r["path"] is not None
-        }
+        touched_ids = set()
+        for rs in by_version.values():
+            for r in rs:
+                p = r["path"]
+                if p is None:
+                    continue
+                depth = len([c for c in p.strip("/").split("/") if c])
+                if r["change"] == "absent" and depth == 0:
+                    touched_ids = set(range(n_buckets))  # "/" removed
+                elif r["change"] == "absent" and depth < BUCKET_DEPTH:
+                    touched_ids |= _buckets_for_top(p, n_buckets, summary)
+                else:
+                    touched_ids.add(_bucket(p, n_buckets))
     state = (
         _load_buckets(prev_dir, touched_ids, n_buckets)
         if prev_version >= 0
@@ -253,9 +323,11 @@ def _fold_rows(
             for r in batch:
                 if r["change"] == "absent":
                     gone = r["path"]
-                    # the subtree shares gone's bucket (top-component
-                    # rule), so this scan is bucket-local, not catalog-
-                    # wide
+                    # state holds exactly the touched buckets, which by
+                    # construction cover gone's whole subtree (key-
+                    # prefix sharing for deep absents, summary superset
+                    # for depth-1), so this scan is touched-local, not
+                    # catalog-wide
                     for p in list(state):
                         if p == gone or p.startswith(gone + "/"):
                             del state[p]
@@ -265,7 +337,17 @@ def _fold_rows(
         b = _bucket(p, n_buckets)
         if b in touched:
             touched[b][p] = row
-    _save_state(mirror_dir, touched, last, n_buckets, prev_version)
+    # merge the summary: recompute touched buckets' bitmaps from their
+    # final rows, keep untouched buckets' old bits
+    for b, items in touched.items():
+        bits = 0
+        for p in items:
+            bits |= 1 << _top_group(p)
+        if bits:
+            summary[b] = bits
+        else:
+            summary.pop(b, None)
+    _save_state(mirror_dir, touched, last, n_buckets, prev_version, summary)
 
 
 def start_catalog_mirror(
@@ -309,7 +391,7 @@ def mirror_version(mirror_dir: str) -> int:
 
 def read_mirror(spark, mirror_dir: str):
     """The mirror as a DataFrame (path, is_dir, size, bid)."""
-    version, _ = _load_meta(mirror_dir)
+    version = _load_meta(mirror_dir)[0]
     if version < 0:
         raise FileNotFoundError(f"no mirror state in {mirror_dir}")
     return spark.read.parquet(_state_dir(mirror_dir, version))
