@@ -113,6 +113,16 @@ def _load_meta(mirror_dir: str) -> tuple[int, int, dict[int, int]]:
     return m.get("version", -1), m.get("n_buckets", N_BUCKETS), summary
 
 
+def _stored_bucket_depth(mirror_dir: str) -> int | None:
+    """The bucket-key depth the existing state was written under
+    (None if no state). A pre-round-6 mirror (no field recorded) was
+    depth 1."""
+    meta = os.path.join(mirror_dir, META_FILE)
+    if not os.path.exists(meta):
+        return None
+    return json.load(open(meta)).get("bucket_depth", 1)
+
+
 def _buckets_for_top(path: str, n_buckets: int, summary: dict[int, int]) -> set[int]:
     """Buckets that may hold paths under depth-1 ``path`` (its summary
     bit set), plus the path's own bucket. Superset, never a miss."""
@@ -281,8 +291,16 @@ def _fold_rows(
         return
     os.makedirs(mirror_dir, exist_ok=True)
     prev_version, stored_n, summary = _load_meta(mirror_dir)
+    depth_migration = False
     if prev_version >= 0:
         n_buckets = stored_n  # existing state pins the bucket rule
+        # State written under a DIFFERENT bucket-key depth (e.g. a
+        # pre-round-6 depth-1 mirror) cannot be read bucket-locally —
+        # silently applying the current rule would load/rewrite the
+        # wrong buckets. Migrate wholesale: load EVERY bucket (the
+        # full state is rule-independent) and rewrite all under the
+        # current rule. One catalog-sized fold, then O(changed) again.
+        depth_migration = _stored_bucket_depth(mirror_dir) != BUCKET_DEPTH
     by_version: dict[int, list] = {}
     for r in rows:
         by_version.setdefault(r["version"], []).append(r)
@@ -290,7 +308,7 @@ def _fold_rows(
         r["change"] == "checkpoint" for rs in by_version.values() for r in rs
     )
     prev_dir = _state_dir(mirror_dir, prev_version)
-    if has_rebuild:
+    if has_rebuild or depth_migration:
         touched_ids = set(range(n_buckets))
     else:
         touched_ids = set()
