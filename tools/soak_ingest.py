@@ -1,0 +1,98 @@
+#!/usr/bin/env python
+"""Long-horizon soak of the standing-ingest loop: N micro-batches
+through ``ingest_corpus_batch`` with a tight compaction trigger, so
+compaction fires repeatedly mid-run. The claims this measures:
+
+- per-batch wall stays FLAT as the corpus grows (the loop's core
+  contract: nothing scans the corpus per batch);
+- compaction keeps the index file counts bounded at steady state
+  (sawtooth, not monotone growth);
+- a batch immediately after a compaction folds in correctly (the
+  swap is invisible to the loop).
+
+Prints one JSON line with per-batch walls, accepted counts, file
+counts, and compaction events. Results land in BASELINE.md.
+
+Usage: [SPARK_GRAFT_SF_DIR=...] [SOAK_BATCHES=24] python tools/soak_ingest.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from pufs_spark.operators import dedup, indexes, ingest, text  # noqa: E402
+from pufs_spark.session import get_spark  # noqa: E402
+from pufs_spark.tables import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_BATCHES = int(os.environ.get("SOAK_BATCHES", "24"))
+
+
+def main() -> None:
+    spark = get_spark(app_name="soak_ingest")
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    mod = N_BATCHES + 8
+    corpus = docs.where(F.col("doc_id") % mod >= N_BATCHES).cache()
+    wh = tempfile.mkdtemp(prefix="pufs_soak_")
+    accepted_dir = os.path.join(wh, "accepted")
+    for t in ("soak_nd", "soak_bm", "soak_bm_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup.build_near_dup_index(corpus, "soak_nd", wh + "/nd", rows=4)
+    text.build_bm25_index(corpus, "soak_bm", wh + "/bm")
+
+    def corpus_now():
+        if os.path.isdir(accepted_dir):
+            return corpus.union(
+                spark.read.parquet(accepted_dir).select("doc_id", "text")
+            )
+        return corpus
+
+    walls, accepted, files_nd, files_bm, compactions = [], [], [], [], []
+    for i in range(N_BATCHES):
+        batch = docs.where(F.col("doc_id") % mod == i)
+        t0 = time.time()
+        r = ingest.ingest_corpus_batch(
+            batch, corpus_now(), "soak_nd", "soak_bm", wh + "/bm",
+            rows=4, batch_id=f"s{i}", skip_clean=True,
+            max_files_per_bucket=2,     # tight: compaction fires often
+        )
+        walls.append(round(time.time() - t0, 2))
+        accepted.append(r.n_accepted)
+        if r.n_accepted:
+            r.accepted.write.mode("append").parquet(accepted_dir)
+        files_nd.append(indexes.index_file_count(spark, "soak_nd"))
+        files_bm.append(indexes.index_file_count(spark, "soak_bm"))
+        if r.compacted:
+            compactions.append({"batch": i, "tables": r.compacted})
+        print(
+            f"batch {i}: wall={walls[-1]}s accepted={r.n_accepted} "
+            f"files nd={files_nd[-1]} bm={files_bm[-1]} "
+            f"compacted={r.compacted}",
+            flush=True,
+        )
+    half = N_BATCHES // 2
+    print(json.dumps({
+        "sf_dir": SF_DIR,
+        "batches": N_BATCHES,
+        "walls_s": walls,
+        "mean_wall_first_half_s": round(sum(walls[:half]) / half, 2),
+        "mean_wall_second_half_s": round(sum(walls[half:]) / (N_BATCHES - half), 2),
+        "accepted": accepted,
+        "max_files_nd": max(files_nd),
+        "max_files_bm": max(files_bm),
+        "final_files_nd": files_nd[-1],
+        "final_files_bm": files_bm[-1],
+        "compactions": compactions,
+    }))
+
+
+if __name__ == "__main__":
+    main()
