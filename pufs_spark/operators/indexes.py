@@ -18,9 +18,14 @@ Not concurrent-safe: compaction drops and renames tables; run it from
 the ingest loop at a quiet point (the same discipline as Delta's
 OPTIMIZE). The swap order — write new data to a NEW path, drop the old
 table, rename the new table over the old name, delete the old files —
-means a crash mid-compact loses no data: either the old table is still
-fully live, or the new one is and only the old FILES are orphaned
-(re-deletable by a later compact of the same generation path).
+means a crash mid-compact loses no DATA: the rows always live in at
+least one of the two tables. The NAME, however, has a window: between
+the DROP and the RENAME neither table answers to ``table``, so a crash
+there leaves the rows only under ``<table>__compact``.
+``recover_interrupted_swap`` (called on entry by ``compact_index``,
+``needs_compaction``, and the ingest loop) detects that state — table
+missing, ``__compact`` present — and completes the rename, so a
+restarted service self-heals before touching the index.
 """
 
 from __future__ import annotations
@@ -64,18 +69,65 @@ def _local_path(location: str) -> str | None:
     return None
 
 
+def list_table_files(spark, table: str) -> list[tuple[str, int]]:
+    """(path, size) of every data file backing ``table``, via a
+    Hadoop-FS listing of its location — O(files), no Spark job, no row
+    scan, any scheme the session's Hadoop conf can reach (file:, hdfs:,
+    s3a:, gs:). Hidden/metadata files (``_SUCCESS``, ``.crc``) are
+    excluded; a missing location lists as empty."""
+    loc = table_location(spark, table)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(loc)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    try:
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            f = it.next()
+            name = f.getPath().getName()
+            if name.startswith(("_", ".")):
+                continue
+            out.append((f.getPath().toString(), f.getLen()))
+    except Exception as exc:  # noqa: BLE001 — py4j wraps FileNotFoundException
+        if "FileNotFoundException" in type(exc).__name__ + str(exc):
+            return []
+        raise
+    return out
+
+
+def files_snapshot(spark, table: str) -> tuple[int, str]:
+    """(count, digest) of the table's current data-file listing — the
+    commit-marker probe the incremental index updates use to decide,
+    after a crash, whether a pending postings append LANDED (Spark's
+    job commit is all-or-nothing, so the listing either equals the
+    pre-append snapshot or differs)."""
+    import hashlib
+
+    files = sorted(f"{p}:{n}" for p, n in list_table_files(spark, table))
+    return len(files), hashlib.md5("\n".join(files).encode()).hexdigest()
+
+
 def index_file_count(spark, table: str) -> int:
     """Number of data files backing ``table`` — the compaction signal.
-    Counted via the input_file_name of a metadata-only scan, so it
-    works for any filesystem the session can read."""
-    from pyspark.sql import functions as F
+    A filesystem listing of the table location (O(files) — the very
+    quantity being bounded), NOT a row scan: a standing ingest loop
+    calls this every batch, and an input_file_name() scan would be an
+    O(corpus-rows) job per batch."""
+    return len(list_table_files(spark, table))
 
-    return (
-        spark.table(table)
-        .select(F.input_file_name().alias("f"))
-        .distinct()
-        .count()
-    )
+
+def recover_interrupted_swap(spark, table: str) -> bool:
+    """Complete a ``compact_index`` swap that crashed between the DROP
+    and the RENAME (the one window in which ``table`` doesn't answer to
+    its name): if the table is missing but ``<table>__compact`` exists,
+    rename it into place. Idempotent; returns True iff a recovery
+    happened. Safe to call any time the tables are quiescent — the
+    ingest loop runs it at entry so a restarted service self-heals."""
+    tmp = f"{table}__compact"
+    if not spark.catalog.tableExists(table) and spark.catalog.tableExists(tmp):
+        spark.sql(f"ALTER TABLE {tmp} RENAME TO {table}")
+        return True
+    return False
 
 
 def needs_compaction(spark, table: str, max_files_per_bucket: int = 8) -> bool:
@@ -83,6 +135,7 @@ def needs_compaction(spark, table: str, max_files_per_bucket: int = 8) -> bool:
     ``max_files_per_bucket`` × num_buckets (each clean build/compact
     leaves exactly one file per non-empty bucket, and each incremental
     update appends up to one more per bucket)."""
+    recover_interrupted_swap(spark, table)
     n_buckets, _, _ = _bucket_spec(spark, table)
     return index_file_count(spark, table) > max_files_per_bucket * n_buckets
 
@@ -94,6 +147,7 @@ def compact_index(spark, table: str, new_path: str) -> str:
     is preserved, and the file count drops back to ≤ one per bucket.
     Old files are deleted for local (file:) tables, left for the
     caller otherwise. Returns the new location."""
+    recover_interrupted_swap(spark, table)
     n_buckets, bucket_cols, sort_cols = _bucket_spec(spark, table)
     old_loc = table_location(spark, table)
     tmp_table = f"{table}__compact"

@@ -103,3 +103,82 @@ def test_near_dup_updates_then_compact_equals_fresh_build(
         assert indexes.index_file_count(spark, "nd_ci") <= 8
     finally:
         _drop(spark, "nd_cf", "nd_ci")
+
+
+def test_index_file_count_is_a_listing_not_a_scan(spark, docs, tmp_path_factory):
+    """index_file_count / needs_compaction must never run a row scan
+    over the index (a standing ingest loop calls them every batch):
+    pin that they go through the filesystem listing, not spark.table."""
+    wh = tmp_path_factory.mktemp("idx_listing")
+    _drop(spark, "bm25_ls", "bm25_ls_stats")
+    text.build_bm25_index(docs, "bm25_ls", str(wh / "t"), buckets=8)
+    try:
+        n_listed = indexes.index_file_count(spark, "bm25_ls")
+        n_scanned = (
+            spark.table("bm25_ls")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+        assert n_listed == n_scanned > 0
+
+        real_table = spark.table
+
+        def no_scan(_name):
+            raise AssertionError("index_file_count ran a row scan")
+
+        spark.table = no_scan
+        try:
+            assert indexes.index_file_count(spark, "bm25_ls") == n_listed
+            assert not indexes.needs_compaction(
+                spark, "bm25_ls", max_files_per_bucket=8
+            )
+        finally:
+            spark.table = real_table
+
+        files = indexes.list_table_files(spark, "bm25_ls")
+        assert all(sz > 0 for _p, sz in files)
+        assert not any("_SUCCESS" in p for p, _sz in files)
+    finally:
+        _drop(spark, "bm25_ls", "bm25_ls_stats")
+
+
+def test_recover_interrupted_compaction_swap(spark, docs, tmp_path_factory):
+    """A crash strictly between compact_index's DROP and RENAME leaves
+    the rows only under <table>__compact; recover_interrupted_swap
+    (and therefore needs_compaction / compact_index / the ingest loop,
+    which call it at entry) must complete the rename so the index
+    answers to its name again with identical rows."""
+    wh = tmp_path_factory.mktemp("idx_recover")
+    _drop(spark, "bm25_rc", "bm25_rc_stats", "bm25_rc__compact")
+    text.build_bm25_index(docs, "bm25_rc", str(wh / "t"), buckets=8)
+    try:
+        want = spark.table("bm25_rc").count()
+
+        # Simulate the crash window: the compacted table exists under
+        # the tmp name, the real name has been dropped, rename pending.
+        real_sql = spark.sql
+        boom = {"armed": True}
+
+        def crash_before_rename(q, *a, **kw):
+            if boom["armed"] and q.strip().upper().startswith("ALTER TABLE"):
+                raise RuntimeError("injected crash between DROP and RENAME")
+            return real_sql(q, *a, **kw)
+
+        spark.sql = crash_before_rename
+        try:
+            with pytest.raises(RuntimeError, match="injected crash"):
+                indexes.compact_index(spark, "bm25_rc", str(wh / "t-g1"))
+        finally:
+            spark.sql = real_sql
+        assert not spark.catalog.tableExists("bm25_rc")
+        assert spark.catalog.tableExists("bm25_rc__compact")
+
+        # idempotent self-heal: once true, then a no-op
+        assert indexes.recover_interrupted_swap(spark, "bm25_rc")
+        assert not indexes.recover_interrupted_swap(spark, "bm25_rc")
+        assert spark.table("bm25_rc").count() == want
+        # and the healed table is still compactable / bucket-pruned
+        assert not indexes.needs_compaction(spark, "bm25_rc", 8)
+    finally:
+        _drop(spark, "bm25_rc", "bm25_rc_stats", "bm25_rc__compact")
