@@ -150,7 +150,17 @@ class MirrorStore:
     size) signature survives version bumps for untouched buckets —
     refresh cost after a fold is O(changed buckets), and a lookup or
     non-root listing touches exactly one bucket. Only a root listing
-    or stat() faults in every bucket (once per change)."""
+    or stat() faults in every bucket (once per change).
+
+    Consistency: every query runs against a ``snapshot()`` — version,
+    state dir, bucket count, and top-group summary resolved from ONE
+    meta read — so a fold landing mid-request can't mix versions
+    within one answer, and the ``mirrorVersion`` a response carries is
+    the version its data actually came from. A snapshot stays readable
+    across one subsequent fold (the fold keeps the previous state dir
+    for in-flight readers); a reader slow enough to straddle TWO folds
+    sees its state dir pruned and gets OSError — MirrorService retries
+    once on a fresh snapshot, then reports in-band."""
 
     def __init__(self, mirror_dir: str):
         self.mirror_dir = mirror_dir
@@ -164,13 +174,18 @@ class MirrorStore:
 
         return mirror_version(self.mirror_dir)
 
-    def _state_dir(self) -> str:
+    def snapshot(self) -> "MirrorSnapshot":
+        """A consistent view of the CURRENT state: one meta read pins
+        (version, state dir, n_buckets, summary) for the request's
+        lifetime."""
         from pufs_spark.streaming import mirror as M
 
-        v = M.mirror_version(self.mirror_dir)
+        v, n_buckets, summary = M._load_meta(self.mirror_dir)
         if v < 0:
             raise E.NotFoundError(f"no mirror state in {self.mirror_dir}")
-        return M._state_dir(self.mirror_dir, v)
+        return MirrorSnapshot(
+            self, v, M._state_dir(self.mirror_dir, v), n_buckets, summary
+        )
 
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
         import os as _os
@@ -181,12 +196,17 @@ class MirrorStore:
         try:
             st = _os.stat(f)
         except FileNotFoundError:
-            return {}
+            if not _os.path.isdir(state_dir):
+                raise  # state dir pruned mid-request: retryable, not empty
+            return {}  # empty buckets have no file
         sig = (st.st_ino, st.st_mtime_ns, st.st_size)
         with self._lock:
             hit = self._cache.get(fname)
             if hit is not None and hit[0] == sig:
                 return hit[1]
+        # pq.read_table may still hit FileNotFoundError/OSError if the
+        # dir is pruned between the stat and here — it propagates as
+        # OSError and MirrorService retries against a fresh snapshot.
         t = pq.read_table(f)
         rows = {
             p: (d, s, b)
@@ -201,29 +221,48 @@ class MirrorStore:
             self._cache[fname] = (sig, rows)
         return rows
 
-    def _bucket_for(self, path: str, state_dir: str) -> dict:
+    # -- back-compat conveniences (each resolves a fresh snapshot) ------
+
+    def lookup(self, path: str) -> tuple:
+        return self.snapshot().lookup(path)
+
+    def list_dir(self, path: str) -> list[tuple[str, tuple]]:
+        return self.snapshot().list_dir(path)
+
+    def stat_totals(self) -> dict:
+        return self.snapshot().stat_totals()
+
+
+class MirrorSnapshot:
+    """One request's pinned view over a MirrorStore (see
+    ``MirrorStore.snapshot``). Bucket row caches are shared with the
+    store — the snapshot pins WHICH files are read, the store
+    remembers what they contained."""
+
+    def __init__(self, store: MirrorStore, version: int, state_dir: str,
+                 n_buckets: int, summary: dict[int, int]):
+        self.store = store
+        self.version = version
+        self.state_dir = state_dir
+        self.n_buckets = n_buckets
+        self.summary = summary
+
+    def _bucket_for(self, path: str) -> dict:
         from pufs_spark.streaming import mirror as M
 
-        import json as _json
+        b = M._bucket(path, self.n_buckets)
+        return self.store._bucket_rows(self.state_dir, f"bucket-{b:04d}.parquet")
+
+    def _all_rows(self):
         import os as _os
 
-        meta = _json.load(open(_os.path.join(self.mirror_dir, "mirror_meta.json")))
-        b = M._bucket(path, meta.get("n_buckets", M.N_BUCKETS))
-        return self._bucket_rows(state_dir, f"bucket-{b:04d}.parquet")
-
-    def _all_rows(self, state_dir: str):
-        import os as _os
-
-        for fname in sorted(_os.listdir(state_dir)):
+        for fname in sorted(_os.listdir(self.state_dir)):
             if fname.startswith("bucket-"):
-                yield from self._bucket_rows(state_dir, fname).items()
-
-    # -- queries --------------------------------------------------------
+                yield from self.store._bucket_rows(self.state_dir, fname).items()
 
     def lookup(self, path: str) -> tuple:
         """(is_dir, size, bid) or NotFoundError. One bucket touched."""
-        sd = self._state_dir()
-        row = self._bucket_for(path, sd).get(path)
+        row = self._bucket_for(path).get(path)
         if row is None:
             raise E.NotFoundError(path)
         return row
@@ -236,27 +275,27 @@ class MirrorStore:
         every bucket."""
         from pufs_spark.streaming import mirror as M
 
-        sd = self._state_dir()
         norm = path.rstrip("/") or "/"
         if norm == "/":
-            it = self._all_rows(sd)
+            it = self._all_rows()
         else:
-            if not self._bucket_for(norm, sd).get(norm, (False,))[0]:
+            if not self._bucket_for(norm).get(norm, (False,))[0]:
                 # missing, or a file: same errors the DataStore raises
                 self.lookup(norm)  # raises NotFoundError if absent
                 raise E.NotDirError(norm)
             depth = len([c for c in norm.strip("/").split("/") if c])
             if depth < M.BUCKET_DEPTH:
-                _v, n_buckets, summary = M._load_meta(self.mirror_dir)
                 it = (
                     kv
-                    for b in sorted(M._buckets_for_top(norm, n_buckets, summary))
-                    for kv in self._bucket_rows(
-                        sd, f"bucket-{b:04d}.parquet"
+                    for b in sorted(
+                        M._buckets_for_top(norm, self.n_buckets, self.summary)
+                    )
+                    for kv in self.store._bucket_rows(
+                        self.state_dir, f"bucket-{b:04d}.parquet"
                     ).items()
                 )
             else:
-                it = self._bucket_for(norm, sd).items()
+                it = self._bucket_for(norm).items()
         prefix = "" if norm == "/" else norm
         out = []
         for p, row in it:
@@ -268,9 +307,8 @@ class MirrorStore:
         return sorted(out)
 
     def stat_totals(self) -> dict:
-        sd = self._state_dir()
         nodes = dirs = files = nbytes = 0
-        for _, (is_dir, size, _bid) in self._all_rows(sd):
+        for _, (is_dir, size, _bid) in self._all_rows():
             nodes += 1
             if is_dir:
                 dirs += 1
@@ -316,44 +354,59 @@ class MirrorService:
         }
 
     def handle(self, req: dict) -> dict:
-        try:
-            op = req.get("op")
-            v = self.store.version()
-            if op == "get_dir_contents":
-                entries = [
-                    self._entry(n, r) for n, r in self.store.list_dir(req["path"])
-                ]
-                return {"entries": entries, "errorMsg": "", "mirrorVersion": v}
-            if op == "getattr":
-                is_dir, size, bid = self.store.lookup(req["path"])
-                return {
-                    **self._entry(req["path"].rstrip("/").rpartition("/")[2], (is_dir, size, bid)),
-                    "errorMsg": "",
-                    "mirrorVersion": v,
-                }
-            if op == "resolve":
-                self.store.lookup(req["path"])  # existence check
-                return {"id": 0, "errorMsg": "", "mirrorVersion": v}
-            if op == "read":
-                return self._read(
-                    req["path"], req.get("offset", 0), req.get("length"), v
-                )
-            if op == "stat":
-                return {
-                    **self.store.stat_totals(),
-                    "errorMsg": "",
-                    "mirrorVersion": v,
-                }
-            return {"errorMsg": f"unknown op {op!r}", "mirrorVersion": v}
-        except E.CatalogError as exc:
-            return {"errorMsg": f"{type(exc).__name__}: {exc}"}
-        except KeyError as exc:
-            return {"errorMsg": f"missing field {exc}"}
+        # One snapshot per request: mirrorVersion is the version the
+        # answer's data actually came from, not a value read before the
+        # op ran. A snapshot survives one concurrent fold (previous
+        # state dir is kept); a request slow enough that TWO folds
+        # complete under it gets its state dir pruned → OSError → one
+        # retry on a fresh snapshot, then an in-band errorMsg (the
+        # transport never sees an exception, per the proto contract).
+        for attempt in (0, 1):
+            try:
+                return self._dispatch(req, self.store.snapshot())
+            except E.CatalogError as exc:
+                return {"errorMsg": f"{type(exc).__name__}: {exc}"}
+            except KeyError as exc:
+                return {"errorMsg": f"missing field {exc}"}
+            except OSError as exc:
+                if attempt:
+                    return {"errorMsg": f"{type(exc).__name__}: {exc}"}
 
-    def _read(self, path: str, offset: int, length, v: int) -> dict:
+    def _dispatch(self, req: dict, snap: MirrorSnapshot) -> dict:
+        op = req.get("op")
+        v = snap.version
+        if op == "get_dir_contents":
+            entries = [
+                self._entry(n, r) for n, r in snap.list_dir(req["path"])
+            ]
+            return {"entries": entries, "errorMsg": "", "mirrorVersion": v}
+        if op == "getattr":
+            is_dir, size, bid = snap.lookup(req["path"])
+            return {
+                **self._entry(req["path"].rstrip("/").rpartition("/")[2], (is_dir, size, bid)),
+                "errorMsg": "",
+                "mirrorVersion": v,
+            }
+        if op == "resolve":
+            snap.lookup(req["path"])  # existence check
+            return {"id": 0, "errorMsg": "", "mirrorVersion": v}
+        if op == "read":
+            return self._read(
+                req["path"], req.get("offset", 0), req.get("length"), snap
+            )
+        if op == "stat":
+            return {
+                **snap.stat_totals(),
+                "errorMsg": "",
+                "mirrorVersion": v,
+            }
+        return {"errorMsg": f"unknown op {op!r}", "mirrorVersion": v}
+
+    def _read(self, path: str, offset: int, length, snap: MirrorSnapshot) -> dict:
+        v = snap.version
         if self.cas is None:
             return {"errorMsg": "read not served: no CAS configured"}
-        is_dir, _size, bid = self.store.lookup(path)
+        is_dir, _size, bid = snap.lookup(path)
         if is_dir:
             return {"errorMsg": f"IsADirectoryError: {path}"}
         if not bid:

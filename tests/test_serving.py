@@ -184,3 +184,92 @@ def test_mirror_service_parity_and_staleness(mirror_served, tmp_path):
     # stat totals span the whole mirror
     st = client.call(op="stat")
     assert st["files"] == 3 and st["dirs"] == 3    # /, /docs, /docs/sub
+
+
+@pytest.fixture()
+def mirror_inproc(spark, tmp_path):
+    """A mirrored catalog plus an IN-PROCESS MirrorService (no TCP) so
+    tests can hold a snapshot across folds and poison state dirs."""
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.streaming import mirror as M
+
+    root = str(tmp_path / "cat")
+    mdir = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "docs")
+    w.add_immutable_bytes(d, "a.txt", b"alpha contents")
+    log.commit(w)
+
+    def refresh():
+        q = M.start_catalog_mirror(spark, root, mdir, ckpt)
+        q.awaitTermination(120)
+
+    refresh()
+    store = serving.MirrorStore(mdir)
+    return w, log, refresh, store, serving.MirrorService(store)
+
+
+def test_mirror_snapshot_pins_version_and_data(mirror_inproc):
+    """ADVICE r6: a fold landing mid-request must not serve v+1 data
+    tagged mirrorVersion v. The snapshot resolves (version, state dir,
+    meta) once, so an in-flight request keeps answering from ITS
+    version even after the mirror advances."""
+    w, log, refresh, store, svc = mirror_inproc
+    snap = store.snapshot()
+    v0 = snap.version
+
+    # a commit + fold lands while the request is in flight
+    d = w.resolve_path("/docs")
+    w.add_immutable_bytes(d, "late.txt", b"late")
+    log.commit(w)
+    refresh()
+    assert store.snapshot().version == v0 + 1
+
+    resp = svc._dispatch({"op": "get_dir_contents", "path": "/docs"}, snap)
+    names = {e["name"] for e in resp["entries"]}
+    assert resp["mirrorVersion"] == v0 and "late.txt" not in names
+    # a fresh request sees the new version, consistently tagged
+    resp2 = svc.handle({"op": "get_dir_contents", "path": "/docs"})
+    assert resp2["mirrorVersion"] == v0 + 1
+    assert "late.txt" in {e["name"] for e in resp2["entries"]}
+
+
+def test_mirror_pruned_state_retries_then_errors_in_band(
+    mirror_inproc, tmp_path
+):
+    """ADVICE r6: a state dir pruned under a slow reader (two folds
+    completing mid-request) must not kill the connection handler.
+    First failure retries once on a fresh snapshot; persistent failure
+    comes back as an in-band errorMsg, and the handler keeps serving."""
+    w, log, refresh, store, svc = mirror_inproc
+    gone = str(tmp_path / "pruned-away")
+    real_snapshot = store.snapshot
+    calls = {"n": 0, "poison": 1}
+
+    def flaky_snapshot():
+        s = real_snapshot()
+        calls["n"] += 1
+        if calls["n"] <= calls["poison"]:
+            s.state_dir = gone  # simulate pruning after resolution
+        return s
+
+    store.snapshot = flaky_snapshot
+    try:
+        # one poisoned resolution: retried transparently
+        resp = svc.handle({"op": "get_dir_contents", "path": "/docs"})
+        assert resp["errorMsg"] == "" and calls["n"] == 2
+
+        # lookups go through the single-bucket path — same retry
+        calls["n"], calls["poison"] = 0, 1
+        resp = svc.handle({"op": "getattr", "path": "/docs/a.txt"})
+        assert resp["errorMsg"] == "" and resp["size"] == 14
+
+        # persistently gone: in-band error, no exception escapes
+        calls["n"], calls["poison"] = 0, 10**9
+        resp = svc.handle({"op": "stat"})
+        assert "FileNotFoundError" in resp["errorMsg"]
+    finally:
+        store.snapshot = real_snapshot
+    # and the service still answers afterwards
+    assert svc.handle({"op": "stat"})["errorMsg"] == ""
