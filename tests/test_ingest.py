@@ -34,7 +34,8 @@ def _copies(df, id_shift, n):
 
 
 def _drop(spark):
-    for t in (ND, BM, f"{BM}_stats", "ing_ref", "ing_ref_stats"):
+    for t in (ND, f"{ND}_meta", BM, f"{BM}_stats", "ing_ref",
+              "ing_ref_stats", "ing_ref_meta"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 

@@ -25,7 +25,7 @@ ND, BM = "sing_nd", "sing_bm"
 
 
 def _drop(spark):
-    for t in (ND, BM, f"{BM}_stats"):
+    for t in (ND, f"{ND}_meta", BM, f"{BM}_stats"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
