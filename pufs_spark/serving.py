@@ -180,12 +180,10 @@ class MirrorStore:
         lifetime."""
         from pufs_spark.streaming import mirror as M
 
-        v, n_buckets, summary = M._load_meta(self.mirror_dir)
+        v, state_dir, n_buckets, summary = M._resolve_state(self.mirror_dir)
         if v < 0:
             raise E.NotFoundError(f"no mirror state in {self.mirror_dir}")
-        return MirrorSnapshot(
-            self, v, M._state_dir(self.mirror_dir, v), n_buckets, summary
-        )
+        return MirrorSnapshot(self, v, state_dir, n_buckets, summary)
 
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
         import os as _os

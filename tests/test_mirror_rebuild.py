@@ -1,0 +1,230 @@
+"""The mirror's wholesale arms, distributed (r6 verdict tasks 1+6):
+
+- the Spark bucket/top-group expressions must agree with the Python
+  rule on every path shape (they define bucket membership for the
+  executor-side writer AND the driver-side delta fold — drift would
+  corrupt the mirror silently);
+- a checkpoint fold must run WITHOUT materializing the catalog in a
+  driver dict (the r6 verdict's last driver-memory ceiling) and
+  produce a state identical to the driver-dict fallback;
+- a catalog that outgrows its bucket count must re-bucket once
+  (size-triggered, executor-side, same commit version) and then be
+  O(changed) again at the new count.
+"""
+
+import os
+
+import pytest
+
+from pufs_spark.catalog.datastore import ROOT_INODE
+from pufs_spark.streaming import mirror as M
+
+
+def _mk_catalog(tmp_path, n_top=8, n_sub=12):
+    from pufs_spark.catalog import commitlog as CL
+
+    root = str(tmp_path / "cat")
+    w, log = CL.open_log(root)
+    for i in range(n_top):
+        d = w.mkdir(ROOT_INODE, f"top{i}")
+        for j in range(n_sub):
+            w.add_immutable_bytes(d, f"f{j}", b"x" * (j + 1))
+    log.commit(w)  # v0: checkpoint
+    return root, w, log
+
+
+def _refresh(spark, root, mdir, ckpt, **kw):
+    q = M.start_catalog_mirror(spark, root, mdir, ckpt, **kw)
+    q.awaitTermination(120)
+
+
+def test_bucket_exprs_match_python_rule(spark):
+    paths = [
+        "/", "/a", "/a/b", "/a/b/c", "/a/b/c/d/e", "/top0/f3",
+        "/x" * 30, "/single", "/a b/c d", "/データ/ファイル/深い",
+        "/.hidden/x", "/-/-", "/0/1/2/3",
+    ]
+    for n_buckets in (4, 64, 256):
+        df = spark.createDataFrame([(p,) for p in paths], "path string")
+        got = {
+            r["path"]: (r["b"], r["g"])
+            for r in df.select(
+                "path",
+                M._bucket_expr(n_buckets).alias("b"),
+                M._top_group_expr().alias("g"),
+            ).collect()
+        }
+        for p in paths:
+            assert got[p] == (M._bucket(p, n_buckets), M._top_group(p)), (
+                p, n_buckets, got[p],
+            )
+
+
+def test_checkpoint_rebuild_runs_distributed_and_matches_driver_arm(
+    spark, tmp_path, monkeypatch
+):
+    root, w, log = _mk_catalog(tmp_path)
+    mdir_d = str(tmp_path / "mirror_dist")
+    mdir_p = str(tmp_path / "mirror_py")
+
+    # driver-arm reference fold (no spark): the dict fallback
+    from pufs_spark.sources.datasource import CDC_SCHEMA, PufsCommitsStreamReader
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+    rdr = PufsCommitsStreamReader({"root": root})
+    rows = [
+        dict(zip(fields, t))
+        for t in rdr.readBetweenOffsets({"version": 0}, {"version": 1})
+    ]
+    M._fold_rows(root, mdir_p, rows, spark=None)
+
+    # distributed fold: the driver dict must NEVER build, and the
+    # delta loader must never be asked for every bucket
+    def no_dict(*a, **kw):
+        raise AssertionError("checkpoint fold built the driver dict")
+
+    real_load = M._load_buckets
+    loads = []
+
+    def counted_load(state_dir, bucket_ids, n_buckets):
+        loads.append(len(set(bucket_ids)))
+        return real_load(state_dir, bucket_ids, n_buckets)
+
+    monkeypatch.setattr(M, "_rebuild_state", no_dict)
+    monkeypatch.setattr(M, "_load_buckets", counted_load)
+    _refresh(spark, root, mdir_d, str(tmp_path / "ckpt"))
+    assert all(n < M.N_BUCKETS for n in loads), loads
+
+    # state equivalence: same rows, same per-bucket files, same summary
+    def state(mdir):
+        _v, sd, _n, summary = M._resolve_state(mdir)
+        per_bucket = {
+            f: sorted(
+                M._load_buckets(sd, [int(f[7:11])], M.N_BUCKETS).items()
+            )
+            for f in os.listdir(sd)
+            if f.startswith("bucket-")
+        }
+        return per_bucket, summary
+
+    got, got_sum = state(mdir_d)
+    want, want_sum = state(mdir_p)
+    assert got == want and got_sum == want_sum
+    assert M.mirror_version(mdir_d) == M.mirror_version(mdir_p) == 0
+
+    # and a delta folds on top of the distributed-built state
+    t0 = w.resolve_path("/top0")
+    w.add_immutable_bytes(t0, "after", b"delta")
+    log.commit(w)
+    _refresh(spark, root, mdir_d, str(tmp_path / "ckpt"))
+    mirror_paths = {
+        r["path"] for r in M.read_mirror(spark, mdir_d).collect()
+    }
+    assert "/top0/after" in mirror_paths
+    assert len(mirror_paths) == 1 + 8 + 8 * 12 + 1
+
+
+def test_checkpoint_with_trailing_deltas_in_one_batch(spark, tmp_path):
+    """A single micro-batch holding [checkpoint v0, delta v1, delta v2]
+    must rebuild at v0 distributed and fold v1/v2 bucket-locally on
+    top — the recursion seam."""
+    root, w, log = _mk_catalog(tmp_path, n_top=3, n_sub=4)
+    t0 = w.resolve_path("/top0")
+    w.add_immutable_bytes(t0, "d1", b"1")
+    log.commit(w)  # v1 delta
+    w.remove(w.resolve_path("/top1"), "f0")
+    log.commit(w)  # v2 delta
+    mdir = str(tmp_path / "mirror")
+    _refresh(spark, root, mdir, str(tmp_path / "ckpt"))
+    paths = {r["path"] for r in M.read_mirror(spark, mdir).collect()}
+    assert "/top0/d1" in paths and "/top1/f0" not in paths
+    assert M.mirror_version(mdir) == 2
+
+
+def test_rebucket_migration_then_o_changed_at_new_count(spark, tmp_path):
+    root, w, log = _mk_catalog(tmp_path, n_top=16, n_sub=24)
+    mdir = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    # initial mirror at a deliberately small bucket count, no trigger
+    _refresh(spark, root, mdir, ckpt, n_buckets=4)
+    v, sd, n, _ = M._resolve_state(mdir)
+    assert n == 4
+    total = sum(
+        os.path.getsize(os.path.join(sd, f))
+        for f in os.listdir(sd)
+        if f.startswith("bucket-")
+    )
+
+    # threshold the 4-bucket state exceeds but the 16-bucket state
+    # won't: just under total/4 (post-migration bytes grow only by
+    # per-file parquet overhead, far below the 4× headroom)
+    thr = total // 4 - 1
+    assert M.maybe_rebucket(spark, mdir, max_bucket_bytes=thr) == 16
+    v2, sd2, n2, _ = M._resolve_state(mdir)
+    assert (v2, n2) == (v, 16) and sd2 != sd
+    assert os.path.basename(sd2).endswith("r16")
+    # once: the trigger must not fire again at the new count
+    assert M.maybe_rebucket(spark, mdir, max_bucket_bytes=thr) is None
+
+    # readers resolve the re-bucketed state through the meta pointer
+    from pufs_spark import serving
+
+    snap = serving.MirrorStore(mdir).snapshot()
+    assert snap.n_buckets == 16 and snap.version == v
+    assert snap.lookup("/top3/f5") == (False, 6, snap.lookup("/top3/f5")[2])
+    assert {n_ for n_, _ in snap.list_dir("/top2")} == {
+        f"f{j}" for j in range(24)
+    }
+
+    # a 1-path delta at the new count rewrites ≤3 buckets, links the rest
+    prev_inodes = {
+        f: os.stat(os.path.join(sd2, f)).st_ino for f in os.listdir(sd2)
+    }
+    t0 = w.resolve_path("/top0")
+    w.add_immutable_bytes(t0, "post_migration", b"delta")
+    log.commit(w)
+    _refresh(spark, root, mdir, ckpt, max_bucket_bytes=thr)
+    _v3, sd3, n3, _ = M._resolve_state(mdir)
+    assert n3 == 16  # the migrated count is pinned in meta
+    fresh = [
+        f
+        for f in os.listdir(sd3)
+        if os.stat(os.path.join(sd3, f)).st_ino != prev_inodes.get(f)
+    ]
+    assert len(fresh) <= 3, fresh
+    paths = {r["path"] for r in M.read_mirror(spark, mdir).collect()}
+    assert "/top0/post_migration" in paths
+    assert len(paths) == 1 + 16 + 16 * 24 + 1
+
+    # old pre-migration dir is pruned by now; only current+prev remain
+    states = [d for d in os.listdir(mdir) if d.startswith("state-")]
+    assert len(states) <= 2
+
+
+def test_mirror_equals_materialize_after_rebucket(spark, tmp_path):
+    """The chaos invariant, across a migration: mirror ≡ materialize
+    at rest, before and after a re-bucket."""
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.catalog.datastore import DataStore
+
+    root, w, log = _mk_catalog(tmp_path, n_top=6, n_sub=8)
+    mdir = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    _refresh(spark, root, mdir, ckpt, n_buckets=4)
+    assert M.maybe_rebucket(spark, mdir, max_bucket_bytes=1) == 16
+
+    log2 = CL.CommitLog(root)
+    store = DataStore.load(root, catalog_file=log2.materialize(0))
+    want = set()
+
+    def visit(inode, base):
+        for name, child in store.get_dir_contents(inode):
+            p = (base if base != "/" else "") + "/" + name
+            want.add(p)
+            if store.get_node(child).is_dir:
+                visit(child, p)
+
+    visit(ROOT_INODE, "/")
+    want.add("/")
+    got = {r["path"] for r in M.read_mirror(spark, mdir).collect()}
+    assert got == want
