@@ -38,6 +38,22 @@ import threading
 from pufs_spark.catalog import errors as E
 from pufs_spark.catalog.datastore import DataStore
 
+try:
+    # stdlib json spends ~0.8ms encoding a 300-entry listing — with it,
+    # serialization dominated the measured request latency (bench_
+    # serving). orjson is ~10× faster; import-gated, stdlib fallback.
+    import orjson as _oj
+
+    def _dumps(obj) -> bytes:
+        return _oj.dumps(obj)
+
+    _loads = _oj.loads
+except ImportError:  # pragma: no cover — container has orjson
+    def _dumps(obj) -> bytes:
+        return json.dumps(obj).encode()
+
+    _loads = json.loads
+
 
 def _entry_dict(e, region_stats=None) -> dict:
     """DirEntry -> proto Entry field names (api/api.proto:10-24)."""
@@ -164,7 +180,12 @@ class MirrorStore:
 
     def __init__(self, mirror_dir: str):
         self.mirror_dir = mirror_dir
-        self._cache: dict[str, tuple[tuple, dict]] = {}  # file → (sig, rows)
+        # file → (sig, rows, kids): rows is path → (is_dir, size, bid);
+        # kids is parent-path → [(name, row)] so a listing reads its
+        # result directly instead of scanning every row in the bucket
+        # (measured: depth-1 listings were 16ms/bucket-scan at 20k
+        # inodes and serialized everything else behind the GIL).
+        self._cache: dict[str, tuple[tuple, dict, dict]] = {}
         self._lock = threading.Lock()
 
     # -- state access ---------------------------------------------------
@@ -185,7 +206,7 @@ class MirrorStore:
             raise E.NotFoundError(f"no mirror state in {self.mirror_dir}")
         return MirrorSnapshot(self, v, state_dir, n_buckets, summary)
 
-    def _bucket_rows(self, state_dir: str, fname: str) -> dict:
+    def _bucket_entry(self, state_dir: str, fname: str) -> tuple[dict, dict]:
         import os as _os
 
         import pyarrow.parquet as pq
@@ -196,28 +217,35 @@ class MirrorStore:
         except FileNotFoundError:
             if not _os.path.isdir(state_dir):
                 raise  # state dir pruned mid-request: retryable, not empty
-            return {}  # empty buckets have no file
+            return {}, {}  # empty buckets have no file
         sig = (st.st_ino, st.st_mtime_ns, st.st_size)
         with self._lock:
             hit = self._cache.get(fname)
             if hit is not None and hit[0] == sig:
-                return hit[1]
+                return hit[1], hit[2]
         # pq.read_table may still hit FileNotFoundError/OSError if the
         # dir is pruned between the stat and here — it propagates as
         # OSError and MirrorService retries against a fresh snapshot.
         t = pq.read_table(f)
-        rows = {
-            p: (d, s, b)
-            for p, d, s, b in zip(
-                t["path"].to_pylist(),
-                t["is_dir"].to_pylist(),
-                t["size"].to_pylist(),
-                t["bid"].to_pylist(),
-            )
-        }
+        rows: dict = {}
+        kids: dict = {}
+        for p, d, s, b in zip(
+            t["path"].to_pylist(),
+            t["is_dir"].to_pylist(),
+            t["size"].to_pylist(),
+            t["bid"].to_pylist(),
+        ):
+            row = (d, s, b)
+            rows[p] = row
+            if p != "/":
+                parent, _, name = p.rpartition("/")
+                kids.setdefault(parent or "/", []).append((name, row))
         with self._lock:
-            self._cache[fname] = (sig, rows)
-        return rows
+            self._cache[fname] = (sig, rows, kids)
+        return rows, kids
+
+    def _bucket_rows(self, state_dir: str, fname: str) -> dict:
+        return self._bucket_entry(state_dir, fname)[0]
 
     # -- back-compat conveniences (each resolves a fresh snapshot) ------
 
@@ -267,15 +295,22 @@ class MirrorSnapshot:
 
     def list_dir(self, path: str) -> list[tuple[str, tuple]]:
         """[(name, (is_dir, size, bid))] for the directory's direct
-        children. A dir at depth ≥ BUCKET_DEPTH lists from ONE bucket
-        (the subtree shares its key prefix); a depth-1 dir lists from
-        the buckets its top-group summary names; only the root walks
-        every bucket."""
+        children, read from the per-bucket children index (O(result),
+        no row scan). A dir at depth ≥ BUCKET_DEPTH lists from ONE
+        bucket (the subtree shares its key prefix); a depth-1 dir lists
+        from the buckets its top-group summary names; only the root
+        consults every bucket."""
+        import os as _os
+
         from pufs_spark.streaming import mirror as M
 
         norm = path.rstrip("/") or "/"
         if norm == "/":
-            it = self._all_rows()
+            buckets = [
+                f
+                for f in sorted(_os.listdir(self.state_dir))
+                if f.startswith("bucket-")
+            ]
         else:
             if not self._bucket_for(norm).get(norm, (False,))[0]:
                 # missing, or a file: same errors the DataStore raises
@@ -283,25 +318,20 @@ class MirrorSnapshot:
                 raise E.NotDirError(norm)
             depth = len([c for c in norm.strip("/").split("/") if c])
             if depth < M.BUCKET_DEPTH:
-                it = (
-                    kv
+                buckets = [
+                    f"bucket-{b:04d}.parquet"
                     for b in sorted(
                         M._buckets_for_top(norm, self.n_buckets, self.summary)
                     )
-                    for kv in self.store._bucket_rows(
-                        self.state_dir, f"bucket-{b:04d}.parquet"
-                    ).items()
-                )
+                ]
             else:
-                it = self._bucket_for(norm).items()
-        prefix = "" if norm == "/" else norm
-        out = []
-        for p, row in it:
-            if not p.startswith(prefix + "/"):
-                continue
-            name = p[len(prefix) + 1:]
-            if name and "/" not in name:  # "" is the dir's own row
-                out.append((name, row))
+                buckets = [
+                    f"bucket-{M._bucket(norm, self.n_buckets):04d}.parquet"
+                ]
+        out: list[tuple[str, tuple]] = []
+        for fname in buckets:
+            _rows, kids = self.store._bucket_entry(self.state_dir, fname)
+            out.extend(kids.get(norm, ()))
         return sorted(out)
 
     def stat_totals(self) -> dict:
@@ -424,18 +454,23 @@ class MirrorService:
 
 
 class _Handler(socketserver.StreamRequestHandler):
+    # request/response pairs are single small writes each way — without
+    # this, Nagle + delayed-ACK adds ~10-40ms per round trip (measured:
+    # ~10ms p50 at 4 clients vs sub-ms with it off)
+    disable_nagle_algorithm = True
+
     def handle(self):  # one connection, many requests (like a channel)
         while True:
             line = self.rfile.readline()
             if not line:
                 return
             try:
-                req = json.loads(line)
-            except json.JSONDecodeError as exc:
+                req = _loads(line)
+            except ValueError as exc:
                 resp = {"errorMsg": f"bad request: {exc}"}
             else:
                 resp = self.server.service.handle(req)
-            self.wfile.write(json.dumps(resp).encode() + b"\n")
+            self.wfile.write(_dumps(resp) + b"\n")
             self.wfile.flush()
 
 
@@ -481,11 +516,12 @@ class PufsClient:
 
     def __init__(self, host: str, port: int, timeout: float = 10.0):
         self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self.rfile = self.sock.makefile("rb")
 
     def call(self, **req) -> dict:
-        self.sock.sendall(json.dumps(req).encode() + b"\n")
-        return json.loads(self.rfile.readline())
+        self.sock.sendall(_dumps(req) + b"\n")
+        return _loads(self.rfile.readline())
 
     def get_dir_contents(self, path: str) -> dict:
         return self.call(op="get_dir_contents", path=path)

@@ -1,0 +1,192 @@
+#!/usr/bin/env python
+"""Mirror-backed serving under live folds (r6 verdict task 5): the
+read-path-decoupling claim, measured. A writer thread commits deltas
+and folds the streaming mirror continuously while N client threads
+hammer the TCP service (``serve_mirror``); we record throughput,
+latency percentiles, and the staleness bound (how many commit-log
+versions behind each answer was, from its ``mirrorVersion`` tag vs
+the committed-version timeline).
+
+Two phases per catalog size: QUIESCENT (no writer — the ceiling) and
+LIVE (folds landing mid-traffic — the decoupling claim). Prints one
+JSON line; results land in BASELINE.md.
+
+Usage: [BENCH_INODES=20000] [BENCH_SECONDS=10] [BENCH_CLIENTS=4]
+       python tools/bench_serving.py
+"""
+
+from __future__ import annotations
+
+import bisect
+import json
+import os
+import random
+import sys
+import threading
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import tempfile  # noqa: E402
+
+from pufs_spark import serving  # noqa: E402
+from pufs_spark.catalog import commitlog as CL  # noqa: E402
+from pufs_spark.catalog.datastore import ROOT_INODE  # noqa: E402
+from pufs_spark.session import get_spark  # noqa: E402
+from pufs_spark.streaming import mirror as M  # noqa: E402
+
+N_INODES = int(os.environ.get("BENCH_INODES", "20000"))
+SECONDS = float(os.environ.get("BENCH_SECONDS", "10"))
+N_CLIENTS = int(os.environ.get("BENCH_CLIENTS", "4"))
+
+
+def build_catalog(root: str, n_inodes: int) -> tuple:
+    """~n_inodes catalog: sqrt-ish fanout (top dirs × files)."""
+    n_top = max(8, int(n_inodes ** 0.5 // 2))
+    n_files = max(1, n_inodes // n_top - 1)
+    w, log = CL.open_log(root)
+    for i in range(n_top):
+        d = w.mkdir(ROOT_INODE, f"dir{i:05d}")
+        for j in range(n_files):
+            w.add_immutable_bytes(d, f"f{j:05d}", b"x" * (1 + (i + j) % 64))
+    log.commit(w)
+    return w, log, n_top, n_files
+
+
+def client_worker(port: int, seed: int, seconds: float, paths: list[str],
+                  dirs: list[str], q) -> None:
+    """Runs in its OWN process — clients must not share the server's
+    GIL, or the bench measures client/server interpreter contention
+    instead of service latency."""
+    c = serving.PufsClient("127.0.0.1", port, timeout=30.0)
+    rng = random.Random(seed)
+    out = []
+    deadline = time.monotonic() + seconds
+    while time.monotonic() < deadline:
+        r = rng.random()
+        t0 = time.monotonic()
+        if r < 0.8:
+            op = "getattr"
+            resp = c.call(op=op, path=rng.choice(paths))
+        else:
+            # a depth-1 dir listing is the expensive op by design: its
+            # children spread across buckets (depth-2 key rule)
+            op = "list"
+            resp = c.call(op="get_dir_contents", path=rng.choice(dirs))
+        dt = time.monotonic() - t0
+        assert resp.get("errorMsg", "") == "", resp
+        out.append((time.monotonic(), dt, resp.get("mirrorVersion", -1), op))
+    c.close()
+    q.put(out)
+
+
+def run_phase(port: int, paths, dirs, seconds: float,
+              writer=None) -> tuple[list, list]:
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=client_worker,
+                    args=(port, 1000 + i, seconds, paths, dirs, q))
+        for i in range(N_CLIENTS)
+    ]
+    stop = threading.Event()
+    timeline: list[tuple[float, int]] = []
+    wt = None
+    if writer is not None:
+        wt = threading.Thread(target=writer, args=(stop, timeline))
+    for p in procs:
+        p.start()
+    if wt:
+        wt.start()
+    samples = []
+    for _ in procs:
+        samples.extend(q.get())
+    for p in procs:
+        p.join()
+    stop.set()
+    if wt:
+        wt.join()
+    return samples, timeline
+
+
+def summarize(samples: list, timeline: list, seconds: float) -> dict:
+    def pcts(lats):
+        lats = sorted(lats)
+
+        def pct(p):
+            return round(
+                lats[min(len(lats) - 1, int(p * len(lats)))] * 1000, 3
+            )
+
+        return {"p50_ms": pct(0.50), "p99_ms": pct(0.99)}
+
+    out = {
+        "requests": len(samples),
+        "qps": round(len(samples) / seconds, 1),
+        **pcts([dt for _, dt, _, _ in samples]),
+        "getattr": pcts([dt for _, dt, _, op in samples if op == "getattr"]),
+        "list": pcts([dt for _, dt, _, op in samples if op == "list"]),
+    }
+    if timeline:
+        # staleness of each answer = committed version at response time
+        # minus the mirrorVersion the answer carried
+        times = [t for t, _v in timeline]
+        vers = [v for _t, v in timeline]
+        worst = 0
+        for t, _dt, mv, _op in samples:
+            i = bisect.bisect_right(times, t) - 1
+            if i >= 0:
+                worst = max(worst, vers[i] - mv)
+        out["max_staleness_versions"] = worst
+        out["folds"] = len(timeline)
+    return out
+
+
+def main() -> None:
+    spark = get_spark(app_name="bench_serving")
+    out: dict = {"inodes": N_INODES, "clients": N_CLIENTS,
+                 "seconds": SECONDS}
+    with tempfile.TemporaryDirectory() as tmp:
+        root = os.path.join(tmp, "cat")
+        mdir = os.path.join(tmp, "mirror")
+        ckpt = os.path.join(tmp, "ckpt")
+        t0 = time.monotonic()
+        w, log, n_top, n_files = build_catalog(root, N_INODES)
+        out["build_s"] = round(time.monotonic() - t0, 2)
+        t0 = time.monotonic()
+        q = M.start_catalog_mirror(spark, root, mdir, ckpt)
+        q.awaitTermination(600)
+        out["initial_fold_s"] = round(time.monotonic() - t0, 2)
+
+        dirs = [f"/dir{i:05d}" for i in range(n_top)]
+        rng = random.Random(7)
+        paths = [
+            f"/dir{rng.randrange(n_top):05d}/f{rng.randrange(n_files):05d}"
+            for _ in range(2000)
+        ]
+        server, port = serving.serve_mirror(mdir)
+
+        samples, _ = run_phase(port, paths, dirs, SECONDS)
+        out["quiescent"] = summarize(samples, [], SECONDS)
+
+        def writer(stop: threading.Event, timeline: list) -> None:
+            i = 0
+            while not stop.is_set():
+                d = w.resolve_path(f"/dir{i % n_top:05d}")
+                w.add_immutable_bytes(d, f"live{i:06d}", b"y" * 16)
+                log.commit(w)
+                qq = M.start_catalog_mirror(spark, root, mdir, ckpt)
+                qq.awaitTermination(120)
+                timeline.append((time.monotonic(), log.current_version()))
+                i += 1
+
+        samples, timeline = run_phase(port, paths, dirs, SECONDS, writer)
+        out["live"] = summarize(samples, timeline, SECONDS)
+        server.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
