@@ -1721,6 +1721,35 @@ def oracle_sql() -> dict[str, str]:
         "for i in range(1, greatest(length(text) - 3, 1))])"
     )
 
+    # Exact near-dup pairs WITHOUT the all-pairs list_intersect join:
+    # |a∩b| comes from a token equi-join + hash aggregate over the
+    # inverted index (DuckDB's strength), |a∪b| from the per-doc
+    # distinct counts. Same result set as the naive quadratic form
+    # (equivalence pinned in tests/test_oracle_rewrites.py); runtime
+    # 29s→0.6s at sf0.01 and makes the sf0.1 selfcheck feasible at all
+    # (the r6 verdict's 3 oracle skips) — the old form never finished
+    # there. Tokens are remapped to dense ints first so the 769M-row
+    # join at sf0.1 probes ints, not 5-char strings.
+    ov_pairs = f"""
+        WITH d AS MATERIALIZED (SELECT doc_id, {shingles} AS sh FROM documents),
+        nn AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
+        tok AS MATERIALIZED (
+          SELECT t.doc_id, f.tid
+          FROM (SELECT doc_id, unnest(sh) AS tok FROM d) t
+          JOIN (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+                FROM (SELECT DISTINCT unnest(sh) AS tok FROM d)) f USING (tok)),
+        ov AS (
+          SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
+          FROM tok p JOIN tok q ON p.tid = q.tid AND p.doc_id < q.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT ov.a, ov.b,
+                 inter::DOUBLE / (na.n + nb.n - inter) AS jaccard
+          FROM ov JOIN nn na ON na.doc_id = ov.a
+                  JOIN nn nb ON nb.doc_id = ov.b
+          WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.7)
+    """
+
     return {
         "P1_child_lookup": WITH_FS
         + " SELECT inode FROM fs_nodes WHERE parent = 2 AND name = 'NATION_0'",
@@ -1963,23 +1992,26 @@ def oracle_sql() -> dict[str, str]:
               FROM documents)
             SELECT sha256(nt) AS fp, min(doc_id) AS doc_id, count(*) AS dup_count
             FROM norm GROUP BY sha256(nt)""",
-        "D1_minhash_lsh_neardup": f"""
-            WITH d AS (SELECT doc_id, {shingles} AS sh FROM documents)
-            SELECT a.doc_id AS a, b.doc_id AS b,
-                   len(list_intersect(a.sh, b.sh))::DOUBLE
-                   / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-            FROM d a JOIN d b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""",
+        "D1_minhash_lsh_neardup": ov_pairs
+        + "SELECT a, b, jaccard FROM pairs",
         "D3_cross_corpus_neardup": f"""
-            WITH n AS (SELECT doc_id, {shingles} AS sh FROM documents WHERE doc_id < 100),
-                 c AS (SELECT doc_id, {shingles} AS sh FROM documents WHERE doc_id >= 100)
-            SELECT n.doc_id AS a, c.doc_id AS b,
-                   len(list_intersect(n.sh, c.sh))::DOUBLE
-                   / len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard
-            FROM n JOIN c ON TRUE
-            WHERE len(list_intersect(n.sh, c.sh))::DOUBLE
-                  / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.7""",
+            WITH d AS MATERIALIZED (SELECT doc_id, {shingles} AS sh FROM documents),
+            nn AS MATERIALIZED (SELECT doc_id, len(sh) AS n FROM d),
+            tok AS MATERIALIZED (
+              SELECT t.doc_id, f.tid
+              FROM (SELECT doc_id, unnest(sh) AS tok FROM d) t
+              JOIN (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+                    FROM (SELECT DISTINCT unnest(sh) AS tok FROM d)) f USING (tok)),
+            ov AS (
+              SELECT p.doc_id AS a, q.doc_id AS b, count(*) AS inter
+              FROM tok p JOIN tok q ON p.tid = q.tid
+              WHERE p.doc_id < 100 AND q.doc_id >= 100
+              GROUP BY 1, 2)
+            SELECT ov.a, ov.b,
+                   inter::DOUBLE / (na.n + nb.n - inter) AS jaccard
+            FROM ov JOIN nn na ON na.doc_id = ov.a
+                    JOIN nn nb ON nb.doc_id = ov.b
+            WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.7""",
         "T10_eval_contamination": """
             WITH tok AS (
               SELECT doc_id,
@@ -2089,14 +2121,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT '/n_' || CAST(key AS VARCHAR) || '/f' || CAST(j AS VARCHAR),
                    'added', FALSE, 1::BIGINT
             FROM later, LATERAL unnest(range(files)) AS t(j)""",
-        "X4_neardup_groups": f"""
-            WITH RECURSIVE d AS (SELECT doc_id, {shingles} AS sh FROM documents),
-            p AS (
-              SELECT a.doc_id AS a, b.doc_id AS b
-              FROM d a JOIN d b ON a.doc_id < b.doc_id
-              WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
-            e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+        "X4_neardup_groups": ov_pairs.replace(
+            "WITH d AS MATERIALIZED", "WITH RECURSIVE d AS MATERIALIZED"
+        )
+        + """,
+            e AS (SELECT a AS x, b AS y FROM pairs
+                  UNION SELECT b, a FROM pairs),
             reach(x, y) AS (
               SELECT x, y FROM e
               UNION

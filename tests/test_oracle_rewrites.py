@@ -1,0 +1,79 @@
+"""The near-dup oracles (D1/D3/X4) were rewritten from the naive
+quadratic all-pairs ``list_intersect`` join to an inverted-index
+overlap-count form (token equi-join + hash aggregate) so the sf0.1
+selfcheck can run them at all (r6 verdict task 7). The rewrite must be
+EXACTLY equivalent — same pairs, same jaccard values — or the driver's
+correctness gate would silently verify against a different spec.
+Pinned here against the original SQL at sf0.001 (the naive form's
+feasible scale)."""
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+SHINGLES = (
+    "list_distinct([substring(text, i, 5) "
+    "for i in range(1, greatest(length(text) - 3, 1))])"
+)
+
+NAIVE = {
+    "D1_minhash_lsh_neardup": f"""
+        WITH d AS (SELECT doc_id, {SHINGLES} AS sh FROM documents)
+        SELECT a.doc_id AS a, b.doc_id AS b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        FROM d a JOIN d b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7""",
+    "D3_cross_corpus_neardup": f"""
+        WITH n AS (SELECT doc_id, {SHINGLES} AS sh FROM documents
+                   WHERE doc_id < 100),
+             c AS (SELECT doc_id, {SHINGLES} AS sh FROM documents
+                   WHERE doc_id >= 100)
+        SELECT n.doc_id AS a, c.doc_id AS b,
+               len(list_intersect(n.sh, c.sh))::DOUBLE
+               / len(list_distinct(list_concat(n.sh, c.sh))) AS jaccard
+        FROM n JOIN c ON TRUE
+        WHERE len(list_intersect(n.sh, c.sh))::DOUBLE
+              / len(list_distinct(list_concat(n.sh, c.sh))) >= 0.7""",
+    "X4_neardup_groups": f"""
+        WITH RECURSIVE d AS (SELECT doc_id, {SHINGLES} AS sh FROM documents),
+        p AS (
+          SELECT a.doc_id AS a, b.doc_id AS b
+          FROM d a JOIN d b ON a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.7),
+        e AS (SELECT a AS x, b AS y FROM p UNION SELECT b, a FROM p),
+        reach(x, y) AS (
+          SELECT x, y FROM e
+          UNION
+          SELECT r.x, e.y FROM reach r JOIN e ON r.y = e.x)
+        SELECT x AS doc_id, CAST(least(x, min(y)) AS BIGINT) AS group_id
+        FROM reach GROUP BY x""",
+}
+
+
+@pytest.mark.parametrize("name", sorted(NAIVE))
+def test_rewritten_oracle_equals_naive_form(name):
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    rewritten = entrymod.oracle_sql()[name]
+    assert "list_intersect" not in rewritten.split("pairs AS")[0].split(
+        "ov AS"
+    )[0] or True  # shape note only; equality below is the contract
+
+    def rows(sql):
+        return {
+            tuple(round(x, 9) if isinstance(x, float) else x for x in r)
+            for r in con.sql(sql).fetchall()
+        }
+
+    got = rows(rewritten)
+    want = rows(NAIVE[name])
+    assert got == want and want, (name, len(got), len(want))
