@@ -144,3 +144,111 @@ def test_streaming_ingest_loop(spark, tmp_path):
     )
     assert leftover.where(F.col("a") != F.col("b")).count() == 0
     _drop(spark)
+
+
+def test_streaming_kill_resume_mid_batch(spark, tmp_path, monkeypatch):
+    """The r6 verdict's streaming-replay soak, at the streaming seam:
+    the foreachBatch worker dies MID-BATCH (after the near-dup fold,
+    before the BM25 fold — the worst split), the query errors out, and
+    a restart from the same checkpoint replays the SAME epoch id. The
+    per-index commit markers must turn the replay into exactly the
+    missing work: ND append skipped, BM25 applied, accepted rows
+    written once, both indexes equal to fresh one-shot builds."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") < 60).cache()
+    fresh = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 90))
+
+    feed = str(tmp_path / "feed")
+    accepted_dir = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(feed)
+    _drop(spark)
+    spark.sql("DROP TABLE IF EXISTS sing_ref")
+    spark.sql("DROP TABLE IF EXISTS sing_ref_stats")
+    spark.sql("DROP TABLE IF EXISTS sing_refnd")
+    dedup.build_near_dup_index(corpus, ND, str(tmp_path / "nd"), rows=4,
+                               buckets=8)
+    text.build_bm25_index(corpus, BM, str(tmp_path / "bm"), buckets=8)
+
+    def corpus_now():
+        base = corpus
+        if os.path.isdir(accepted_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(accepted_dir)
+        ):
+            base = base.union(
+                spark.read.parquet(accepted_dir).select("doc_id", "text")
+            )
+        return base
+
+    def fold(batch_df, batch_id):
+        batch = batch_df.select("doc_id", "text")
+        if not batch.take(1):
+            return
+        r = ingest.ingest_corpus_batch(
+            batch, corpus_now(), ND, BM, str(tmp_path / "bm"),
+            rows=4, batch_id=f"epoch-{batch_id}", skip_clean=True,
+        )
+        if r.n_accepted:
+            r.accepted.write.mode("append").parquet(accepted_dir)
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts timestamp")
+            .parquet(feed)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    fresh.withColumn("ts", F.current_timestamp()).write.mode("append").parquet(feed)
+
+    # arm the mid-batch death: ND fold lands, BM25 never runs
+    real_update = text.update_bm25_index
+
+    def die(*a, **kw):
+        raise RuntimeError("worker died mid-batch")
+
+    monkeypatch.setattr(text, "update_bm25_index", die)
+    with pytest.raises(Exception, match="worker died mid-batch"):
+        drain()
+    monkeypatch.setattr(text, "update_bm25_index", real_update)
+
+    # resume from the SAME checkpoint: Spark replays the same epoch
+    drain()
+
+    final = spark.read.parquet(accepted_dir)
+    assert final.groupBy("doc_id").count().where("count > 1").count() == 0
+    n_final = final.count()
+    assert n_final > 0
+
+    stats = spark.table(f"{BM}_stats").collect()[0]
+    assert stats["_n_total"] == 60 + n_final
+    assert stats["_pending"] is None
+    assert len(stats["_batches"]) == 1  # one epoch, applied exactly once
+
+    # both indexes ≡ fresh builds over the final corpus
+    full = corpus.union(final.select("doc_id", "text")).localCheckpoint()
+    text.build_bm25_index(full, "sing_ref", str(tmp_path / "ref"), buckets=8)
+    q = ["spark", "join", "window"]
+    got = {r["doc_id"]: r["score"]
+           for r in text.bm25_search(full, q, corpus_index=BM).collect()}
+    want = {r["doc_id"]: r["score"]
+            for r in text.bm25_search(full, q, corpus_index="sing_ref").collect()}
+    assert set(got) == set(want) and got
+    for k in got:
+        assert got[k] == pytest.approx(want[k], rel=1e-9)
+    dedup.build_near_dup_index(full, "sing_refnd", str(tmp_path / "refnd"),
+                               rows=4, buckets=8)
+    cols = ["doc_id", "band", "key"]
+    assert (
+        {tuple(r) for r in spark.table(ND).select(cols).collect()}
+        == {tuple(r) for r in spark.table("sing_refnd").select(cols).collect()}
+    )
+    _drop(spark)
+    for t in ("sing_ref", "sing_ref_stats", "sing_refnd", "sing_refnd_meta"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
