@@ -357,6 +357,43 @@ def build_ann_index(
     )
 
 
+def update_ann_index(
+    new_vecs: DataFrame,
+    table: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: str | None = None,
+) -> None:
+    """Incrementally fold a NEW batch of vectors into a persisted IVF
+    index (``build_ann_index``) — the embedding-side twin of
+    ``update_near_dup_index``'s batch economics: the batch is assigned
+    against the EXISTING centroids (read from ``<table>_centroids``,
+    tiny, broadcast) and its inverted-list rows APPEND under the
+    table's centroid_id bucket spec — only the batch shuffles, no
+    corpus touch. ``batch_id`` makes the append exactly-once across
+    at-least-once replays via ``indexes.guarded_append``'s commit
+    marker in ``<table>_meta``.
+
+    Frozen-centroid caveat (IVF's standard retrain story): appends
+    don't move centroids, so a corpus that drifts far from the build
+    distribution degrades recall; rebuild via ``build_ann_index``
+    periodically — the analog of ``indexes.compact_index``'s file
+    maintenance, which also applies here (each call appends up to one
+    file per bucket)."""
+    from pufs_spark.operators import indexes
+
+    spark = new_vecs.sparkSession
+    cent = spark.table(f"{table}_centroids")
+    inv = _assign_to_centroids(
+        new_vecs, cent, id_col, vec_col, id_col, 1
+    ).select(id_col, F.col("_v").alias(vec_col), "centroid_id")
+
+    def do_append():
+        inv.select(spark.table(table).columns).write.insertInto(table)
+
+    indexes.guarded_append(spark, table, batch_id, do_append)
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -182,3 +182,52 @@ def test_recover_interrupted_compaction_swap(spark, docs, tmp_path_factory):
         assert not indexes.needs_compaction(spark, "bm25_rc", 8)
     finally:
         _drop(spark, "bm25_rc", "bm25_rc_stats", "bm25_rc__compact")
+
+
+def test_ivf_updates_then_compact_equals_frozen_centroid_assignment(
+    spark, tmp_path_factory
+):
+    """IVF incremental updates: seed build + N batch folds + compact
+    must equal assigning the whole corpus to the SEED centroids (the
+    frozen-centroid contract), query-for-query; replays are no-ops."""
+    from pufs_spark.operators import similarity
+
+    wh = tmp_path_factory.mktemp("ivf_inc")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seed = emb.where(F.col("vec_id") % 3 == 0)
+    parts = [emb.where(F.col("vec_id") % 3 == i) for i in (1, 2)]
+    queries = emb.where(F.col("vec_id") % 25 == 0).limit(8)
+    _drop(spark, "ivf_ci", "ivf_ci_centroids", "ivf_ci_meta")
+    similarity.build_ann_index(seed, "ivf_ci", str(wh / "inc"), buckets=8)
+    try:
+        for i, p in enumerate(parts):
+            similarity.update_ann_index(p, "ivf_ci", batch_id=f"b{i}")
+        n_before = spark.table("ivf_ci").count()
+        similarity.update_ann_index(parts[0], "ivf_ci", batch_id="b0")  # replay
+        assert spark.table("ivf_ci").count() == n_before == emb.count()
+
+        assert indexes.needs_compaction(spark, "ivf_ci", max_files_per_bucket=1)
+        indexes.compact_index(spark, "ivf_ci", str(wh / "inc-g1"))
+        assert indexes.index_file_count(spark, "ivf_ci") <= 8
+
+        # frozen-centroid reference: same centroids, whole corpus
+        cents = [
+            r["_cv"]
+            for r in spark.table("ivf_ci_centroids")
+            .orderBy("centroid_id").collect()
+        ]
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                queries, emb, k=5, corpus_index="ivf_ci"
+            ).collect()
+        }
+        want = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(
+                queries, emb, k=5, centroids=cents
+            ).collect()
+        }
+        assert got == want and got
+    finally:
+        _drop(spark, "ivf_ci", "ivf_ci_centroids", "ivf_ci_meta")
