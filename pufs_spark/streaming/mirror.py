@@ -451,7 +451,9 @@ def _fold_rows(
     BUCKET_DEPTH, whose whole subtree shares the key prefix) touches
     exactly its own bucket; a depth-1 absent touches the buckets the
     top-group summary names (superset, never a miss); an absent of
-    "/" rebuilds everything."""
+    "/" rewrites every bucket but LOADS none (nothing before the wipe
+    survives, so the fold starts from empty state and applies only the
+    later versions)."""
     if not rows:
         return
     os.makedirs(mirror_dir, exist_ok=True)
@@ -513,28 +515,51 @@ def _fold_rows(
             rest = None
         if rest is not None:
             return _fold_rows(root, mirror_dir, rest, n_buckets, spark)
-    if has_rebuild or depth_migration:
-        touched_ids = set(range(n_buckets))
-    else:
-        touched_ids = set()
-        for rs in by_version.values():
-            for r in rs:
-                p = r["path"]
-                if p is None:
-                    continue
-                depth = len([c for c in p.strip("/").split("/") if c])
-                if r["change"] == "absent" and depth == 0:
-                    touched_ids = set(range(n_buckets))  # "/" removed
-                elif r["change"] == "absent" and depth < BUCKET_DEPTH:
-                    touched_ids |= _buckets_for_top(p, n_buckets, summary)
-                else:
-                    touched_ids.add(_bucket(p, n_buckets))
-    state = (
-        _load_buckets(prev_dir, touched_ids, n_buckets)
-        if prev_version >= 0
-        else {}
+    # A root absent ("/" removed) wipes EVERYTHING at its version, so
+    # nothing before it — including the previous state — can survive
+    # into the final fold: start from an empty state over all buckets
+    # and apply only the LATER versions, loading nothing (the old code
+    # loaded every bucket into the driver dict just to delete it).
+    root_wipe = max(
+        (
+            v
+            for v, rs in by_version.items()
+            if any(
+                r["change"] == "absent"
+                and r["path"] is not None
+                and not [c for c in r["path"].strip("/").split("/") if c]
+                for r in rs
+            )
+        ),
+        default=None,
     )
-    last = prev_version
+    if root_wipe is not None and not (has_rebuild or depth_migration):
+        wiped_last = max(max(by_version), prev_version)
+        by_version = {v: rs for v, rs in by_version.items() if v > root_wipe}
+        touched_ids = set(range(n_buckets))
+        state: dict = {}
+        last = wiped_last
+    else:
+        if has_rebuild or depth_migration:
+            touched_ids = set(range(n_buckets))
+        else:
+            touched_ids = set()
+            for rs in by_version.values():
+                for r in rs:
+                    p = r["path"]
+                    if p is None:
+                        continue
+                    depth = len([c for c in p.strip("/").split("/") if c])
+                    if r["change"] == "absent" and depth < BUCKET_DEPTH:
+                        touched_ids |= _buckets_for_top(p, n_buckets, summary)
+                    else:
+                        touched_ids.add(_bucket(p, n_buckets))
+        state = (
+            _load_buckets(prev_dir, touched_ids, n_buckets)
+            if prev_version >= 0
+            else {}
+        )
+        last = prev_version
     for v in sorted(by_version):
         batch = by_version[v]
         if any(r["change"] == "checkpoint" for r in batch):

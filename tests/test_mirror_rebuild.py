@@ -228,3 +228,57 @@ def test_mirror_equals_materialize_after_rebucket(spark, tmp_path):
     want.add("/")
     got = {r["path"] for r in M.read_mirror(spark, mdir).collect()}
     assert got == want
+
+
+def test_root_absent_wipes_without_loading_buckets(spark, tmp_path, monkeypatch):
+    """An absent of "/" makes everything before it dead — the fold
+    must start from empty state and LOAD no buckets (the old code
+    faulted the whole catalog into the driver dict just to delete
+    it), while upserts in LATER versions of the same batch still
+    land."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA, PufsCommitsStreamReader
+
+    root, w, log = _mk_catalog(tmp_path, n_top=6, n_sub=8)
+    mdir = str(tmp_path / "mirror")
+    _refresh(spark, root, mdir, str(tmp_path / "ckpt"))
+    assert M.mirror_version(mdir) == 0
+
+    # hand-fold a synthetic batch: [absent "/" @v1, upserts @v2] —
+    # remove() refuses non-empty dirs, so inject the CDC-shaped rows
+    # directly (the payload shape IS the contract; same technique as
+    # the dead-claim and depth-1-absent tests)
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    batch = [
+        row(1, "absent", "/"),
+        row(2, "upsert", "/", True, 0, None),
+        row(2, "upsert", "/fresh", True, 0, None),
+        row(2, "upsert", "/fresh/a", False, 7, "bid-a"),
+    ]
+
+    def no_load(*a, **kw):
+        raise AssertionError("root-absent fold loaded buckets")
+
+    monkeypatch.setattr(M, "_load_buckets", no_load)
+    M._fold_rows(root, mdir, batch, spark=spark)
+    monkeypatch.undo()
+
+    assert M.mirror_version(mdir) == 2
+    got = {
+        r["path"]: (r["is_dir"], r["size"])
+        for r in M.read_mirror(spark, mdir).collect()
+    }
+    assert got == {"/": (True, 0), "/fresh": (True, 0), "/fresh/a": (False, 7)}
+
+    # and a later ordinary delta still folds bucket-locally
+    t = M._resolve_state(mdir)
+    batch2 = [row(3, "upsert", "/fresh/b", False, 3, "bid-b")]
+    M._fold_rows(root, mdir, batch2, spark=spark)
+    assert "/fresh/b" in {
+        r["path"] for r in M.read_mirror(spark, mdir).collect()
+    }
+    assert M._resolve_state(mdir)[2] == t[2]  # bucket count unchanged
