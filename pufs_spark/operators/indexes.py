@@ -73,19 +73,35 @@ def list_table_files(spark, table: str) -> list[tuple[str, int]]:
     """(path, size) of every data file backing ``table``, via a
     Hadoop-FS listing of its location — O(files), no Spark job, no row
     scan, any scheme the session's Hadoop conf can reach (file:, hdfs:,
-    s3a:, gs:). Hidden/metadata files (``_SUCCESS``, ``.crc``) are
-    excluded; a missing location lists as empty."""
+    s3a:, gs:). A missing location lists as empty.
+
+    EVERY path component under the location is checked for a hidden/
+    metadata prefix, not just the basename: a crashed (never-committed)
+    Spark append leaves completed task files under
+    ``<location>/_temporary/0/task_*/part-*.parquet`` whose BASENAMES
+    look like data files. Counting those would make ``files_snapshot``
+    misread a dead append as landed — the commit markers would then
+    mark a batch applied whose data Spark never committed (and never
+    reads: scans ignore ``_``-prefixed directories the same way)."""
     loc = table_location(spark, table)
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(loc)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    # URI paths compare scheme-insensitively (listFiles yields
+    # file:/... while DESCRIBE may report a bare /... location)
+    base = jpath.toUri().getPath().rstrip("/") + "/"
     out: list[tuple[str, int]] = []
     try:
         it = fs.listFiles(jpath, True)
         while it.hasNext():
             f = it.next()
-            name = f.getPath().getName()
-            if name.startswith(("_", ".")):
+            upath = f.getPath().toUri().getPath()
+            tail = (
+                upath[len(base):]
+                if upath.startswith(base)
+                else upath.rsplit("/", 1)[-1]
+            )
+            if any(c.startswith(("_", ".")) for c in tail.split("/") if c):
                 continue
             out.append((f.getPath().toString(), f.getLen()))
     except Exception as exc:  # noqa: BLE001 — py4j wraps FileNotFoundException
@@ -129,11 +145,21 @@ def read_index_meta(spark, table: str) -> tuple[list[str], object]:
     """(applied batch-id ring, pending intent Row or None) from the
     index's ``<table>_meta`` one-row table; ([], None) when the index
     predates the meta table (it is then created on the first guarded
-    update)."""
+    update) — or when the table exists but holds NO row: the marker
+    rewrite is a tiny Spark overwrite whose delete-then-move commit is
+    not atomic, so a crash inside it can empty the table. Treating
+    that as a fresh ring un-wedges the service (the alternative is an
+    unrecoverable IndexError loop); the residual is that a replay of
+    the batch whose COMMIT crashed can re-append — the one window an
+    atomic metadata store would close, out of proportion for a
+    one-row table."""
     meta_t = f"{table}_meta"
     if not spark.catalog.tableExists(meta_t):
         return [], None
-    row = spark.table(meta_t).collect()[0].asDict()
+    rows = spark.table(meta_t).collect()
+    if not rows:
+        return [], None
+    row = rows[0].asDict()
     return list(row.get("_batches") or []), row.get("_pending")
 
 

@@ -355,6 +355,50 @@ _STATS_SCHEMA = (
 )
 
 
+def _stats_from_postings(spark, table: str):
+    """The corpus stats recomputed EXACTLY from the postings table
+    (n_docs = distinct ids, avgdl = mean per-doc ``_dl`` — every
+    posting row carries its doc's length, so the stats are fully
+    redundant with the postings). Lazy one-row frame; the disaster-
+    recovery path when the stats row is lost."""
+    pt = spark.table(table)
+    id_col = next(c for c in pt.columns if not c.startswith("_"))
+    per_doc = pt.groupBy(id_col).agg(F.first("_dl").alias("_dl"))
+    return per_doc.agg(
+        F.count(F.lit(1)).alias("_n_total"), F.avg("_dl").alias("_avgdl")
+    )
+
+
+def _load_bm25_stats(spark, table: str, path: str) -> tuple[dict, bool]:
+    """(stats row as dict, migrate?) — self-healing: a MISSING stats
+    table (a crash inside the one-time schema migration's DROP) is
+    recreated, and an EMPTY one (a crash inside the tiny overwrite
+    rewrite's delete-then-move commit) is rebuilt, both exactly from
+    the postings via ``_stats_from_postings``. The recovered ring is
+    empty — totals are exact, but replay protection for the batch
+    whose commit crashed is lost (see ``indexes.read_index_meta`` for
+    the same documented residual)."""
+    stats_t = f"{table}_stats"
+    if not spark.catalog.tableExists(stats_t):
+        r = _stats_from_postings(spark, table).collect()[0]
+        spark.createDataFrame(
+            [(r["_n_total"], r["_avgdl"], [], None)], _STATS_SCHEMA
+        ).write.option("path", f"{path}_stats").mode("overwrite").saveAsTable(
+            stats_t
+        )
+    cols = spark.table(stats_t).columns
+    migrate = "_batches" not in cols or "_pending" not in cols
+    rows = spark.table(stats_t).collect()
+    if rows:
+        return rows[0].asDict(), migrate
+    r = _stats_from_postings(spark, table).collect()[0]
+    return (
+        {"_n_total": r["_n_total"], "_avgdl": r["_avgdl"],
+         "_batches": [], "_pending": None},
+        migrate,
+    )
+
+
 def _write_bm25_stats(
     spark, table: str, n_total: int, avgdl, applied: list, pending, migrate: bool
 ) -> None:
@@ -423,11 +467,7 @@ def update_bm25_index(
     from pufs_spark.operators import indexes
 
     spark = new_docs.sparkSession
-    old = spark.table(f"{table}_stats").collect()[0].asDict()
-    # Tolerate a stats row from an index built before _batches/_pending
-    # existed — but then the rewrite must recreate the table (see
-    # _write_bm25_stats), not insertInto a wider row into it.
-    migrate = "_batches" not in old or "_pending" not in old
+    old, migrate = _load_bm25_stats(spark, table, path)
     applied = list(old.get("_batches") or [])
     n_total, avgdl = old["_n_total"], old["_avgdl"]
     if batch_id is not None and batch_id in applied:
@@ -482,6 +522,15 @@ def update_bm25_index(
     )
 
 
+# table name → stats-table filesystem path, so the steady-state peek
+# below costs one glob + one tiny parquet read, not a DESCRIBE
+# FORMATTED catalog command per search. Stats locations are stable
+# (compaction moves the postings table, never the stats sibling); a
+# stale entry (table recreated elsewhere, tests) globs empty and is
+# refreshed once.
+_STATS_LOC_CACHE: dict[str, str | None] = {}
+
+
 def _bm25_stats_view(spark, table: str):
     """The effective (_n_total, _avgdl) frame for scoring against a
     persisted index. Normally the LAZY one-row stats scan (no action
@@ -490,7 +539,8 @@ def _bm25_stats_view(spark, table: str):
     pre-append stats: the one-row stats parquet is peeked driver-side
     (pyarrow, no Spark job — local tables only), and a landed intent
     is folded in READ-ONLY (search never writes; the next update
-    commits it durably)."""
+    commits it durably). An EMPTY stats table (crashed rewrite) scores
+    from stats recomputed lazily out of the postings."""
     import glob
     import os
 
@@ -499,17 +549,39 @@ def _bm25_stats_view(spark, table: str):
     stats_df = spark.table(f"{table}_stats")
     if "_pending" not in stats_df.columns:
         return stats_df.select("_n_total", "_avgdl")  # pre-marker index
-    loc = indexes._local_path(indexes.table_location(spark, f"{table}_stats"))
+
+    def resolve_loc():
+        loc = indexes._local_path(
+            indexes.table_location(spark, f"{table}_stats")
+        )
+        _STATS_LOC_CACHE[table] = loc
+        return loc
+
+    loc = _STATS_LOC_CACHE.get(table, ...)
+    if loc is ...:
+        loc = resolve_loc()
     if loc is None:
         return stats_df.select("_n_total", "_avgdl")
     try:
         import pyarrow.parquet as pq
 
         files = sorted(glob.glob(os.path.join(loc, "*.parquet")))
+        if not files:  # stale cache (table recreated elsewhere)?
+            loc = resolve_loc()
+            files = (
+                sorted(glob.glob(os.path.join(loc, "*.parquet")))
+                if loc is not None
+                else []
+            )
         row = pq.read_table(files).to_pylist()[0] if files else None
-    except (OSError, IndexError):
-        row = None  # racing a stats rewrite: serve the lazy view
-    pend = (row or {}).get("_pending")
+    except Exception:  # noqa: BLE001 — racing a stats rewrite (missing
+        # file, ArrowInvalid from a partial/mixed-schema read): the
+        # peek is best-effort, serve the lazy view
+        return stats_df.select("_n_total", "_avgdl")
+    if row is None:
+        # stats table emptied by a crashed rewrite: exact lazy recovery
+        return _stats_from_postings(spark, table)
+    pend = row.get("_pending")
     if not pend or pend.get("id") is None:
         return stats_df.select("_n_total", "_avgdl")
     if indexes.files_snapshot(spark, table) == (pend["nfiles"], pend["fhash"]):

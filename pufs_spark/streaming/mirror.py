@@ -218,12 +218,17 @@ def _publish_state(
     n_buckets: int,
     summary: dict[int, int],
     prev_dir: str,
+    keep_all: bool = False,
 ) -> None:
     """Publish a fully-built tmp state dir: rename it into place, swing
     the meta pointer atomically (version + bucket rule + count + the
     per-bucket top-group summary + the dir name), then prune every
     state dir except the new one and the previous one (kept for
-    in-flight readers)."""
+    in-flight readers). ``keep_all`` skips pruning entirely (only dead
+    tmp dirs go): a re-bucket publishes INSIDE the same fold callback
+    that just published a state — pruning here would delete the
+    fold's previous dir and break the one-fold snapshot guarantee;
+    the NEXT fold prunes down to {current, previous} as usual."""
     if os.path.exists(new_dir):
         # replay of an already-published state: the existing dir IS
         # this fold's result (folding is idempotent) — keep it
@@ -252,7 +257,9 @@ def _publish_state(
     # dir at this point is dead — our own was consumed above)
     keep = {os.path.basename(new_dir), os.path.basename(prev_dir)}
     for d in os.listdir(mirror_dir):
-        if d.startswith(("state-", "rebuild.tmp.")) and d not in keep:
+        if ".tmp." in d and d.startswith(("state-", "rebuild.tmp.")):
+            shutil.rmtree(os.path.join(mirror_dir, d), ignore_errors=True)
+        elif not keep_all and d.startswith("state-") and d not in keep:
             shutil.rmtree(os.path.join(mirror_dir, d), ignore_errors=True)
 
 
@@ -326,6 +333,7 @@ def _write_buckets_distributed(
     n_buckets: int,
     new_dir: str,
     prev_dir: str,
+    keep_all: bool = False,
 ) -> None:
     """Write ``df`` (path, is_dir, size, bid) as a complete bucketed
     state WITHOUT materializing any catalog rows on the driver (the r6
@@ -343,14 +351,6 @@ def _write_buckets_distributed(
         F.col("size").cast("long").alias("size"),
         F.col("bid").cast("string").alias("bid"),
     ).withColumn("_mb", _bucket_expr(n_buckets))
-    summary: dict[int, int] = {}
-    pairs = (
-        bucketed.select("_mb", _top_group_expr().alias("_tg"))
-        .distinct()
-        .collect()
-    )
-    for r in pairs:
-        summary[r["_mb"]] = summary.get(r["_mb"], 0) | (1 << r["_tg"])
     out = os.path.join(mirror_dir, f"rebuild.tmp.{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     # repartition on the bucket id puts each bucket wholly in one task,
@@ -361,6 +361,20 @@ def _write_buckets_distributed(
         .mode("overwrite")
         .parquet(out)
     )
+    # per-bucket top-group bitmaps, computed from the WRITTEN output
+    # (partition discovery restores _mb from the dir names) — the
+    # source is scanned once, not twice, and no md5 is recomputed for
+    # the bucket id. Bounded: ≤ n_buckets × SUMMARY_GROUPS pairs.
+    summary: dict[int, int] = {}
+    pairs = (
+        spark.read.parquet(out)
+        .select(F.col("_mb").cast("int").alias("_mb"),
+                _top_group_expr().alias("_tg"))
+        .distinct()
+        .collect()
+    )
+    for r in pairs:
+        summary[r["_mb"]] = summary.get(r["_mb"], 0) | (1 << r["_tg"])
     tmp_dir = new_dir + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
@@ -377,7 +391,8 @@ def _write_buckets_distributed(
         os.replace(os.path.join(out, d, parts[0]), _bucket_file(tmp_dir, b))
     shutil.rmtree(out, ignore_errors=True)
     _publish_state(
-        mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir
+        mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir,
+        keep_all=keep_all,
     )
 
 
@@ -389,7 +404,11 @@ def _rebuild_state_distributed(
     path-state export for ``version`` is read by Spark, bucketed by
     executors, and published — the driver never holds catalog rows
     (contrast ``_rebuild_state``, the spark-less fallback that builds
-    a python dict and is O(catalog) driver memory)."""
+    a python dict and is O(catalog) driver memory). keep_all: trailing
+    deltas in the same micro-batch publish AGAIN right after this —
+    two publishes in one fold callback must not prune a dir an
+    in-flight reader pinned before the callback started; the next
+    ordinary fold prunes down to {current, previous}."""
     log = CommitLog(root)
     export = log.export_state(version)
     _write_buckets_distributed(
@@ -400,6 +419,7 @@ def _rebuild_state_distributed(
         n_buckets,
         _state_dir(mirror_dir, version),
         prev_dir,
+        keep_all=True,
     )
 
 
@@ -507,6 +527,7 @@ def _fold_rows(
                     mirror_dir, f"state-{prev_version:012d}d{BUCKET_DEPTH}"
                 ),
                 prev_dir,
+                keep_all=True,  # the batch's own fold publishes next
             )
             rest = rows
         else:
@@ -571,6 +592,14 @@ def _fold_rows(
             for r in batch:
                 if r["change"] == "absent":
                     gone = r["path"]
+                    if not [c for c in gone.strip("/").split("/") if c]:
+                        # root absent inside a checkpoint/migration
+                        # batch (the root_wipe fast path only covers
+                        # plain-delta batches): "/" has no "//"-
+                        # prefixed children, so the startswith scan
+                        # below would delete ONLY the root row
+                        state.clear()
+                        continue
                     # state holds exactly the touched buckets, which by
                     # construction cover gone's whole subtree (key-
                     # prefix sharing for deep absents, summary superset
@@ -606,6 +635,13 @@ def _fold_rows(
 # per-delta byte bound toward O(catalog)/N_BUCKETS.
 MAX_BUCKET_BYTES = 32 * 1024 * 1024
 REBUCKET_GROWTH = 4
+# Hard ceiling on migrations: bucket file names are bucket-%04d, and
+# _save_state parses exactly 4 digits back out — a 5-digit bucket id
+# would alias into the wrong file on the hard-link path. 4096 buckets
+# × MAX_BUCKET_BYTES ≈ 128 GB of catalog metadata, far past the
+# reference's 10M-inode cap; past the ceiling the trigger stops firing
+# (buckets grow, O(changed) bound degrades gracefully).
+MAX_BUCKETS = 4096
 
 
 def maybe_rebucket(
@@ -633,7 +669,12 @@ def maybe_rebucket(
     total = sum(os.path.getsize(os.path.join(state_dir, f)) for f in files)
     if total <= max_bucket_bytes * n_buckets:
         return None
-    new_n = n_buckets * growth
+    new_n = min(n_buckets * growth, MAX_BUCKETS)
+    if new_n <= n_buckets:
+        return None  # at the ceiling: degrade gracefully, don't churn
+    # keep_all: this publish lands in the SAME fold callback as the
+    # fold's own publish — pruning here would delete that fold's
+    # previous dir and break the one-fold snapshot guarantee
     _write_buckets_distributed(
         spark,
         spark.read.parquet(state_dir),
@@ -642,6 +683,7 @@ def maybe_rebucket(
         new_n,
         os.path.join(mirror_dir, f"state-{version:012d}r{new_n}"),
         state_dir,
+        keep_all=True,
     )
     return new_n
 

@@ -231,3 +231,77 @@ def test_ivf_updates_then_compact_equals_frozen_centroid_assignment(
         assert got == want and got
     finally:
         _drop(spark, "ivf_ci", "ivf_ci_centroids", "ivf_ci_meta")
+
+
+def test_listing_ignores_temporary_staging_files(spark, docs, tmp_path_factory):
+    """A crashed (never-committed) Spark append leaves completed task
+    files under <location>/_temporary/... whose basenames look like
+    data files. The listing — and therefore files_snapshot, the
+    commit-marker probe — must ignore them, or a dead append would be
+    misread as landed and the batch marked applied without its data."""
+    import os
+
+    wh = tmp_path_factory.mktemp("idx_tmpfiles")
+    _drop(spark, "bm25_tf", "bm25_tf_stats")
+    text.build_bm25_index(docs, "bm25_tf", str(wh / "t"), buckets=8)
+    try:
+        before_n = indexes.index_file_count(spark, "bm25_tf")
+        before_snap = indexes.files_snapshot(spark, "bm25_tf")
+        loc = indexes._local_path(indexes.table_location(spark, "bm25_tf"))
+        staging = os.path.join(loc, "_temporary", "0", "task_000", "")
+        os.makedirs(staging)
+        with open(os.path.join(staging, "part-00000-dead.snappy.parquet"),
+                  "wb") as f:
+            f.write(b"not really parquet")
+        assert indexes.index_file_count(spark, "bm25_tf") == before_n
+        assert indexes.files_snapshot(spark, "bm25_tf") == before_snap
+    finally:
+        _drop(spark, "bm25_tf", "bm25_tf_stats")
+
+
+def test_emptied_marker_tables_self_heal(spark, docs, tmp_path_factory):
+    """A crash inside the tiny marker-rewrite job can leave the
+    one-row stats/meta tables EMPTY (delete-then-move commit). The
+    read paths must not wedge: BM25 stats rebuild exactly from the
+    postings (they are fully redundant — every posting carries its
+    doc's length), search scores correctly, and guarded_append treats
+    an empty meta as a fresh ring."""
+    import glob
+    import os
+
+    wh = tmp_path_factory.mktemp("idx_heal")
+    q = ["spark", "join", "window"]
+    _drop(spark, "bm25_hl", "bm25_hl_stats", "bm25_hl_ref", "bm25_hl_ref_stats")
+    text.build_bm25_index(docs, "bm25_hl", str(wh / "t"), buckets=8)
+    text.build_bm25_index(docs, "bm25_hl_ref", str(wh / "ref"), buckets=8)
+    try:
+        want = {r["doc_id"]: r["score"]
+                for r in text.bm25_search(docs, q,
+                                          corpus_index="bm25_hl_ref").collect()}
+        # simulate the crashed rewrite: stats table exists, zero rows
+        text._STATS_LOC_CACHE.pop("bm25_hl", None)
+        stats_loc = indexes._local_path(
+            indexes.table_location(spark, "bm25_hl_stats")
+        )
+        for f in glob.glob(os.path.join(stats_loc, "*.parquet")):
+            os.remove(f)
+        spark.sql("REFRESH TABLE bm25_hl_stats")
+        assert spark.table("bm25_hl_stats").count() == 0
+
+        # search scores from postings-recovered stats, exactly
+        got = {r["doc_id"]: r["score"]
+               for r in text.bm25_search(docs, q,
+                                         corpus_index="bm25_hl").collect()}
+        assert set(got) == set(want) and got
+        for k in got:
+            assert got[k] == pytest.approx(want[k], rel=1e-9)
+
+        # an update heals the stats row durably (exact totals, empty ring)
+        extra = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+        text.update_bm25_index(extra, "bm25_hl", str(wh / "t"), batch_id="hx")
+        s = spark.table("bm25_hl_stats").collect()[0]
+        assert s["_n_total"] == 2 * docs.count()
+        assert s["_batches"] == ["hx"] and s["_pending"] is None
+    finally:
+        _drop(spark, "bm25_hl", "bm25_hl_stats",
+              "bm25_hl_ref", "bm25_hl_ref_stats")

@@ -282,3 +282,36 @@ def test_root_absent_wipes_without_loading_buckets(spark, tmp_path, monkeypatch)
         r["path"] for r in M.read_mirror(spark, mdir).collect()
     }
     assert M._resolve_state(mdir)[2] == t[2]  # bucket count unchanged
+
+
+def test_root_absent_inside_checkpoint_batch_driver_arm(tmp_path):
+    """The spark-less fallback: a batch holding [checkpoint v0,
+    absent "/" v1, upsert v2] must end with ONLY the v2 content — the
+    root absent must clear the rebuilt state (its children don't
+    match a '//' prefix scan), not merely drop the root row."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+
+    root, w, log = _mk_catalog(tmp_path, n_top=3, n_sub=4)
+    mdir = str(tmp_path / "mirror")
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    batch = [
+        row(0, "checkpoint", None),
+        row(1, "absent", "/"),
+        row(2, "upsert", "/", True, 0, None),
+        row(2, "upsert", "/only", False, 5, "bid-o"),
+    ]
+    M._fold_rows(root, mdir, batch, spark=None)
+    assert M.mirror_version(mdir) == 2
+    import pyarrow.parquet as pq
+
+    _v, sd, n, _s = M._resolve_state(mdir)
+    paths = set()
+    for f in os.listdir(sd):
+        if f.startswith("bucket-"):
+            paths |= set(pq.read_table(os.path.join(sd, f))["path"].to_pylist())
+    assert paths == {"/", "/only"}
