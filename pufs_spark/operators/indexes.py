@@ -14,6 +14,17 @@ folds a table's files back to one file per bucket, preserving the
 bucket/sort spec (discovered from the catalog, so it works on any of
 the indexes), the table name, and query results exactly.
 
+This module also carries the shared EXACTLY-ONCE machinery for the
+incremental appends: ``guarded_append`` wraps an index append in a
+commit marker kept in a one-row ``<table>_meta`` table (intent with a
+pre-append file-listing snapshot → append → commit onto an
+applied-batch ring), so a foreachBatch at-least-once replay re-applies
+exactly the appends that didn't land — Spark appends are all-or-nothing
+at job commit, so "did it land" is decidable by re-listing. Used by
+``dedup.update_near_dup_index`` and ``similarity.update_ann_index``;
+``text.update_bm25_index`` runs the same protocol inline in its stats
+row because its commit also folds exact stats.
+
 Not concurrent-safe: compaction drops and renames tables; run it from
 the ingest loop at a quiet point (the same discipline as Delta's
 OPTIMIZE). The swap order — write new data to a NEW path, drop the old

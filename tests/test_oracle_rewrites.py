@@ -64,9 +64,6 @@ def test_rewritten_oracle_equals_naive_form(name):
         f"read_parquet('{SF}/documents.parquet')"
     )
     rewritten = entrymod.oracle_sql()[name]
-    assert "list_intersect" not in rewritten.split("pairs AS")[0].split(
-        "ov AS"
-    )[0] or True  # shape note only; equality below is the contract
 
     def rows(sql):
         return {
