@@ -330,6 +330,11 @@ def build_bm25_index(
         .mode("overwrite")
         .saveAsTable(f"{table}_stats")
     )
+    # a rebuild may land at a NEW path while the old external stats
+    # files stay on disk (DROP of an external table deletes nothing) —
+    # a cached location would keep serving the stale row to the
+    # search-side peek
+    _STATS_LOC_CACHE.pop(table, None)
 
 
 # How many applied-batch ids the stats row remembers for replay

@@ -270,6 +270,7 @@ def _save_state(
     n_buckets: int,
     prev_dir: str,
     summary: dict[int, int],
+    keep_all: bool = False,
 ) -> None:
     """Publish a new state dir: fresh parquet for the touched buckets,
     hard links (fallback: copies) to the previous state's files for the
@@ -291,7 +292,8 @@ def _save_state(
     for b, items in touched.items():
         _write_bucket(tmp_dir, b, items)
     _publish_state(
-        mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir
+        mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir,
+        keep_all=keep_all,
     )
 
 
@@ -450,7 +452,7 @@ def _rebuild_state(root: str, version: int) -> dict:
 
 def _fold_rows(
     root: str, mirror_dir: str, rows: list, n_buckets: int = N_BUCKETS,
-    spark=None,
+    spark=None, keep_all: bool = False,
 ) -> None:
     """Apply one micro-batch of CDC rows (any number of versions) to
     the mirror. Idempotent: versions ≤ the mirror's applied version
@@ -490,6 +492,16 @@ def _fold_rows(
     by_version: dict[int, list] = {}
     for r in rows:
         by_version.setdefault(r["version"], []).append(r)
+    if max(by_version) <= prev_version and not depth_migration:
+        # pure replay: every version is already folded into the current
+        # state — republishing would be harmless for a plain state dir
+        # (the exists-branch keeps it), but after a SAME-VERSION
+        # suffixed publish (re-bucket r{n} / depth-migration d{n}) the
+        # plain ``state-{v}`` dir still exists under the OLD bucket
+        # rule, and re-pointing the meta at it with the new n_buckets
+        # would corrupt every bucket-local read. Skipping is the
+        # correct idempotent behavior either way.
+        return
     has_rebuild = any(
         r["change"] == "checkpoint" for rs in by_version.values() for r in rs
     )
@@ -504,15 +516,29 @@ def _fold_rows(
                 for v, rs in by_version.items()
                 if any(r["change"] == "checkpoint" for r in rs)
             )
-            _rebuild_state_distributed(
-                spark, root, mirror_dir, vc, n_buckets, prev_dir
-            )
-            rest = [
-                r
-                for rs in by_version.values()
-                for r in rs
-                if r["version"] > vc
-            ]
+            if vc > prev_version:
+                _rebuild_state_distributed(
+                    spark, root, mirror_dir, vc, n_buckets, prev_dir
+                )
+                rest = [
+                    r
+                    for rs in by_version.values()
+                    for r in rs
+                    if r["version"] > vc
+                ]
+            else:
+                # checkpoint already folded into the current state (a
+                # partially-replayed batch): rebuilding at vc would
+                # regress the meta — and after a same-version suffixed
+                # publish the stale plain ``state-{vc}`` dir could be
+                # mistaken for the rebuild's result under the wrong
+                # bucket rule. Fold only the genuinely new deltas.
+                rest = [
+                    r
+                    for rs in by_version.values()
+                    for r in rs
+                    if r["version"] > prev_version
+                ]
         elif any(f.startswith("bucket-") for f in os.listdir(prev_dir)):
             # bucket-rule (depth) migration: rewrite the CURRENT state
             # under the current rule, executor-side, then fold the
@@ -535,7 +561,13 @@ def _fold_rows(
             # the bucket rule via the driver arm below
             rest = None
         if rest is not None:
-            return _fold_rows(root, mirror_dir, rest, n_buckets, spark)
+            # keep_all: this callback already published (rebuild or
+            # migration) — the recursive publish must not prune the
+            # pre-callback dir out from under an in-flight reader; the
+            # next ordinary fold prunes down to {current, previous}
+            return _fold_rows(
+                root, mirror_dir, rest, n_buckets, spark, keep_all=True
+            )
     # A root absent ("/" removed) wipes EVERYTHING at its version, so
     # nothing before it — including the previous state — can survive
     # into the final fold: start from an empty state over all buckets
@@ -624,7 +656,9 @@ def _fold_rows(
             summary[b] = bits
         else:
             summary.pop(b, None)
-    _save_state(mirror_dir, touched, last, n_buckets, prev_dir, summary)
+    _save_state(
+        mirror_dir, touched, last, n_buckets, prev_dir, summary, keep_all
+    )
 
 
 # Re-bucket trigger: when the AVERAGE bucket file exceeds this many

@@ -315,3 +315,56 @@ def test_root_absent_inside_checkpoint_batch_driver_arm(tmp_path):
         if f.startswith("bucket-"):
             paths |= set(pq.read_table(os.path.join(sd, f))["path"].to_pylist())
     assert paths == {"/", "/only"}
+
+
+def test_fold_replay_after_rebucket_keeps_migrated_state(spark, tmp_path):
+    """foreachBatch replays the batch that produced version V AFTER a
+    same-version re-bucket published state-Vr{n}. The replay must be a
+    no-op: re-publishing the stale plain state-V dir (still on disk —
+    keep_all skipped pruning) under the NEW bucket count would corrupt
+    every bucket-local read."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA, PufsCommitsStreamReader
+
+    root, w, log = _mk_catalog(tmp_path, n_top=6, n_sub=8)
+    mdir = str(tmp_path / "mirror")
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+    rdr = PufsCommitsStreamReader({"root": root})
+    batch = [
+        dict(zip(fields, t))
+        for t in rdr.readBetweenOffsets({"version": 0}, {"version": 1})
+    ]
+    M._fold_rows(root, mdir, batch, n_buckets=4, spark=spark)
+    assert M.maybe_rebucket(spark, mdir, max_bucket_bytes=1) == 16
+    v, sd, n, _ = M._resolve_state(mdir)
+    assert n == 16 and os.path.basename(sd).endswith("r16")
+    stale_plain = M._state_dir(mdir, v)
+    assert os.path.isdir(stale_plain)  # the hazard: old-rule dir survives
+
+    # the at-least-once replay of the same batch
+    M._fold_rows(root, mdir, batch, n_buckets=4, spark=spark)
+    v2, sd2, n2, _ = M._resolve_state(mdir)
+    assert (v2, sd2, n2) == (v, sd, 16)  # meta untouched
+
+    # and reads still resolve through the migrated state
+    from pufs_spark import serving
+
+    snap = serving.MirrorStore(mdir).snapshot()
+    assert snap.lookup("/top2/f3")[1] == 4
+    assert len(snap.list_dir("/top1")) == 8
+    paths = {r["path"] for r in M.read_mirror(spark, mdir).collect()}
+    assert len(paths) == 1 + 6 + 6 * 8
+
+    # a genuinely NEW delta still folds at the migrated count
+    t0 = w.resolve_path("/top0")
+    w.add_immutable_bytes(t0, "fresh", b"x")
+    log.commit(w)
+    rows2 = [
+        dict(zip(fields, t))
+        for t in rdr.readBetweenOffsets({"version": 1}, {"version": 2})
+    ]
+    M._fold_rows(root, mdir, rows2, n_buckets=4, spark=spark)
+    _v3, _sd3, n3, _ = M._resolve_state(mdir)
+    assert n3 == 16
+    assert "/top0/fresh" in {
+        r["path"] for r in M.read_mirror(spark, mdir).collect()
+    }

@@ -58,26 +58,35 @@ def client_worker(port: int, seed: int, seconds: float, paths: list[str],
     """Runs in its OWN process — clients must not share the server's
     GIL, or the bench measures client/server interpreter contention
     instead of service latency."""
-    c = serving.PufsClient("127.0.0.1", port, timeout=30.0)
-    rng = random.Random(seed)
     out = []
-    deadline = time.monotonic() + seconds
-    while time.monotonic() < deadline:
-        r = rng.random()
-        t0 = time.monotonic()
-        if r < 0.8:
-            op = "getattr"
-            resp = c.call(op=op, path=rng.choice(paths))
-        else:
-            # a depth-1 dir listing is the expensive op by design: its
-            # children spread across buckets (depth-2 key rule)
-            op = "list"
-            resp = c.call(op="get_dir_contents", path=rng.choice(dirs))
-        dt = time.monotonic() - t0
-        assert resp.get("errorMsg", "") == "", resp
-        out.append((time.monotonic(), dt, resp.get("mirrorVersion", -1), op))
-    c.close()
-    q.put(out)
+    try:
+        c = serving.PufsClient("127.0.0.1", port, timeout=30.0)
+        rng = random.Random(seed)
+        deadline = time.monotonic() + seconds
+        while time.monotonic() < deadline:
+            r = rng.random()
+            t0 = time.monotonic()
+            if r < 0.8:
+                op = "getattr"
+                resp = c.call(op=op, path=rng.choice(paths))
+            else:
+                # a depth-1 dir listing is the expensive op by design:
+                # its children spread across buckets (depth-2 key rule)
+                op = "list"
+                resp = c.call(op="get_dir_contents", path=rng.choice(dirs))
+            dt = time.monotonic() - t0
+            if resp.get("errorMsg", ""):
+                # in-band errors ARE part of the contract (a request
+                # straddling two folds): count them, don't crash —
+                # and a crashed worker would deadlock run_phase's
+                # q.get() anyway
+                op = "error"
+            out.append(
+                (time.monotonic(), dt, resp.get("mirrorVersion", -1), op)
+            )
+        c.close()
+    finally:
+        q.put(out)
 
 
 def run_phase(port: int, paths, dirs, seconds: float,
@@ -128,6 +137,7 @@ def summarize(samples: list, timeline: list, seconds: float) -> dict:
         **pcts([dt for _, dt, _, _ in samples]),
         "getattr": pcts([dt for _, dt, _, op in samples if op == "getattr"]),
         "list": pcts([dt for _, dt, _, op in samples if op == "list"]),
+        "errors": sum(1 for *_x, op in samples if op == "error"),
     }
     if timeline:
         # staleness of each answer = committed version at response time
