@@ -79,16 +79,24 @@ def main() -> None:
     # an analysis error in E1 crashed the harness and cost the round its
     # perf evidence). Failures report as null timings + an errors entry;
     # the JSON line always parses.
+    # Median-of-3 (was best-of-2): round-7 showed +10% suite drift on
+    # UNCHANGED code — machine state, not plans. The median damps both
+    # a slow outlier (GC pause) and a lucky cache hit; min/max spread
+    # is recorded per query so cross-round readers can tell a real
+    # regression (median moved beyond the spread) from noise.
     timings: dict[str, float | None] = {}
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         try:
-            for _ in range(2):  # best-of-2: damp JIT/GC noise across rounds
+            for _ in range(3):
                 t0 = time.monotonic()
                 force(qs[name](spark, sf_dir))
-                best = min(best, time.monotonic() - t0)
-            timings[name] = round(best, 3)
+                runs.append(time.monotonic() - t0)
+            runs.sort()
+            timings[name] = round(runs[1], 3)
+            spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
             errors[name] = f"{type(exc).__name__}: {exc}"[:500]
@@ -106,6 +114,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "sf": float(sf) if sf else None,
     }
     if errors:

@@ -166,7 +166,11 @@ class MirrorStore:
     size) signature survives version bumps for untouched buckets —
     refresh cost after a fold is O(changed buckets), and a lookup or
     non-root listing touches exactly one bucket. Only a root listing
-    or stat() faults in every bucket (once per change).
+    or stat() faults in every bucket (once per change). The cache is a
+    byte-capped LRU (``max_cache_bytes``, default 1 GiB): the server's
+    resident memory is O(cap) even when the request mix eventually
+    touches every bucket of a 10M-inode catalog — an evicted bucket
+    rebuilds from one parquet read.
 
     Consistency: every query runs against a ``snapshot()`` — version,
     state dir, bucket count, and top-group summary resolved from ONE
@@ -178,15 +182,68 @@ class MirrorStore:
     sees its state dir pruned and gets OSError — MirrorService retries
     once on a fresh snapshot, then reports in-band."""
 
-    def __init__(self, mirror_dir: str):
+    # Default decoded-bucket cache bound. Entries rebuild from one
+    # parquet read (~ms), so eviction is cheap; without a bound a
+    # long-lived server whose request mix eventually touches every
+    # bucket holds the ENTIRE catalog as Python dicts — multi-GB at
+    # the reference's 10M-inode cap (core/datastore.go:148), the same
+    # O(catalog)-in-one-process ceiling the mirror's checkpoint arm
+    # closed round 7, relocated into the server.
+    DEFAULT_CACHE_BYTES = 1 << 30  # 1 GiB of estimated decoded dicts
+
+    def __init__(self, mirror_dir: str, max_cache_bytes: int | None = None):
         self.mirror_dir = mirror_dir
-        # file → (sig, rows, kids): rows is path → (is_dir, size, bid);
-        # kids is parent-path → [(name, row)] so a listing reads its
-        # result directly instead of scanning every row in the bucket
-        # (measured: depth-1 listings were 16ms/bucket-scan at 20k
-        # inodes and serialized everything else behind the GIL).
-        self._cache: dict[str, tuple[tuple, dict, dict]] = {}
+        # file → (sig, rows, kids, est): rows is path → (is_dir, size,
+        # bid); kids is parent-path → [(name, row)] so a listing reads
+        # its result directly instead of scanning every row in the
+        # bucket (measured: depth-1 listings were 16ms/bucket-scan at
+        # 20k inodes and serialized everything else behind the GIL).
+        # OrderedDict + move_to_end = LRU; evicted past
+        # max_cache_bytes of ESTIMATED decoded size (paths are counted
+        # once but indexed twice, plus fixed per-row dict/tuple
+        # overhead — an upper-bound-ish estimate, not sys.getsizeof
+        # recursion, which would cost more than the decode).
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict[str, tuple[tuple, dict, dict, int]]" = (
+            OrderedDict()
+        )
+        self._cache_bytes = 0
+        self.max_cache_bytes = (
+            self.DEFAULT_CACHE_BYTES if max_cache_bytes is None
+            else max_cache_bytes
+        )
         self._lock = threading.Lock()
+
+    @staticmethod
+    def _entry_bytes(rows: dict) -> int:
+        """Estimated resident bytes of one decoded bucket: each row
+        appears in ``rows`` (dict slot + key str + value tuple) and
+        again in the kids index (list slot + name str + shared row
+        tuple) — ~300 B fixed overhead per row measured against
+        sys.getsizeof on a 20k-inode mirror, plus twice the path
+        text."""
+        return 300 * len(rows) + 2 * sum(len(p) for p in rows)
+
+    def cached_bytes(self) -> int:
+        with self._lock:
+            return self._cache_bytes
+
+    def _cache_put(self, fname: str, sig, rows: dict, kids: dict) -> None:
+        """Insert under the byte cap, evicting least-recently-used
+        entries first. A single bucket larger than the whole cap is
+        still cached alone (the cap bounds the steady state; refusing
+        it would re-decode on every request)."""
+        est = self._entry_bytes(rows)
+        with self._lock:
+            old = self._cache.pop(fname, None)
+            if old is not None:
+                self._cache_bytes -= old[3]
+            while self._cache and self._cache_bytes + est > self.max_cache_bytes:
+                _, evicted = self._cache.popitem(last=False)
+                self._cache_bytes -= evicted[3]
+            self._cache[fname] = (sig, rows, kids, est)
+            self._cache_bytes += est
 
     # -- state access ---------------------------------------------------
 
@@ -222,6 +279,7 @@ class MirrorStore:
         with self._lock:
             hit = self._cache.get(fname)
             if hit is not None and hit[0] == sig:
+                self._cache.move_to_end(fname)
                 return hit[1], hit[2]
         # pq.read_table may still hit FileNotFoundError/OSError if the
         # dir is pruned between the stat and here — it propagates as
@@ -240,8 +298,7 @@ class MirrorStore:
             if p != "/":
                 parent, _, name = p.rpartition("/")
                 kids.setdefault(parent or "/", []).append((name, row))
-        with self._lock:
-            self._cache[fname] = (sig, rows, kids)
+        self._cache_put(fname, sig, rows, kids)
         return rows, kids
 
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
@@ -500,12 +557,18 @@ def serve(
 
 def serve_mirror(
     mirror_dir: str, cas=None, host: str = "127.0.0.1", port: int = 0,
+    max_cache_bytes: int | None = None,
 ) -> tuple[PufsServer, int]:
     """Serve the S12 surface from a streaming catalog mirror — the
     read path decoupled from the single-writer driver (see
     MirrorService). ``cas`` (a sources.cas.Freezer) additionally
-    enables ranged ``read`` of frozen blocks."""
-    server = PufsServer(MirrorService(MirrorStore(mirror_dir), cas), host, port)
+    enables ranged ``read`` of frozen blocks. ``max_cache_bytes``
+    bounds the decoded-bucket LRU (default MirrorStore 1 GiB) so the
+    server's memory is O(cap), not O(catalog)."""
+    server = PufsServer(
+        MirrorService(MirrorStore(mirror_dir, max_cache_bytes), cas),
+        host, port,
+    )
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return server, server.server_address[1]

@@ -345,3 +345,59 @@ def test_serving_survives_live_rebucket_and_folds(spark, tmp_path):
     c.close()
     server.shutdown()
     assert M._resolve_state(mdir)[2] == 16
+
+
+def test_mirror_cache_is_byte_bounded_lru(spark, tmp_path):
+    """VERDICT r7 #1: the decoded-bucket cache must be O(cap), not
+    O(catalog). Serve a mirror whose decoded size exceeds a tiny cap,
+    touch EVERY bucket (lookups into each path's bucket plus a root
+    listing and stat, which fault in all buckets), and assert the
+    cached-byte estimate never exceeds the cap while answers stay
+    correct after eviction."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+    from pufs_spark.streaming import mirror as M
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    paths = {}
+    for i in range(40):
+        top = f"/d{i:02d}"
+        batch.append(row(1, "upsert", top, True, 0, None))
+        for j in range(25):
+            p = f"{top}/file-{j:03d}.bin"
+            paths[p] = 10 * i + j
+            batch.append(row(1, "upsert", p, False, 10 * i + j, f"bid-{i}-{j}"))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    unbounded = serving.MirrorStore(mdir)
+    snap = unbounded.snapshot()
+    snap.stat_totals()  # faults in every bucket
+    full = unbounded.cached_bytes()
+    assert full > 0
+
+    cap = max(1, full // 4)  # cache 4x smaller than the decoded catalog
+    store = serving.MirrorStore(mdir, max_cache_bytes=cap)
+    svc = serving.MirrorService(store)
+    peak = 0
+    for p, size in sorted(paths.items()):
+        resp = svc.handle({"op": "getattr", "path": p})
+        assert resp["errorMsg"] == "" and resp["size"] == size
+        peak = max(peak, store.cached_bytes())
+    st = svc.handle({"op": "stat"})
+    peak = max(peak, store.cached_bytes())
+    assert st["files"] == len(paths) and st["dirs"] == 41
+    listing = svc.handle({"op": "get_dir_contents", "path": "/d00"})
+    peak = max(peak, store.cached_bytes())
+    assert {e["name"] for e in listing["entries"]} == {
+        f"file-{j:03d}.bin" for j in range(25)
+    }
+    assert peak <= cap
+    # evicted entries re-decode transparently: re-read the first path
+    resp = svc.handle({"op": "getattr", "path": "/d00/file-000.bin"})
+    assert resp["errorMsg"] == "" and resp["size"] == 0
