@@ -186,15 +186,116 @@ def write_index_meta(spark, table: str, applied: list[str], pending) -> None:
         df.write.option("path", loc).mode("overwrite").saveAsTable(meta_t)
 
 
+# -- applied-marker files -------------------------------------------------
+#
+# The one-row meta/stats tables are rewritten by a tiny Spark overwrite
+# whose delete-then-move commit is NOT atomic: a crash inside the COMMIT
+# rewrite can empty the table, and the recovered (empty) applied ring
+# would let a replay of precisely that batch re-append (the r7 verdict's
+# "one-row marker residual", ROADMAP weak spot 8). The closure is the
+# commitlog.py atomic-claim pattern: after a batch's append lands, an
+# ``applied-<md5(batch_id)>`` file is created (Hadoop FS createNewFile —
+# atomic on local and HDFS) in a sidecar dir BEFORE the ring rewrite, so
+# "was this batch applied" survives any crash in the tiny table rewrite.
+# The sidecar hangs off the META/STATS table's location (not the index's):
+# compaction moves the postings table but never its one-row sibling, so
+# markers stay put across compactions.
+
+
+def _marker_dir(spark, table: str) -> str:
+    meta_t, stats_t = f"{table}_meta", f"{table}_stats"
+    if spark.catalog.tableExists(meta_t):
+        base = table_location(spark, meta_t)
+    elif spark.catalog.tableExists(stats_t):
+        base = table_location(spark, stats_t)
+    else:
+        base = f"{table_location(spark, table)}_meta"
+    return f"{base}_markers"
+
+
+def _marker_fs(spark, path: str):
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _marker_name(batch_id: str) -> str:
+    import hashlib
+
+    return f"applied-{hashlib.md5(str(batch_id).encode()).hexdigest()}"
+
+
+def applied_marker_exists(spark, table: str, batch_id: str) -> bool:
+    fs, p = _marker_fs(
+        spark, f"{_marker_dir(spark, table)}/{_marker_name(batch_id)}"
+    )
+    return fs.exists(p)
+
+
+def write_applied_marker(spark, table: str, batch_id: str) -> None:
+    """Atomically claim ``batch_id`` as applied (idempotent: an existing
+    marker is success). Prunes the sidecar to the newest
+    2×META_BATCH_RING markers by modification time — same replay-window
+    rationale as the ring itself."""
+    fs, p = _marker_fs(
+        spark, f"{_marker_dir(spark, table)}/{_marker_name(batch_id)}"
+    )
+    fs.mkdirs(p.getParent())
+    fs.createNewFile(p)
+    statuses = list(fs.listStatus(p.getParent()))
+    if len(statuses) > 2 * META_BATCH_RING:
+        statuses.sort(key=lambda s: s.getModificationTime())
+        for s in statuses[: len(statuses) - 2 * META_BATCH_RING]:
+            fs.delete(s.getPath(), False)
+
+
+def _settle_meta_pending(spark, table: str, applied: list[str], pend):
+    """Resolve a leftover intent in ``<table>_meta``: the file listing
+    changed since the intent's snapshot → the append LANDED (mark its
+    id applied, ring + marker file); unchanged → it never landed (drop
+    the intent; a replay redoes it). Returns (new ring, landed id or
+    None)."""
+    landed = files_snapshot(spark, table) != (pend["nfiles"], pend["fhash"])
+    if landed:
+        if pend["id"] not in applied:
+            applied = (applied + [pend["id"]])[-META_BATCH_RING:]
+        write_applied_marker(spark, table, pend["id"])
+    write_index_meta(spark, table, applied, None)
+    return applied, (pend["id"] if landed else None)
+
+
+def reconcile_pending(spark, table: str) -> bool:
+    """Settle any leftover commit-marker intent for ``table`` BEFORE a
+    file-layout change (compaction, vacuum): landed-ness is decided by
+    comparing file listings, so probing AFTER the layout changed would
+    misread a never-landed append as landed and silently drop that
+    batch's rows (ADVICE r8). Handles both marker styles — the
+    ``<table>_meta`` guarded_append protocol and the BM25 stats-row
+    twin. Returns True iff an intent was settled."""
+    did = False
+    applied, pend = read_index_meta(spark, table)
+    if pend is not None and pend["id"] is not None:
+        _settle_meta_pending(spark, table, applied, pend)
+        did = True
+    if spark.catalog.tableExists(f"{table}_stats"):
+        from pufs_spark.operators import text
+
+        did = text.reconcile_bm25_pending(spark, table) or did
+    return did
+
+
 def guarded_append(spark, table: str, batch_id: str | None, do_append) -> bool:
     """Run ``do_append()`` (an all-or-nothing Spark append into
     ``table``) exactly once per ``batch_id`` across at-least-once
-    replays, using a commit marker in ``<table>_meta``:
+    replays, using a commit marker in ``<table>_meta`` plus an
+    applied-marker file:
 
-    1. a replay of an applied id returns without touching the table;
+    1. a replay of an applied id (ring OR marker file) returns without
+       touching the table;
     2. INTENT — record (batch_id, pre-append file-listing snapshot);
     3. APPEND;
-    4. COMMIT — push the id onto the applied ring, clear the intent.
+    4. claim the applied-marker file (atomic createNewFile — survives
+       any crash in step 5's non-atomic one-row rewrite);
+    5. COMMIT — push the id onto the applied ring, clear the intent.
 
     On entry, a leftover intent from a crashed call is reconciled by
     re-listing the table: listing changed → that append landed (mark
@@ -206,18 +307,19 @@ def guarded_append(spark, table: str, batch_id: str | None, do_append) -> bool:
         do_append()
         return True
     applied, pend = read_index_meta(spark, table)
-    if batch_id in applied:
+    settle = pend is not None and pend["id"] is not None
+    if batch_id in applied or applied_marker_exists(spark, table, batch_id):
+        if settle:  # leftover intent from the crash that lost the ring
+            _settle_meta_pending(spark, table, applied, pend)
         return False
-    if pend is not None and pend["id"] is not None:
-        landed = files_snapshot(spark, table) != (pend["nfiles"], pend["fhash"])
-        if landed:
-            applied = (applied + [pend["id"]])[-META_BATCH_RING:]
-        write_index_meta(spark, table, applied, None)
-        if landed and pend["id"] == batch_id:
+    if settle:
+        applied, landed_id = _settle_meta_pending(spark, table, applied, pend)
+        if landed_id == batch_id:
             return False  # this very batch: the crashed append landed
     nfiles, fhash = files_snapshot(spark, table)
     write_index_meta(spark, table, applied, (batch_id, nfiles, fhash))
     do_append()
+    write_applied_marker(spark, table, batch_id)
     applied = (applied + [batch_id])[-META_BATCH_RING:]
     write_index_meta(spark, table, applied, None)
     return True
@@ -253,8 +355,17 @@ def compact_index(spark, table: str, new_path: str) -> str:
     rows, the bucket/sort spec (and therefore every pruned-scan plan)
     is preserved, and the file count drops back to ≤ one per bucket.
     Old files are deleted for local (file:) tables, left for the
-    caller otherwise. Returns the new location."""
+    caller otherwise. Returns the new location.
+
+    Any leftover commit-marker intent is settled FIRST
+    (``reconcile_pending``): the landed-ness probe compares file
+    listings, and compacting under an open intent would make the next
+    probe misread a never-landed append as landed — silently dropping
+    that batch's rows (ADVICE r8). The ingest loop's ordering
+    (update → compact) made this safe already; direct callers now are
+    too."""
     recover_interrupted_swap(spark, table)
+    reconcile_pending(spark, table)
     n_buckets, bucket_cols, sort_cols = _bucket_spec(spark, table)
     old_loc = table_location(spark, table)
     tmp_table = f"{table}__compact"

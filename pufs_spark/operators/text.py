@@ -475,11 +475,22 @@ def update_bm25_index(
     old, migrate = _load_bm25_stats(spark, table, path)
     applied = list(old.get("_batches") or [])
     n_total, avgdl = old["_n_total"], old["_avgdl"]
-    if batch_id is not None and batch_id in applied:
-        return  # replay of a fully-applied batch
-
     pend = old.get("_pending")
-    if pend is not None and pend["id"] is not None:
+    has_pend = pend is not None and pend["id"] is not None
+    if batch_id is not None and (
+        batch_id in applied
+        or indexes.applied_marker_exists(spark, table, batch_id)
+    ):
+        # Replay of a fully-applied batch. The marker-file arm covers
+        # the crash that EMPTIED the stats table mid-commit: totals
+        # were rebuilt exactly from the postings, the ring was lost,
+        # but the applied-marker file survives — without it this
+        # replay would re-append (ROADMAP weak spot 8, now closed).
+        if has_pend:
+            reconcile_bm25_pending(spark, table, path)
+        return
+
+    if has_pend:
         landed = indexes.files_snapshot(spark, table) != (
             pend["nfiles"], pend["fhash"],
         )
@@ -489,7 +500,9 @@ def update_bm25_index(
             n2 = n_total + pend["n"]
             total = (avgdl or 0.0) * n_total + (pend["s"] or 0)
             n_total, avgdl = n2, (total / n2) if n2 else None
-            applied = (applied + [pend["id"]])[-_BM25_BATCH_RING:]
+            if pend["id"] not in applied:
+                applied = (applied + [pend["id"]])[-_BM25_BATCH_RING:]
+            indexes.write_applied_marker(spark, table, pend["id"])
         _write_bm25_stats(
             spark, table, n_total, avgdl, applied, None, migrate
         )
@@ -497,34 +510,88 @@ def update_bm25_index(
         if landed and pend["id"] == batch_id:
             return  # this very batch: recovery completed it
 
-    toks = tokens_col(text_col)
-    words = new_docs.select(
-        F.col(id_col), F.size(toks).alias("_dl"), F.explode(toks).alias("_w")
-    )
-    postings = words.groupBy(id_col, "_w", "_dl").agg(
-        F.count(F.lit(1)).alias("_tf")
-    )
-    batch = new_docs.agg(
-        F.count(F.lit(1)).alias("n"), F.sum(F.size(toks)).alias("s")
-    ).collect()[0]
-    if batch_id is not None:
-        nfiles, fhash = indexes.files_snapshot(spark, table)
-        _write_bm25_stats(
-            spark, table, n_total, avgdl, applied,
-            (batch_id, batch["n"], batch["s"] or 0, nfiles, fhash), migrate,
+    # Materialize (id, tokens) once: the stats aggregate and the
+    # postings append MUST observe the same rows — a non-deterministic
+    # input (sampling, limit-after-shuffle) recomputed per job could
+    # record an intent n/s disagreeing with the postings actually
+    # appended, permanently skewing the totals after a crash-replay
+    # fold of that intent (ADVICE r8).
+    src = new_docs.select(
+        F.col(id_col), tokens_col(text_col).alias("_toks")
+    ).persist()
+    try:
+        words = src.select(
+            id_col, F.size("_toks").alias("_dl"),
+            F.explode("_toks").alias("_w"),
         )
-        migrate = False
-    postings.select(
-        spark.table(table).columns  # align column order for insertInto
-    ).write.insertInto(table)
-    n_new = n_total + batch["n"]
-    total_len = (avgdl or 0.0) * n_total + (batch["s"] or 0)
-    if batch_id is not None:
-        applied = (applied + [batch_id])[-_BM25_BATCH_RING:]
-    _write_bm25_stats(
-        spark, table, n_new, (total_len / n_new) if n_new else None,
-        applied, None, migrate,
+        postings = words.groupBy(id_col, "_w", "_dl").agg(
+            F.count(F.lit(1)).alias("_tf")
+        )
+        batch = src.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("_toks")).alias("s")
+        ).collect()[0]
+        if batch_id is not None:
+            nfiles, fhash = indexes.files_snapshot(spark, table)
+            _write_bm25_stats(
+                spark, table, n_total, avgdl, applied,
+                (batch_id, batch["n"], batch["s"] or 0, nfiles, fhash),
+                migrate,
+            )
+            migrate = False
+        postings.select(
+            spark.table(table).columns  # align column order for insertInto
+        ).write.insertInto(table)
+        if batch_id is not None:
+            # atomic claim BEFORE the non-atomic one-row rewrite below:
+            # a crash inside that rewrite can no longer reset replay
+            # protection for this batch
+            indexes.write_applied_marker(spark, table, batch_id)
+        n_new = n_total + batch["n"]
+        total_len = (avgdl or 0.0) * n_total + (batch["s"] or 0)
+        if batch_id is not None:
+            applied = (applied + [batch_id])[-_BM25_BATCH_RING:]
+        _write_bm25_stats(
+            spark, table, n_new, (total_len / n_new) if n_new else None,
+            applied, None, migrate,
+        )
+    finally:
+        src.unpersist()
+
+
+def reconcile_bm25_pending(spark, table: str, path: str | None = None) -> bool:
+    """Settle a leftover ``_pending`` intent in the stats row without
+    running an update — the BM25 twin of the ``<table>_meta`` arm of
+    ``indexes.reconcile_pending``, called before any file-layout
+    change (compaction) so the landed-ness probe can never race one.
+    Same fold as ``update_bm25_index``'s inline recovery: listing
+    changed → fold the recorded n/s, push the ring, claim the marker
+    file; unchanged → drop the intent. Returns True iff an intent was
+    settled."""
+    from pufs_spark.operators import indexes
+
+    if path is None:
+        # only consulted if the stats table is missing (then recreated
+        # next to the postings' CURRENT location, which is the right
+        # place after a compaction moved them)
+        path = indexes.table_location(spark, table)
+    old, migrate = _load_bm25_stats(spark, table, path)
+    pend = old.get("_pending")
+    if pend is None or pend["id"] is None:
+        return False
+    applied = list(old.get("_batches") or [])
+    n_total, avgdl = old["_n_total"], old["_avgdl"]
+    landed = indexes.files_snapshot(spark, table) != (
+        pend["nfiles"], pend["fhash"],
     )
+    if landed:
+        n2 = n_total + pend["n"]
+        total = (avgdl or 0.0) * n_total + (pend["s"] or 0)
+        n_total, avgdl = n2, (total / n2) if n2 else None
+        if pend["id"] not in applied:
+            applied = (applied + [pend["id"]])[-_BM25_BATCH_RING:]
+        indexes.write_applied_marker(spark, table, pend["id"])
+    _write_bm25_stats(spark, table, n_total, avgdl, applied, None, migrate)
+    return True
 
 
 # table name → stats-table filesystem path, so the steady-state peek
@@ -566,23 +633,34 @@ def _bm25_stats_view(spark, table: str):
     if loc is ...:
         loc = resolve_loc()
     if loc is None:
-        return stats_df.select("_n_total", "_avgdl")
-    try:
-        import pyarrow.parquet as pq
+        # hdfs/s3a-backed index: no driver-side file peek, but skipping
+        # the pending fold entirely would score appended postings
+        # against pre-append stats after a crash (ADVICE r8) — read the
+        # one-row stats table through Spark instead (tiny job per
+        # search; acceptable for the non-local case only).
+        try:
+            rows = stats_df.collect()
+        except Exception:  # noqa: BLE001 — racing a rewrite
+            return stats_df.select("_n_total", "_avgdl")
+        # recursive: downstream treats _pending as a plain dict
+        row = rows[0].asDict(recursive=True) if rows else None
+    else:
+        try:
+            import pyarrow.parquet as pq
 
-        files = sorted(glob.glob(os.path.join(loc, "*.parquet")))
-        if not files:  # stale cache (table recreated elsewhere)?
-            loc = resolve_loc()
-            files = (
-                sorted(glob.glob(os.path.join(loc, "*.parquet")))
-                if loc is not None
-                else []
-            )
-        row = pq.read_table(files).to_pylist()[0] if files else None
-    except Exception:  # noqa: BLE001 — racing a stats rewrite (missing
-        # file, ArrowInvalid from a partial/mixed-schema read): the
-        # peek is best-effort, serve the lazy view
-        return stats_df.select("_n_total", "_avgdl")
+            files = sorted(glob.glob(os.path.join(loc, "*.parquet")))
+            if not files:  # stale cache (table recreated elsewhere)?
+                loc = resolve_loc()
+                files = (
+                    sorted(glob.glob(os.path.join(loc, "*.parquet")))
+                    if loc is not None
+                    else []
+                )
+            row = pq.read_table(files).to_pylist()[0] if files else None
+        except Exception:  # noqa: BLE001 — racing a stats rewrite
+            # (missing file, ArrowInvalid from a partial/mixed-schema
+            # read): the peek is best-effort, serve the lazy view
+            return stats_df.select("_n_total", "_avgdl")
     if row is None:
         # stats table emptied by a crashed rewrite: exact lazy recovery
         return _stats_from_postings(spark, table)

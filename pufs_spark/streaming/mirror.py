@@ -505,6 +505,25 @@ def _fold_rows(
     has_rebuild = any(
         r["change"] == "checkpoint" for rs in by_version.values() for r in rs
     )
+    if has_rebuild and spark is None:
+        # Driver-arm twin of the spark arm's ``vc <= prev_version``
+        # branch (ADVICE r7): a batch whose NEWEST checkpoint is already
+        # folded (stale replay) must not rebuild state at that old
+        # version and then fold only the batch's rows — missing
+        # intermediate versions would regress the mirror. Drop the
+        # stale checkpoints and fold only the genuinely new deltas.
+        vc = max(
+            v
+            for v, rs in by_version.items()
+            if any(r["change"] == "checkpoint" for r in rs)
+        )
+        if vc <= prev_version:
+            # non-empty by construction: the pure-replay gate above
+            # already returned when max(by_version) <= prev_version
+            by_version = {
+                v: rs for v, rs in by_version.items() if v > prev_version
+            }
+            has_rebuild = False  # vc was the max: no checkpoint survives
     prev_dir = _pd if prev_version >= 0 else _state_dir(mirror_dir, -1)
     if spark is not None and (has_rebuild or depth_migration):
         if has_rebuild:

@@ -221,3 +221,99 @@ def test_plain_replay_is_a_noop(loop):
     assert stats_after["_batches"] == stats_before["_batches"]
     final = corpus.union(r2.accepted.select("doc_id", "text")).localCheckpoint()
     check(final)
+
+
+def test_crash_emptying_bm25_stats_table_no_reappend(loop, monkeypatch):
+    """Point E (r7 verdict task 5): the stats COMMIT rewrite is a tiny
+    non-atomic Spark overwrite — a crash inside it can leave the table
+    EMPTY, which used to reset the applied ring so a replay of exactly
+    that batch re-appended its postings. The applied-marker file
+    (claimed atomically between the append and the rewrite) must now
+    make the replay a no-op append-wise, with totals rebuilt exactly
+    from the postings."""
+    spark, corpus, batches, run, check = loop
+
+    def arm(mp):
+        real = text._write_bm25_stats
+
+        def crash_mid_rewrite(spark_, table, n_total, avgdl, applied,
+                              pending, migrate):
+            if pending is None:  # the post-append commit call
+                # simulate the half-done overwrite: table left empty
+                spark_.createDataFrame([], text._STATS_SCHEMA).write.mode(
+                    "overwrite"
+                ).insertInto(f"{table}_stats", overwrite=True)
+                raise RuntimeError("injected inside stats rewrite")
+            return real(spark_, table, n_total, avgdl, applied, pending,
+                        migrate)
+
+        mp.setattr(text, "_write_bm25_stats", crash_mid_rewrite)
+        return lambda: mp.setattr(text, "_write_bm25_stats", real)
+
+    final = _ingest_all_with_crash(spark, corpus, batches, run, 1, arm,
+                                   monkeypatch)
+    check(final)
+
+
+def test_crash_emptying_nd_meta_table_no_reappend(loop, monkeypatch):
+    """Point F: same residual for guarded_append's one-row
+    ``<table>_meta`` — a crash that empties it mid-COMMIT loses the
+    ring, but the applied-marker file must stop the replay from
+    double-appending the batch's signatures."""
+    spark, corpus, batches, run, check = loop
+
+    def arm(mp):
+        real = indexes.write_index_meta
+        state = {"writes": 0}
+
+        def crash_mid_rewrite(spark_, table, applied, pending):
+            if pending is None and state["writes"] > 0:
+                spark_.createDataFrame([], indexes._META_SCHEMA).write.mode(
+                    "overwrite"
+                ).insertInto(f"{table}_meta", overwrite=True)
+                raise RuntimeError("injected inside meta rewrite")
+            state["writes"] += 1
+            return real(spark_, table, applied, pending)
+
+        mp.setattr(indexes, "write_index_meta", crash_mid_rewrite)
+        return lambda: mp.setattr(indexes, "write_index_meta", real)
+
+    final = _ingest_all_with_crash(spark, corpus, batches, run, 1, arm,
+                                   monkeypatch)
+    check(final)
+
+
+def test_compact_under_open_intent_does_not_drop_batch(loop, monkeypatch,
+                                                       tmp_path):
+    """ADVICE r8: a never-landed intent + a file-layout change between
+    the crash and the replay used to make the landed probe misread the
+    dead append as landed — silently dropping the batch. compact_index
+    now settles the intent first, so the replay redoes the append."""
+    spark, corpus, batches, run, check = loop
+    cur = corpus
+    r = run(batches[0], cur, "b0")
+    cur = cur.union(r.accepted.select("doc_id", "text")).localCheckpoint()
+
+    # crash batch b1 between the ND intent write and its append
+    real = indexes.guarded_append
+
+    def crash_after_intent(spark_, table, batch_id, do_append):
+        def no_append():
+            raise RuntimeError("injected before ND append")
+
+        return real(spark_, table, batch_id, no_append)
+
+    monkeypatch.setattr(indexes, "guarded_append", crash_after_intent)
+    with pytest.raises(RuntimeError, match="injected"):
+        run(batches[1], cur, "b1")
+    monkeypatch.undo()
+
+    # the layout change lands BEFORE the replay
+    indexes.compact_index(spark, ND, str(tmp_path / "nd-compacted"))
+
+    r = run(batches[1], cur, "b1")  # replay must redo the append
+    assert r.n_accepted > 0
+    cur = cur.union(r.accepted.select("doc_id", "text")).localCheckpoint()
+    r = run(batches[2], cur, "b2")
+    cur = cur.union(r.accepted.select("doc_id", "text")).localCheckpoint()
+    check(cur)

@@ -368,3 +368,45 @@ def test_fold_replay_after_rebucket_keeps_migrated_state(spark, tmp_path):
     assert "/top0/fresh" in {
         r["path"] for r in M.read_mirror(spark, mdir).collect()
     }
+
+
+def test_driver_arm_ignores_stale_checkpoint_replay(tmp_path, monkeypatch):
+    """ADVICE r8: the spark-less arm must mirror the spark arm's
+    ``vc <= prev_version`` guard. A batch carrying an already-folded
+    checkpoint (v0) plus a newer delta (v2) — with the mirror at v1
+    and v1's rows NOT in the batch — must fold only the v2 delta:
+    rebuilding at v0 would silently drop v1's content."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+
+    mdir = str(tmp_path / "mirror")
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    M._fold_rows(str(tmp_path), mdir, [
+        row(0, "upsert", "/", True, 0, None),
+        row(0, "upsert", "/a", False, 1, "bid-a"),
+        row(1, "upsert", "/b", False, 2, "bid-b"),
+    ], spark=None)
+    assert M.mirror_version(mdir) == 1
+
+    def no_rebuild(*a, **kw):
+        raise AssertionError("stale checkpoint triggered a rebuild")
+
+    monkeypatch.setattr(M, "_rebuild_state", no_rebuild)
+    M._fold_rows(str(tmp_path), mdir, [
+        row(0, "checkpoint", None),
+        row(2, "upsert", "/c", False, 3, "bid-c"),
+    ], spark=None)
+    assert M.mirror_version(mdir) == 2
+
+    import pyarrow.parquet as pq
+
+    _v, sd, _n, _s = M._resolve_state(mdir)
+    paths = set()
+    for f in os.listdir(sd):
+        if f.startswith("bucket-"):
+            paths |= set(pq.read_table(os.path.join(sd, f))["path"].to_pylist())
+    assert paths == {"/", "/a", "/b", "/c"}
