@@ -355,6 +355,17 @@ def build_ann_index(
         .mode("overwrite")
         .saveAsTable(table)
     )
+    # Baseline for the retrain signal: the build corpus's own
+    # assignment-quality distribution, computed from the COMMITTED
+    # inverted lists (an equality join back to the broadcast centroids
+    # — no argmax re-run), logged as the "__build__" row the per-batch
+    # drift stats compare against (``ann_index_drift``).
+    spark.sql(f"DROP TABLE IF EXISTS {table}_drift")
+    _append_drift_row(
+        spark, table, "__build__",
+        _assigned_sim_stats(spark.table(table), cent_df, vec_col),
+        path=f"{path}_drift",
+    )
 
 
 def update_ann_index(
@@ -377,21 +388,123 @@ def update_ann_index(
     Frozen-centroid caveat (IVF's standard retrain story): appends
     don't move centroids, so a corpus that drifts far from the build
     distribution degrades recall; rebuild via ``build_ann_index``
-    periodically — the analog of ``indexes.compact_index``'s file
-    maintenance, which also applies here (each call appends up to one
-    file per bucket)."""
+    periodically. WHEN to retrain is not guesswork: each applied batch
+    logs its assignment-quality stats (mean / p10 cosine to the
+    assigned centroid) into ``<table>_drift`` next to the build
+    corpus's own baseline — ``ann_index_drift`` turns the log into a
+    per-batch drop-vs-baseline signal — note the baseline is the build
+    corpus's own (train-set) quality, so even in-distribution batches
+    show a small positive generalization gap; calibrate the retrain
+    threshold on the first few batches (the drift row is best-effort
+    diagnostics: a crash between the append and the drift write loses
+    that batch's row, never the data). File maintenance
+    (``indexes.compact_index``) also applies here — each call appends
+    up to one file per bucket."""
     from pufs_spark.operators import indexes
 
     spark = new_vecs.sparkSession
     cent = spark.table(f"{table}_centroids")
-    inv = _assign_to_centroids(
+    # Persist the batch-sized assignment: the append and the drift
+    # stats must observe the same rows (same rationale as the BM25
+    # stats/postings pairing).
+    assigned = _assign_to_centroids(
         new_vecs, cent, id_col, vec_col, id_col, 1
-    ).select(id_col, F.col("_v").alias(vec_col), "centroid_id")
+    ).persist()
+    try:
+        inv = assigned.select(
+            id_col, F.col("_v").alias(vec_col), "centroid_id"
+        )
 
-    def do_append():
-        inv.select(spark.table(table).columns).write.insertInto(table)
+        def do_append():
+            inv.select(spark.table(table).columns).write.insertInto(table)
 
-    indexes.guarded_append(spark, table, batch_id, do_append)
+        if indexes.guarded_append(spark, table, batch_id, do_append):
+            _append_drift_row(
+                spark, table, batch_id,
+                _assigned_sim_stats(
+                    assigned.withColumnRenamed("_v", vec_col), cent, vec_col
+                ),
+            )
+    finally:
+        assigned.unpersist()
+
+
+def _assigned_sim_stats(assigned: DataFrame, cent: DataFrame, vec_col: str):
+    """(n, mean_sim, p10_sim) of cosine similarity between each row's
+    vector and its ASSIGNED centroid — an equality join on centroid_id
+    against the broadcast centroid table (no argmax re-run). Unlike the
+    index's hot path (raw dot over unit-norm-by-contract inputs), the
+    drift stat normalizes BOTH sides: a drifted batch that also breaks
+    the norm contract must read as drift, not as inflated similarity."""
+
+    def _norm(c):
+        return F.sqrt(
+            F.aggregate(
+                _as_double(F.col(c)), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+
+    denom = _norm(vec_col) * _norm("_cv")
+    return (
+        assigned.join(F.broadcast(cent.select("centroid_id", "_cv")),
+                      "centroid_id")
+        .withColumn(
+            "_csim",
+            F.when(denom == 0.0, F.lit(0.0)).otherwise(
+                cosine_sim_col(vec_col, "_cv") / denom
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("_csim").alias("mean_sim"),
+            F.percentile_approx("_csim", 0.1).alias("p10_sim"),
+        )
+        .collect()[0]
+    )
+
+
+_DRIFT_SCHEMA = "batch_id string, n bigint, mean_sim double, p10_sim double"
+
+
+def _append_drift_row(spark, table: str, batch_id, stats, path=None) -> None:
+    from pufs_spark.operators import indexes
+
+    drift_t = f"{table}_drift"
+    df = spark.createDataFrame(
+        [(batch_id, stats["n"], stats["mean_sim"], stats["p10_sim"])],
+        _DRIFT_SCHEMA,
+    )
+    if spark.catalog.tableExists(drift_t):
+        df.write.mode("append").insertInto(drift_t)
+    else:
+        loc = path or f"{indexes.table_location(spark, table)}_drift"
+        df.write.option("path", loc).mode("append").saveAsTable(drift_t)
+
+
+def ann_index_drift(spark, table: str) -> DataFrame:
+    """The IVF retrain signal: per-batch assignment-quality drop vs
+    the build baseline. Returns (batch_id, n, mean_sim, p10_sim,
+    mean_drop, p10_drop) — drops are baseline minus batch, so a
+    drifting corpus (vectors landing ever farther from the frozen
+    centroids) shows a growing positive ``mean_drop``. Runbook: the
+    baseline is train-set quality, so expect a small steady
+    generalization gap from the first batches; retrain
+    (``build_ann_index`` over the full corpus) when mean_drop trends
+    well past that early-batch plateau for consecutive batches. The
+    log is tiny (one row per applied batch)."""
+    drift = spark.table(f"{table}_drift")
+    base = drift.where(F.col("batch_id") == "__build__").select(
+        F.col("mean_sim").alias("_base_mean"),
+        F.col("p10_sim").alias("_base_p10"),
+    )
+    return (
+        drift.crossJoin(F.broadcast(base))
+        .select(
+            "batch_id", "n", "mean_sim", "p10_sim",
+            (F.col("_base_mean") - F.col("mean_sim")).alias("mean_drop"),
+            (F.col("_base_p10") - F.col("p10_sim")).alias("p10_drop"),
+        )
+    )
 
 
 def ivf_topk(

@@ -197,7 +197,7 @@ def test_ivf_updates_then_compact_equals_frozen_centroid_assignment(
     seed = emb.where(F.col("vec_id") % 3 == 0)
     parts = [emb.where(F.col("vec_id") % 3 == i) for i in (1, 2)]
     queries = emb.where(F.col("vec_id") % 25 == 0).limit(8)
-    _drop(spark, "ivf_ci", "ivf_ci_centroids", "ivf_ci_meta")
+    _drop(spark, "ivf_ci", "ivf_ci_centroids", "ivf_ci_meta", "ivf_ci_drift")
     similarity.build_ann_index(seed, "ivf_ci", str(wh / "inc"), buckets=8)
     try:
         for i, p in enumerate(parts):
@@ -230,7 +230,61 @@ def test_ivf_updates_then_compact_equals_frozen_centroid_assignment(
         }
         assert got == want and got
     finally:
-        _drop(spark, "ivf_ci", "ivf_ci_centroids", "ivf_ci_meta")
+        _drop(spark, "ivf_ci", "ivf_ci_centroids", "ivf_ci_meta",
+              "ivf_ci_drift")
+
+
+def test_ivf_drift_signal_flags_shifted_batch(spark, tmp_path_factory):
+    """The frozen-centroid retrain signal (r7 verdict task 4): an
+    in-distribution batch's assignment-quality drop vs the build
+    baseline stays small, a deliberately shifted batch pushes
+    mean_drop far past it; replays log nothing twice. The shift must
+    genuinely move the DISTRIBUTION — negating the (symmetric) test
+    embeddings is distribution-preserving and shows zero drift — so
+    the build/in-dist corpus lives in dims 0-31 and the shifted batch
+    in dims 32-63: orthogonal to every learned centroid by
+    construction (assigned cosine exactly 0)."""
+    from pufs_spark.operators import similarity
+
+    wh = tmp_path_factory.mktemp("ivf_drift")
+    lo = F.expr(
+        "transform(embedding, (x, i) ->"
+        " case when i < 32 then x else cast(0.0 as float) end)"
+    ).alias("embedding")
+    hi = F.expr(
+        "transform(embedding, (x, i) ->"
+        " case when i >= 32 then x else cast(0.0 as float) end)"
+    ).alias("embedding")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seed = emb.where(F.col("vec_id") % 3 == 0).select("vec_id", lo)
+    indist = emb.where(F.col("vec_id") % 3 == 1).select("vec_id", lo)
+    shifted = emb.where(F.col("vec_id") % 3 == 2).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), hi
+    )
+    _drop(spark, "ivf_dr", "ivf_dr_centroids", "ivf_dr_meta", "ivf_dr_drift")
+    similarity.build_ann_index(seed, "ivf_dr", str(wh / "idx"), buckets=8)
+    try:
+        similarity.update_ann_index(indist, "ivf_dr", batch_id="in")
+        similarity.update_ann_index(shifted, "ivf_dr", batch_id="shift")
+        similarity.update_ann_index(indist, "ivf_dr", batch_id="in")  # replay
+        rows = {
+            r["batch_id"]: r
+            for r in similarity.ann_index_drift(spark, "ivf_dr").collect()
+        }
+        assert set(rows) == {"__build__", "in", "shift"}  # replay: no dup row
+        assert rows["__build__"]["mean_drop"] == 0.0
+        # Random vectors are the worst case for k-means generalization,
+        # so even the in-distribution batch shows a train/held-out gap
+        # (~0.2 on this data); the SIGNAL is the separation: the shifted
+        # batch (orthogonal subspace → assigned cosine exactly 0, drop
+        # = the full build baseline) must sit clearly past it.
+        assert rows["in"]["mean_drop"] < 0.35
+        assert abs(rows["shift"]["mean_sim"]) < 1e-6
+        assert rows["shift"]["mean_drop"] > rows["in"]["mean_drop"] + 0.1
+        assert rows["shift"]["p10_drop"] > 0.1
+    finally:
+        _drop(spark, "ivf_dr", "ivf_dr_centroids", "ivf_dr_meta",
+              "ivf_dr_drift")
 
 
 def test_listing_ignores_temporary_staging_files(spark, docs, tmp_path_factory):
