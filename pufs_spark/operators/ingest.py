@@ -35,7 +35,10 @@ sized (BASELINE.md's persisted-index table: flat in corpus size);
 step 4 shuffles only the batch by the bucket expressions; step 5 is
 the only corpus-sized cost and amortizes over
 ``max_files_per_bucket`` batches. Nothing in the loop scans the
-corpus per batch.
+corpus's TEXT per batch; the only input that grows with the corpus is
+the id-freshness guard's column-pruned, shuffle-free probe of the
+index's id column (opt-out for trusted feeds — see
+``check_id_freshness``).
 
 Streaming: run this inside ``foreachBatch`` on the output of
 ``pipeline.stream_clean_corpus`` (skip_clean=True — the stream gates
@@ -50,6 +53,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pufs_spark.operators import dedup, indexes, text
+
+
+class BatchIdCollisionError(ValueError):
+    """An accepted doc id already exists in the near-dup index and the
+    batch is not a recognized replay: folding it would silently double
+    BM25 postings and LSH signatures for that id (the contract
+    ``ingest_corpus_batch`` documents and, since r8, enforces)."""
 
 
 @dataclass
@@ -107,6 +117,7 @@ def ingest_corpus_batch(
     min_alpha_ratio: float = 0.5,
     max_files_per_bucket: int = 8,
     compact_paths: dict[str, str] | None = None,
+    check_id_freshness: bool = True,
 ) -> IngestResult:
     """One turn of the ingest loop (see module docstring). The batch
     is MATERIALIZED once up front (persist) — every stage and both
@@ -120,6 +131,21 @@ def ingest_corpus_batch(
     contract). Caller contracts: batch ids are globally fresh (id
     collisions with the corpus would double BM25 postings), and
     ``corpus_df`` contains exactly the docs the indexes contain.
+
+    The id-freshness contract is ENFORCED (``check_id_freshness``,
+    default on): before the folds, the accepted ids are probed against
+    the near-dup index and a collision raises
+    ``BatchIdCollisionError`` instead of silently corrupting both
+    indexes. Replays stay legal: a ``batch_id`` already applied to the
+    ND index (ring, marker file, or a just-settled pending intent)
+    skips the probe — its collisions ARE the prior application, and
+    the guarded folds below no-op / partial-apply exactly as the crash
+    -recovery tests pin. Cost note: the probe is a broadcast semi-join
+    against the index's column-pruned id column — no shuffle, no
+    signature/text read, but it IS the one per-batch read whose input
+    grows with the corpus (O(corpus×bands) ids of a single column);
+    trusted feeds (e.g. ids minted from a monotone sequence) can turn
+    it off.
 
     ``compact_paths`` maps table name → base path for generation-
     suffixed compaction output (defaults to ``<current location> +
@@ -167,6 +193,32 @@ def ingest_corpus_batch(
     # missing files), and the caller holds them across future batches.
     accepted = dedup.dedup_keep_first(survivors, within, id_col).localCheckpoint()
     n_accepted = accepted.count()
+
+    if n_accepted and check_id_freshness:
+        # Settle any crashed append's intent first so "already applied"
+        # is decided on reconciled state (a landed-but-uncommitted
+        # append is a replay, not a collision).
+        indexes.reconcile_pending(spark, nd_table)
+        is_replay = batch_id is not None and (
+            batch_id in indexes.read_index_meta(spark, nd_table)[0]
+            or indexes.applied_marker_exists(spark, nd_table, batch_id)
+        )
+        if not is_replay:
+            clashes = [
+                r[id_col]
+                for r in spark.table(nd_table)
+                .select(id_col)
+                .join(F.broadcast(accepted.select(id_col)), id_col, "semi")
+                .limit(5)
+                .collect()
+            ]
+            if clashes:
+                raise BatchIdCollisionError(
+                    f"batch {batch_id!r}: accepted ids already present in "
+                    f"index {nd_table!r} (sample: {sorted(clashes)}); ids "
+                    "must be globally fresh — folding would double BM25 "
+                    "postings and LSH signatures for these ids"
+                )
 
     if n_accepted:
         # Both folds carry the SAME batch_id: each index has its own

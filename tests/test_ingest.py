@@ -150,3 +150,66 @@ def test_ingest_clean_gates_apply(spark, corpus_batches, tmp_path_factory):
         assert r.n_after_clean < r.n_in
     finally:
         _drop(spark)
+
+
+def test_ingest_rejects_id_collision_but_allows_replay(
+    spark, corpus_batches, tmp_path_factory
+):
+    """The id-freshness contract is enforced (r7 verdict task 3): a
+    batch whose accepted ids already live in the near-dup index raises
+    BatchIdCollisionError BEFORE any fold (neither index moves), while
+    a replay of an already-applied batch_id sails through (its
+    collisions are its own prior application)."""
+    corpus, fresh1, _ = corpus_batches
+    wh = tmp_path_factory.mktemp("ingest_ids")
+    _drop(spark)
+    dedup.build_near_dup_index(corpus, ND, str(wh / "nd"), rows=4, buckets=8)
+    text.build_bm25_index(corpus, BM, str(wh / "bm"), buckets=8)
+    try:
+        r1 = ingest.ingest_corpus_batch(
+            fresh1, corpus, ND, BM, str(wh / "bm"),
+            rows=4, batch_id="f1", skip_clean=True,
+        )
+        assert r1.n_accepted > 0
+        corpus2 = corpus.union(r1.accepted.select("doc_id", "text")).cache()
+        nd_rows = spark.table(ND).count()
+        bm_stats = spark.table(f"{BM}_stats").collect()[0]
+
+        # replay of the SAME batch under its applied batch_id: legal,
+        # and the guarded folds no-op (indexes unchanged)
+        ingest.ingest_corpus_batch(
+            fresh1, corpus2, ND, BM, str(wh / "bm"),
+            rows=4, batch_id="f1", skip_clean=True,
+        )
+        assert spark.table(ND).count() == nd_rows
+        assert spark.table(f"{BM}_stats").collect()[0]["_n_total"] == \
+            bm_stats["_n_total"]
+
+        # a NEW batch_id re-submitting an already-indexed id with
+        # DIFFERENT text (so no dedup stage catches it): must raise,
+        # and must raise before either index moved
+        colliding_id = r1.accepted.orderBy("doc_id").limit(1).collect()[0][
+            "doc_id"
+        ]
+        bad = spark.createDataFrame(
+            [(colliding_id, "totally new words the index never saw")],
+            "doc_id long, text string",
+        )
+        with pytest.raises(ingest.BatchIdCollisionError, match=str(colliding_id)):
+            ingest.ingest_corpus_batch(
+                bad, corpus2, ND, BM, str(wh / "bm"),
+                rows=4, batch_id="f2", skip_clean=True,
+            )
+        assert spark.table(ND).count() == nd_rows
+        assert spark.table(f"{BM}_stats").collect()[0]["_batches"] == ["f1"]
+
+        # opt-out for trusted feeds: same batch folds when disabled
+        # (documented corruption risk is the caller's)
+        r3 = ingest.ingest_corpus_batch(
+            bad, corpus2, ND, BM, str(wh / "bm"),
+            rows=4, batch_id="f3", skip_clean=True,
+            check_id_freshness=False,
+        )
+        assert r3.n_accepted == 1
+    finally:
+        _drop(spark)
