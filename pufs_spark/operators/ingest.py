@@ -55,6 +55,80 @@ from pyspark.sql import functions as F
 from pufs_spark.operators import dedup, indexes, text
 
 
+def restore_lost_index(
+    spark,
+    lost_table: str,
+    kind: str,
+    corpus_df: DataFrame,
+    path: str,
+    surviving_table: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    rows: int = 2,
+    buckets: int = 64,
+) -> list[str]:
+    """Disaster-recovery runbook for a LOST persisted index (disk loss,
+    fat-fingered rm of one index's directory): every index is fully
+    redundant with the accepted-corpus parquet, so the restore is a
+    one-shot rebuild — ``kind`` is ``"near_dup"`` or ``"bm25"``;
+    ``corpus_df`` must be the service's accepted corpus (exactly the
+    docs the surviving lineage contains), and the LSH params must equal
+    the lost build's.
+
+    The rebuild alone is NOT enough for a standing service: a fresh
+    build has an EMPTY applied-batch ring, so an at-least-once replay
+    of the last batch — whose docs are already in ``corpus_df`` and
+    therefore in the rebuilt index — would re-fold it (double postings
+    / signatures). Passing ``surviving_table`` seeds the restored
+    ring + marker files from the surviving twin's applied ids (both
+    indexes apply the same batch ids, so the survivor's ring is the
+    ground truth). Returns the seeded ids.
+
+    Run at a batch boundary: pause the loop, restore, resume — the
+    drill tests/test_ingest_recovery.py::test_restore_lost_*_index
+    pins rebuilt ≡ surviving-lineage query equality and a clean resume.
+    """
+    if kind not in ("near_dup", "bm25"):
+        raise ValueError(f"kind must be 'near_dup' or 'bm25', got {kind!r}")
+    for t in (lost_table, f"{lost_table}_meta", f"{lost_table}_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    if kind == "near_dup":
+        dedup.build_near_dup_index(
+            corpus_df, lost_table, path, text_col, id_col,
+            k, num_hashes, bands, rows, buckets,
+        )
+    else:
+        text.build_bm25_index(
+            corpus_df, lost_table, path, text_col, id_col, buckets
+        )
+
+    applied: list[str] = []
+    if surviving_table is not None:
+        applied, _ = indexes.read_index_meta(spark, surviving_table)
+        if not applied and spark.catalog.tableExists(f"{surviving_table}_stats"):
+            srow, _mig = text._load_bm25_stats(
+                spark, surviving_table,
+                indexes.table_location(spark, surviving_table),
+            )
+            applied = list(srow.get("_batches") or [])
+    if applied:
+        applied = applied[-indexes.META_BATCH_RING:]
+        if kind == "near_dup":
+            indexes.write_index_meta(spark, lost_table, applied, None)
+        else:
+            srow, mig = text._load_bm25_stats(spark, lost_table, path)
+            text._write_bm25_stats(
+                spark, lost_table, srow["_n_total"], srow["_avgdl"],
+                applied, None, mig,
+            )
+        for bid in applied:
+            indexes.write_applied_marker(spark, lost_table, bid)
+    return applied
+
+
 class BatchIdCollisionError(ValueError):
     """An accepted doc id already exists in the near-dup index and the
     batch is not a recognized replay: folding it would silently double

@@ -317,3 +317,98 @@ def test_compact_under_open_intent_does_not_drop_batch(loop, monkeypatch,
     r = run(batches[2], cur, "b2")
     cur = cur.union(r.accepted.select("doc_id", "text")).localCheckpoint()
     check(cur)
+
+
+def _disk_loss(spark, table, *paths):
+    """Simulate losing one index's disk: remove its files AND its
+    catalog entries (external-table DROP deletes nothing, so both are
+    needed for a true loss)."""
+    import shutil
+
+    for t in (table, f"{table}_meta", f"{table}_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for p in paths:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def test_restore_lost_bm25_index(loop, tmp_path):
+    """Disaster drill (r7 verdict task 2), BM25 arm: after a completed
+    batch, the BM25 index's disk is lost entirely; restore_lost_index
+    rebuilds it from the accepted-corpus parquet, seeds the applied
+    ring from the surviving near-dup twin, the rebuilt index answers
+    queries identically to a fresh lineage, a replay of the last batch
+    folds nothing, and the loop resumes cleanly."""
+    spark, corpus, batches, run, check = loop
+    r1 = run(batches[0], corpus, "r1")
+    assert r1.n_accepted > 0
+    corpus2 = corpus.union(
+        r1.accepted.select("doc_id", "text")
+    ).localCheckpoint()
+
+    _disk_loss(
+        spark, BM,
+        str(tmp_path / "bm"), str(tmp_path / "bm_stats"),
+        str(tmp_path / "bm_stats_markers"),
+    )
+    seeded = ingest.restore_lost_index(
+        spark, BM, "bm25", corpus2, str(tmp_path / "bm"),
+        surviving_table=ND, buckets=8,
+    )
+    assert seeded == ["r1"]
+    assert spark.table(f"{BM}_stats").collect()[0]["_batches"] == ["r1"]
+    check(corpus2)  # rebuilt ≡ fresh reference lineage, both indexes
+
+    # replay of the restored batch: nothing folds twice
+    bm_rows = spark.table(BM).count()
+    run(batches[0], corpus2, "r1")
+    assert spark.table(BM).count() == bm_rows
+    assert spark.table(f"{BM}_stats").collect()[0]["_n_total"] == \
+        corpus2.count()
+
+    # resume the loop
+    r2 = run(batches[1], corpus2, "r2")
+    assert r2.n_accepted > 0
+    final = corpus2.union(
+        r2.accepted.select("doc_id", "text")
+    ).localCheckpoint()
+    check(final)
+
+
+def test_restore_lost_neardup_index(loop, tmp_path):
+    """Disaster drill, near-dup arm: lose the LSH index's disk, restore
+    from the corpus seeded from the surviving BM25 twin's _batches
+    ring, verify rebuilt ≡ fresh lineage, corpus-resubmission rejection
+    still works, and the loop resumes."""
+    spark, corpus, batches, run, check = loop
+    r1 = run(batches[0], corpus, "n1")
+    assert r1.n_accepted > 0
+    corpus2 = corpus.union(
+        r1.accepted.select("doc_id", "text")
+    ).localCheckpoint()
+
+    _disk_loss(
+        spark, ND,
+        str(tmp_path / "nd"), str(tmp_path / "nd_meta"),
+        str(tmp_path / "nd_meta_markers"),
+    )
+    seeded = ingest.restore_lost_index(
+        spark, ND, "near_dup", corpus2, str(tmp_path / "nd"),
+        surviving_table=BM, rows=4, buckets=8,
+    )
+    assert seeded == ["n1"]
+    assert indexes.read_index_meta(spark, ND)[0] == ["n1"]
+    check(corpus2)
+
+    # the restored index still rejects corpus re-submissions and the
+    # replay-detection ring still recognizes n1
+    resub = (
+        r1.accepted.orderBy("doc_id").limit(2)
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    )
+    r2 = run(batches[1].union(resub), corpus2, "n2")
+    acc2 = {r["doc_id"] for r in r2.accepted.collect()}
+    assert not {r["doc_id"] for r in resub.collect()} & acc2
+    final = corpus2.union(
+        r2.accepted.select("doc_id", "text")
+    ).localCheckpoint()
+    check(final)
