@@ -401,3 +401,93 @@ def test_mirror_cache_is_byte_bounded_lru(spark, tmp_path):
     # evicted entries re-decode transparently: re-read the first path
     resp = svc.handle({"op": "getattr", "path": "/d00/file-000.bin"})
     assert resp["errorMsg"] == "" and resp["size"] == 0
+
+
+def test_mirror_fleet_parity_folds_and_failover(spark, tmp_path):
+    """serve_mirror_fleet (r7 verdict task 6): N processes share one
+    port via SO_REUSEPORT, each with its own bounded cache. Fresh
+    connections land across the fleet and all answer the single-server
+    surface; a fold is visible fleet-wide (every process re-resolves
+    the snapshot per request); killing one worker sheds only its
+    connections — new ones land on survivors."""
+    import os
+    import time
+
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.sources.cas import Freezer
+    from pufs_spark.streaming import mirror as M
+
+    root = str(tmp_path / "cat")
+    mdir = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "docs")
+    w.add_immutable_bytes(d, "a.txt", b"alpha contents")
+    w.mkdir(d, "sub")
+    log.commit(w)
+
+    def refresh():
+        q = M.start_catalog_mirror(spark, root, mdir, ckpt)
+        q.awaitTermination(120)
+
+    refresh()
+    fz_path = os.path.join(root, "freezer")
+    fleet, port = serving.serve_mirror_fleet(
+        mdir, n_procs=3, cas_factory=lambda: Freezer(fz_path)
+    )
+    clients = []
+    try:
+        assert fleet.alive() == 3
+        # a spread of fresh connections: every one answers the full
+        # surface identically, wherever the kernel lands it
+        for _ in range(6):
+            c = serving.PufsClient("127.0.0.1", port)
+            clients.append(c)
+            resp = c.get_dir_contents("/docs")
+            assert resp["errorMsg"] == "" and resp["mirrorVersion"] == 0
+            assert {e["name"] for e in resp["entries"]} == {"a.txt", "sub"}
+            assert c.read_bytes("/docs/a.txt") == b"alpha contents"
+            assert "NotFoundError" in c.get_dir_contents("/nope")["errorMsg"]
+
+        # a fold lands under the running fleet: visible on EVERY
+        # already-open connection (snapshot re-resolves per request)
+        w.add_immutable_bytes(w.resolve_path("/docs"), "late.txt", b"late")
+        log.commit(w)
+        refresh()
+        for c in clients:
+            resp = c.get_dir_contents("/docs")
+            assert resp["mirrorVersion"] == 1
+            assert "late.txt" in {e["name"] for e in resp["entries"]}
+
+        # failover: kill one worker; NEW connections keep being served
+        # by the survivors (retry: the dead listener leaves the group
+        # when its process exits)
+        fleet.procs[0].terminate()
+        fleet.procs[0].join(timeout=10)
+        assert fleet.alive() == 2
+        deadline = time.monotonic() + 15
+        served = 0
+        while served < 6 and time.monotonic() < deadline:
+            try:
+                c = serving.PufsClient("127.0.0.1", port, timeout=5.0)
+            except OSError:
+                time.sleep(0.1)
+                continue
+            try:
+                resp = c.get_dir_contents("/docs")
+            except (OSError, ValueError):
+                time.sleep(0.1)
+                continue
+            finally:
+                c.close()
+            if resp.get("errorMsg") == "":
+                assert {e["name"] for e in resp["entries"]} == {
+                    "a.txt", "sub", "late.txt"
+                }
+                served += 1
+        assert served == 6
+    finally:
+        for c in clients:
+            c.close()
+        fleet.stop()
+    assert fleet.alive() == 0

@@ -38,6 +38,7 @@ from pufs_spark.streaming import mirror as M  # noqa: E402
 N_INODES = int(os.environ.get("BENCH_INODES", "20000"))
 SECONDS = float(os.environ.get("BENCH_SECONDS", "10"))
 N_CLIENTS = int(os.environ.get("BENCH_CLIENTS", "4"))
+FLEET_SIZES = os.environ.get("BENCH_FLEET", "1,2,4")
 
 
 def build_catalog(root: str, n_inodes: int) -> tuple:
@@ -90,7 +91,7 @@ def client_worker(port: int, seed: int, seconds: float, paths: list[str],
 
 
 def run_phase(port: int, paths, dirs, seconds: float,
-              writer=None) -> tuple[list, list]:
+              writer=None, n_clients: int | None = None) -> tuple[list, list]:
     import multiprocessing as mp
 
     ctx = mp.get_context("fork")
@@ -98,7 +99,7 @@ def run_phase(port: int, paths, dirs, seconds: float,
     procs = [
         ctx.Process(target=client_worker,
                     args=(port, 1000 + i, seconds, paths, dirs, q))
-        for i in range(N_CLIENTS)
+        for i in range(N_CLIENTS if n_clients is None else n_clients)
     ]
     stop = threading.Event()
     timeline: list[tuple[float, int]] = []
@@ -195,6 +196,26 @@ def main() -> None:
         samples, timeline = run_phase(port, paths, dirs, SECONDS, writer)
         out["live"] = summarize(samples, timeline, SECONDS)
         server.shutdown()
+
+        # fleet scaling (r7 verdict task 6): same catalog, quiescent,
+        # N SO_REUSEPORT processes. Long-lived connections stick to one
+        # worker by 4-tuple hash, so offer 4 clients PER worker to
+        # spread the group; per-phase client count scales with the
+        # fleet so the offered load isn't the ceiling.
+        out["fleet"] = {}
+        for n in (int(x) for x in FLEET_SIZES.split(",") if x):
+            fleet, fport = serving.serve_mirror_fleet(mdir, n_procs=n)
+            try:
+                nclients = max(N_CLIENTS, 4 * n)
+                samples, _ = run_phase(
+                    fport, paths, dirs, SECONDS, n_clients=nclients
+                )
+                out["fleet"][str(n)] = {
+                    "clients": nclients,
+                    **summarize(samples, [], SECONDS),
+                }
+            finally:
+                fleet.stop()
     print(json.dumps(out))
 
 
