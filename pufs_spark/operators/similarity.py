@@ -360,11 +360,10 @@ def build_ann_index(
     # inverted lists (an equality join back to the broadcast centroids
     # — no argmax re-run), logged as the "__build__" row the per-batch
     # drift stats compare against (``ann_index_drift``).
-    spark.sql(f"DROP TABLE IF EXISTS {table}_drift")
     _append_drift_row(
         spark, table, "__build__",
         _assigned_sim_stats(spark.table(table), cent_df, vec_col),
-        path=f"{path}_drift",
+        path=f"{path}_drift", overwrite=True,
     )
 
 
@@ -466,7 +465,17 @@ def _assigned_sim_stats(assigned: DataFrame, cent: DataFrame, vec_col: str):
 _DRIFT_SCHEMA = "batch_id string, n bigint, mean_sim double, p10_sim double"
 
 
-def _append_drift_row(spark, table: str, batch_id, stats, path=None) -> None:
+def _append_drift_row(
+    spark, table: str, batch_id, stats, path=None, overwrite=False
+) -> None:
+    """``overwrite=True`` (the build baseline) RESETS the log — a
+    retrain at the SAME path must clear the prior lineage's rows on
+    disk, or the recreated external table would resurface them and a
+    duplicated ``__build__`` row would fan out every
+    ``ann_index_drift`` answer through its baseline join. A per-batch
+    write into an index that predates the drift log (no table, no
+    baseline) is skipped: there is nothing to compare against until
+    the next retrain creates the baseline."""
     from pufs_spark.operators import indexes
 
     drift_t = f"{table}_drift"
@@ -474,11 +483,12 @@ def _append_drift_row(spark, table: str, batch_id, stats, path=None) -> None:
         [(batch_id, stats["n"], stats["mean_sim"], stats["p10_sim"])],
         _DRIFT_SCHEMA,
     )
-    if spark.catalog.tableExists(drift_t):
-        df.write.mode("append").insertInto(drift_t)
-    else:
+    if overwrite:
+        spark.sql(f"DROP TABLE IF EXISTS {drift_t}")
         loc = path or f"{indexes.table_location(spark, table)}_drift"
-        df.write.option("path", loc).mode("append").saveAsTable(drift_t)
+        df.write.option("path", loc).mode("overwrite").saveAsTable(drift_t)
+    elif spark.catalog.tableExists(drift_t):
+        df.write.mode("append").insertInto(drift_t)
 
 
 def ann_index_drift(spark, table: str) -> DataFrame:

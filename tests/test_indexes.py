@@ -359,3 +359,32 @@ def test_emptied_marker_tables_self_heal(spark, docs, tmp_path_factory):
     finally:
         _drop(spark, "bm25_hl", "bm25_hl_stats",
               "bm25_hl_ref", "bm25_hl_ref_stats")
+
+
+def test_ivf_retrain_at_same_path_resets_drift_log(spark, tmp_path_factory):
+    """A retrain (build_ann_index at the SAME path — the documented
+    runbook) must reset the drift log: DROP TABLE on an external table
+    deletes nothing, so without an on-disk overwrite the recreated log
+    would resurface the old lineage's rows and a duplicated __build__
+    baseline would fan out every ann_index_drift answer."""
+    from pufs_spark.operators import similarity
+
+    wh = tmp_path_factory.mktemp("ivf_retrain")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seed = emb.where(F.col("vec_id") % 3 == 0)
+    batch = emb.where(F.col("vec_id") % 3 == 1)
+    _drop(spark, "ivf_rt", "ivf_rt_centroids", "ivf_rt_meta", "ivf_rt_drift")
+    similarity.build_ann_index(seed, "ivf_rt", str(wh / "idx"), buckets=8)
+    try:
+        similarity.update_ann_index(batch, "ivf_rt", batch_id="a")
+        assert spark.table("ivf_rt_drift").count() == 2
+        # retrain over the grown corpus, SAME path
+        similarity.build_ann_index(
+            seed.union(batch), "ivf_rt", str(wh / "idx"), buckets=8
+        )
+        got = similarity.ann_index_drift(spark, "ivf_rt").collect()
+        assert [r["batch_id"] for r in got] == ["__build__"]
+        assert got[0]["mean_drop"] == 0.0
+    finally:
+        _drop(spark, "ivf_rt", "ivf_rt_centroids", "ivf_rt_meta",
+              "ivf_rt_drift")
