@@ -14,13 +14,16 @@ Per batch, ``ingest_corpus_batch``:
    the bucketed index scan is pre-partitioned, only the batch
    shuffles) and batch docs that near-duplicate an earlier-accepted
    doc of the SAME batch (``near_dup_pairs`` on the cleaned batch);
-4. folds the accepted docs into both persisted indexes
+4. folds the accepted docs into the persisted indexes
    (``update_near_dup_index`` so the NEXT batch's step 3 sees them;
-   ``update_bm25_index`` so search stays current) — both folds carry
-   the caller's ``batch_id``, and each index keeps a per-batch commit
-   marker, so an at-least-once replay re-applies exactly the appends
-   that didn't land (crash-point soak: tests/test_ingest_recovery);
-5. compacts either index in place when its small-file count crosses
+   ``update_bm25_index`` so search stays current; when ``ann_table``
+   is set and the batch carries embeddings, ``update_ann_index`` so
+   similarity search stays current too — with its per-batch drift
+   stat feeding the retrain signal) — every fold carries the caller's
+   ``batch_id``, and each index keeps a per-batch commit marker, so
+   an at-least-once replay re-applies exactly the appends that didn't
+   land (crash-point soak: tests/test_ingest_recovery);
+5. compacts any index in place when its small-file count crosses
    the threshold (``indexes.needs_compaction`` → ``compact_index``
    into a generation-suffixed path) — the maintenance the append
    paths defer.
@@ -52,7 +55,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pufs_spark.operators import dedup, indexes, text
+from pufs_spark.operators import dedup, indexes, similarity, text
 
 
 def restore_lost_index(
@@ -64,19 +67,23 @@ def restore_lost_index(
     surviving_table: str | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
+    vec_col: str = "embedding",
     k: int = 5,
     num_hashes: int = 64,
     bands: int = 16,
     rows: int = 2,
     buckets: int = 64,
+    n_centroids: int = 16,
+    ivf_buckets: int = 16,
 ) -> list[str]:
     """Disaster-recovery runbook for a LOST persisted index (disk loss,
     fat-fingered rm of one index's directory): every index is fully
     redundant with the accepted-corpus parquet, so the restore is a
-    one-shot rebuild — ``kind`` is ``"near_dup"`` or ``"bm25"``;
-    ``corpus_df`` must be the service's accepted corpus (exactly the
-    docs the surviving lineage contains), and the LSH params must equal
-    the lost build's.
+    one-shot rebuild — ``kind`` is ``"near_dup"``, ``"bm25"`` or
+    ``"ivf"`` (the ivf corpus must carry ``vec_col``; the retrain also
+    resets the drift baseline); ``corpus_df`` must be the service's
+    accepted corpus (exactly the docs the surviving lineage contains),
+    and the LSH/IVF params must equal the lost build's.
 
     The rebuild alone is NOT enough for a standing service: a fresh
     build has an EMPTY applied-batch ring, so an at-least-once replay
@@ -91,14 +98,22 @@ def restore_lost_index(
     drill tests/test_ingest_recovery.py::test_restore_lost_*_index
     pins rebuilt ≡ surviving-lineage query equality and a clean resume.
     """
-    if kind not in ("near_dup", "bm25"):
-        raise ValueError(f"kind must be 'near_dup' or 'bm25', got {kind!r}")
-    for t in (lost_table, f"{lost_table}_meta", f"{lost_table}_stats"):
+    if kind not in ("near_dup", "bm25", "ivf"):
+        raise ValueError(
+            f"kind must be 'near_dup', 'bm25' or 'ivf', got {kind!r}"
+        )
+    for t in (lost_table, f"{lost_table}_meta", f"{lost_table}_stats",
+              f"{lost_table}_centroids", f"{lost_table}_drift"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     if kind == "near_dup":
         dedup.build_near_dup_index(
             corpus_df, lost_table, path, text_col, id_col,
             k, num_hashes, bands, rows, buckets,
+        )
+    elif kind == "ivf":
+        similarity.build_ann_index(
+            corpus_df, lost_table, path, n_centroids, id_col, vec_col,
+            ivf_buckets,
         )
     else:
         text.build_bm25_index(
@@ -116,7 +131,7 @@ def restore_lost_index(
             applied = list(srow.get("_batches") or [])
     if applied:
         applied = applied[-indexes.META_BATCH_RING:]
-        if kind == "near_dup":
+        if kind in ("near_dup", "ivf"):  # both use the _meta protocol
             indexes.write_index_meta(spark, lost_table, applied, None)
         else:
             srow, mig = text._load_bm25_stats(spark, lost_table, path)
@@ -192,6 +207,8 @@ def ingest_corpus_batch(
     max_files_per_bucket: int = 8,
     compact_paths: dict[str, str] | None = None,
     check_id_freshness: bool = True,
+    ann_table: str | None = None,
+    vec_col: str = "embedding",
 ) -> IngestResult:
     """One turn of the ingest loop (see module docstring). The batch
     is MATERIALIZED once up front (persist) — every stage and both
@@ -221,15 +238,32 @@ def ingest_corpus_batch(
     trusted feeds (e.g. ids minted from a monotone sequence) can turn
     it off.
 
+    ``ann_table`` (optional) names a persisted IVF index
+    (``similarity.build_ann_index``) maintained as the loop's THIRD
+    guarded fold: accepted rows' ``vec_col`` embeddings append under
+    the same ``batch_id`` (exactly-once across replays, like the other
+    two), the per-batch drift stat lands in ``<ann_table>_drift``
+    (``ann_index_drift`` is the retrain signal), and the index joins
+    the compaction sweep. The batch must then CARRY ``vec_col``
+    (embeddings are computed upstream; this loop never runs a model).
+
     ``compact_paths`` maps table name → base path for generation-
     suffixed compaction output (defaults to ``<current location> +
     '-gN'``); compaction runs only when ``needs_compaction`` fires."""
     spark = batch.sparkSession
     cols = batch.columns
-    # Self-heal before touching either index: a crash inside a prior
+    if ann_table is not None and vec_col not in cols:
+        raise ValueError(
+            f"ann_table={ann_table!r} needs the batch to carry "
+            f"{vec_col!r}; batch columns: {cols}"
+        )
+    # Self-heal before touching any index: a crash inside a prior
     # compaction's DROP→RENAME window leaves the rows only under
     # <table>__compact — complete the rename first (O(1) catalog ops).
-    for t in (nd_table, bm25_table):
+    index_tables = [nd_table, bm25_table] + (
+        [ann_table] if ann_table is not None else []
+    )
+    for t in index_tables:
         indexes.recover_interrupted_swap(spark, t)
     n_in = batch.count()
 
@@ -308,9 +342,14 @@ def ingest_corpus_batch(
             accepted, bm25_table, bm25_path, text_col, id_col,
             batch_id=batch_id,
         )
+        if ann_table is not None:
+            similarity.update_ann_index(
+                accepted.select(id_col, vec_col), ann_table,
+                id_col=id_col, vec_col=vec_col, batch_id=batch_id,
+            )
 
     compacted: list[str] = []
-    for t in (nd_table, bm25_table):
+    for t in index_tables:
         if indexes.needs_compaction(spark, t, max_files_per_bucket):
             loc = indexes.table_location(spark, t)
             base = (compact_paths or {}).get(t)

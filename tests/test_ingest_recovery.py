@@ -412,3 +412,189 @@ def test_restore_lost_neardup_index(loop, tmp_path):
         r2.accepted.select("doc_id", "text")
     ).localCheckpoint()
     check(final)
+
+
+def _with_vec(df, dims=8):
+    """Deterministic pseudo-embedding per doc id (the loop never runs
+    a model; embeddings arrive on the batch)."""
+    return df.withColumn(
+        "embedding",
+        F.array(*[
+            (F.pmod(F.hash(F.col("doc_id") + F.lit(i)), F.lit(1000))
+             .cast("float") / 500.0 - 1.0)
+            for i in range(dims)
+        ]),
+    )
+
+
+def _ivf_equals_frozen_assignment(spark, table, corpus_vecs):
+    """The incremental-IVF equality harness: index content must equal
+    assigning every corpus vector against the index's (frozen)
+    centroids."""
+    from pufs_spark.operators import similarity
+
+    cent = spark.table(f"{table}_centroids")
+    want = {
+        (r["doc_id"], r["centroid_id"])
+        for r in similarity._assign_to_centroids(
+            corpus_vecs.select("doc_id", "embedding"),
+            cent, "doc_id", "embedding", "doc_id", 1,
+        ).select("doc_id", "centroid_id").collect()
+    }
+    got = {
+        (r["doc_id"], r["centroid_id"])
+        for r in spark.table(table).select("doc_id", "centroid_id").collect()
+    }
+    assert got == want and got
+
+
+def test_three_index_loop_crash_before_ann_fold(spark, tmp_path, monkeypatch):
+    """The loop's THIRD guarded fold (ann_table): a crash strictly
+    between the BM25 fold and the IVF fold replays to a state where
+    ND and BM25 skip (rings) and the IVF append applies exactly once —
+    index ≡ frozen-centroid assignment of the final corpus, drift log
+    has exactly one row per applied batch, no duplicates."""
+    from pufs_spark.operators import similarity
+
+    docs = _with_vec(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    )
+    corpus = docs.where(F.col("doc_id") < 60).cache()
+    b0 = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+    b1 = docs.where((F.col("doc_id") >= 80) & (F.col("doc_id") < 100))
+    for t in ("tri_nd", "tri_nd_meta", "tri_bm", "tri_bm_stats", "tri_ann",
+              "tri_ann_meta", "tri_ann_centroids", "tri_ann_drift",
+              "tri_ref", "tri_ref_stats"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup.build_near_dup_index(corpus, "tri_nd", str(tmp_path / "nd"),
+                               rows=4, buckets=8)
+    text.build_bm25_index(corpus, "tri_bm", str(tmp_path / "bm"), buckets=8)
+    similarity.build_ann_index(
+        corpus.select("doc_id", "embedding"), "tri_ann",
+        str(tmp_path / "ann"), n_centroids=4, id_col="doc_id", buckets=4,
+    )
+
+    def run(batch, corpus_now, bid):
+        return ingest.ingest_corpus_batch(
+            batch, corpus_now, "tri_nd", "tri_bm", str(tmp_path / "bm"),
+            rows=4, batch_id=bid, skip_clean=True,
+            ann_table="tri_ann", id_col="doc_id",
+        )
+
+    try:
+        r0 = run(b0, corpus, "t0")
+        assert r0.n_accepted > 0
+        corpus1 = corpus.union(r0.accepted.select(*corpus.columns)) \
+            .localCheckpoint()
+
+        # crash strictly between the BM25 fold and the ANN fold
+        real = similarity.update_ann_index
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected before ANN fold")
+
+        monkeypatch.setattr(similarity, "update_ann_index", boom)
+        with pytest.raises(RuntimeError, match="injected"):
+            run(b1, corpus1, "t1")
+        monkeypatch.setattr(similarity, "update_ann_index", real)
+        r1 = run(b1, corpus1, "t1")  # at-least-once replay
+        assert r1.n_accepted > 0
+        final = corpus1.union(r1.accepted.select(*corpus.columns)) \
+            .localCheckpoint()
+
+        _ivf_equals_frozen_assignment(spark, "tri_ann", final)
+        # the text twins converged too (rings skipped their replays)
+        s = spark.table("tri_bm_stats").collect()[0]
+        assert s["_n_total"] == final.count()
+        assert s["_batches"] == ["t0", "t1"]
+        # drift log: one row per applied batch, ordered, no dupes
+        drift = {r["batch_id"] for r in spark.table("tri_ann_drift").collect()}
+        assert drift == {"__build__", "t0", "t1"}
+        assert spark.table("tri_ann_drift").count() == 3
+
+        # full replay of a completed batch: nothing moves anywhere
+        ann_rows = spark.table("tri_ann").count()
+        run(b1, final, "t1")
+        assert spark.table("tri_ann").count() == ann_rows
+        assert spark.table("tri_ann_drift").count() == 3
+    finally:
+        for t in ("tri_nd", "tri_nd_meta", "tri_bm", "tri_bm_stats",
+                  "tri_ann", "tri_ann_meta", "tri_ann_centroids",
+                  "tri_ann_drift", "tri_ref", "tri_ref_stats"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_restore_lost_ivf_index(spark, tmp_path):
+    """Disaster drill, IVF arm: lose the ANN index's disk (inverted
+    lists, centroids, drift log, meta), restore via retrain over the
+    accepted corpus seeded from the surviving ND twin's ring, verify
+    self-consistency (index ≡ assignment against the NEW centroids +
+    fresh drift baseline), and resume the loop."""
+    from pufs_spark.operators import similarity
+
+    docs = _with_vec(
+        load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    )
+    corpus = docs.where(F.col("doc_id") < 60).cache()
+    b0 = docs.where((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+    b1 = docs.where((F.col("doc_id") >= 80) & (F.col("doc_id") < 100))
+    tables = ("ri_nd", "ri_nd_meta", "ri_bm", "ri_bm_stats", "ri_ann",
+              "ri_ann_meta", "ri_ann_centroids", "ri_ann_drift")
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    dedup.build_near_dup_index(corpus, "ri_nd", str(tmp_path / "nd"),
+                               rows=4, buckets=8)
+    text.build_bm25_index(corpus, "ri_bm", str(tmp_path / "bm"), buckets=8)
+    similarity.build_ann_index(
+        corpus.select("doc_id", "embedding"), "ri_ann",
+        str(tmp_path / "ann"), n_centroids=4, id_col="doc_id", buckets=4,
+    )
+
+    def run(batch, corpus_now, bid):
+        return ingest.ingest_corpus_batch(
+            batch, corpus_now, "ri_nd", "ri_bm", str(tmp_path / "bm"),
+            rows=4, batch_id=bid, skip_clean=True,
+            ann_table="ri_ann", id_col="doc_id",
+        )
+
+    try:
+        r0 = run(b0, corpus, "v0")
+        assert r0.n_accepted > 0
+        corpus1 = corpus.union(r0.accepted.select(*corpus.columns)) \
+            .localCheckpoint()
+
+        _disk_loss(
+            spark, "ri_ann",
+            str(tmp_path / "ann"), str(tmp_path / "ann_centroids"),
+            str(tmp_path / "ann_drift"), str(tmp_path / "ann_meta"),
+            str(tmp_path / "ann_meta_markers"),
+        )
+        spark.sql("DROP TABLE IF EXISTS ri_ann_centroids")
+        spark.sql("DROP TABLE IF EXISTS ri_ann_drift")
+        seeded = ingest.restore_lost_index(
+            spark, "ri_ann", "ivf",
+            corpus1.select("doc_id", "embedding"),
+            str(tmp_path / "ann"), surviving_table="ri_nd",
+            id_col="doc_id", n_centroids=4, ivf_buckets=4,
+        )
+        assert seeded == ["v0"]
+        _ivf_equals_frozen_assignment(spark, "ri_ann", corpus1)
+        base = spark.table("ri_ann_drift").collect()
+        assert [r["batch_id"] for r in base] == ["__build__"]
+
+        # a replay of v0 folds nothing (seeded ring + marker files)
+        ann_rows = spark.table("ri_ann").count()
+        run(b0, corpus1, "v0")
+        assert spark.table("ri_ann").count() == ann_rows
+
+        # resume
+        r1 = run(b1, corpus1, "v1")
+        assert r1.n_accepted > 0
+        final = corpus1.union(r1.accepted.select(*corpus.columns)) \
+            .localCheckpoint()
+        _ivf_equals_frozen_assignment(spark, "ri_ann", final)
+        assert {r["batch_id"] for r in spark.table("ri_ann_drift").collect()} \
+            == {"__build__", "v1"}
+    finally:
+        for t in tables:
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
