@@ -491,3 +491,81 @@ def test_mirror_fleet_parity_folds_and_failover(spark, tmp_path):
             c.close()
         fleet.stop()
     assert fleet.alive() == 0
+
+
+def test_fleet_survives_live_rebucket_and_folds(spark, tmp_path):
+    """The fleet twin of the live-rebucket chaos: requests spread
+    across N SO_REUSEPORT processes race a fold, a forced bucket-count
+    migration, and another fold. Every process pins one snapshot per
+    request against its own cache, so the same guarantees must hold
+    fleet-wide: no connection dies, no in-band errors at this fold
+    cadence, post-migration answers correct at the new bucket count
+    from EVERY worker."""
+    import threading
+
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.streaming import mirror as M
+
+    root = str(tmp_path / "cat")
+    mdir = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    w, log = CL.open_log(root)
+    for i in range(8):
+        d = w.mkdir(ROOT_INODE, f"top{i}")
+        for j in range(40):
+            w.add_immutable_bytes(d, f"f{j}", b"x" * (j + 1))
+    log.commit(w)
+
+    def refresh(**kw):
+        q = M.start_catalog_mirror(spark, root, mdir, ckpt, **kw)
+        q.awaitTermination(120)
+
+    refresh(n_buckets=4)
+    fleet, port = serving.serve_mirror_fleet(mdir, n_procs=3)
+    stop = threading.Event()
+    bad: list = []
+
+    def hammer(seed):
+        c = serving.PufsClient("127.0.0.1", port)
+        i = seed
+        while not stop.is_set():
+            r1 = c.call(op="getattr", path=f"/top{i % 8}/f{i % 40}")
+            r2 = c.call(op="get_dir_contents", path=f"/top{(i + 3) % 8}")
+            for r in (r1, r2):
+                if r.get("errorMsg"):
+                    bad.append(r)
+            i += 1
+        c.close()
+
+    ts = [threading.Thread(target=hammer, args=(i * 7,)) for i in range(6)]
+    for t in ts:
+        t.start()
+    try:
+        d = w.resolve_path("/top0")
+        w.add_immutable_bytes(d, "live1", b"a")
+        log.commit(w)
+        refresh()
+        assert M.maybe_rebucket(spark, mdir, max_bucket_bytes=1) == 16
+        w.add_immutable_bytes(d, "live2", b"bb")
+        log.commit(w)
+        refresh()
+    finally:
+        stop.set()
+        for t in ts:
+            t.join()
+    try:
+        assert bad == []
+        assert fleet.alive() == 3
+        # several fresh connections (spread across workers): all serve
+        # the migrated state
+        for _ in range(6):
+            c = serving.PufsClient("127.0.0.1", port)
+            resp = c.call(op="getattr", path="/top0/live2")
+            assert resp["errorMsg"] == "" and resp["size"] == 2
+            assert resp["mirrorVersion"] == log.current_version()
+            names = {e["name"] for e in c.get_dir_contents("/top0")["entries"]}
+            assert {"live1", "live2"} <= names
+            c.close()
+    finally:
+        fleet.stop()
+    assert M._resolve_state(mdir)[2] == 16
