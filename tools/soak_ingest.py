@@ -13,7 +13,13 @@ compaction fires repeatedly mid-run. The claims this measures:
 Prints one JSON line with per-batch walls, accepted counts, file
 counts, and compaction events. Results land in BASELINE.md.
 
-Usage: [SPARK_GRAFT_SF_DIR=...] [SOAK_BATCHES=24] python tools/soak_ingest.py
+Usage: [SPARK_GRAFT_SF_DIR=...] [SOAK_BATCHES=24] [SOAK_ANN=1]
+       python tools/soak_ingest.py
+
+SOAK_ANN=1 adds the loop's THIRD guarded fold: a deterministic
+pseudo-embedding rides each doc (the loop never runs a model) and
+accepted rows fold into a persisted IVF index with a per-batch drift
+stat — measuring that the embedding side is batch-sized too.
 """
 
 from __future__ import annotations
@@ -28,30 +34,52 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
-from pufs_spark.operators import dedup, indexes, ingest, text  # noqa: E402
+from pufs_spark.operators import dedup, indexes, ingest, similarity, text  # noqa: E402
 from pufs_spark.session import get_spark  # noqa: E402
 from pufs_spark.tables import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BATCHES = int(os.environ.get("SOAK_BATCHES", "24"))
+WITH_ANN = os.environ.get("SOAK_ANN", "0") == "1"
+
+
+def with_vec(df, dims=16):
+    """Deterministic pseudo-embedding per doc id."""
+    return df.withColumn(
+        "embedding",
+        F.array(*[
+            (F.pmod(F.hash(F.col("doc_id") + F.lit(i)), F.lit(1000))
+             .cast("float") / 500.0 - 1.0)
+            for i in range(dims)
+        ]),
+    )
 
 
 def main() -> None:
     spark = get_spark(app_name="soak_ingest")
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    if WITH_ANN:
+        docs = with_vec(docs)
     mod = N_BATCHES + 8
     corpus = docs.where(F.col("doc_id") % mod >= N_BATCHES).cache()
     wh = tempfile.mkdtemp(prefix="pufs_soak_")
     accepted_dir = os.path.join(wh, "accepted")
-    for t in ("soak_nd", "soak_bm", "soak_bm_stats"):
+    for t in ("soak_nd", "soak_nd_meta", "soak_bm", "soak_bm_stats",
+              "soak_ann", "soak_ann_meta", "soak_ann_centroids",
+              "soak_ann_drift"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     dedup.build_near_dup_index(corpus, "soak_nd", wh + "/nd", rows=4)
     text.build_bm25_index(corpus, "soak_bm", wh + "/bm")
+    if WITH_ANN:
+        similarity.build_ann_index(
+            corpus.select("doc_id", "embedding"), "soak_ann", wh + "/ann",
+            id_col="doc_id",
+        )
 
     def corpus_now():
         if os.path.isdir(accepted_dir):
             return corpus.union(
-                spark.read.parquet(accepted_dir).select("doc_id", "text")
+                spark.read.parquet(accepted_dir).select(*corpus.columns)
             )
         return corpus
 
@@ -63,6 +91,7 @@ def main() -> None:
             batch, corpus_now(), "soak_nd", "soak_bm", wh + "/bm",
             rows=4, batch_id=f"s{i}", skip_clean=True,
             max_files_per_bucket=2,     # tight: compaction fires often
+            ann_table="soak_ann" if WITH_ANN else None, id_col="doc_id",
         )
         walls.append(round(time.time() - t0, 2))
         accepted.append(r.n_accepted)
@@ -79,9 +108,18 @@ def main() -> None:
             flush=True,
         )
     half = N_BATCHES // 2
+    drift = None
+    if WITH_ANN:
+        drift = [
+            {"batch_id": r["batch_id"], "mean_drop": round(r["mean_drop"], 4)}
+            for r in similarity.ann_index_drift(spark, "soak_ann")
+            .orderBy("batch_id").collect()
+        ]
     print(json.dumps({
         "sf_dir": SF_DIR,
         "batches": N_BATCHES,
+        "with_ann": WITH_ANN,
+        "ann_drift": drift,
         "walls_s": walls,
         "mean_wall_first_half_s": round(sum(walls[:half]) / half, 2),
         "mean_wall_second_half_s": round(sum(walls[half:]) / (N_BATCHES - half), 2),
