@@ -202,15 +202,21 @@ def write_index_meta(spark, table: str, applied: list[str], pending) -> None:
 # markers stay put across compactions.
 
 
-def _marker_dir(spark, table: str) -> str:
+def _sidecar_base(spark, table: str) -> str:
+    """Anchor path for the index's tiny sidecars (marker files, id
+    bloom): the META/STATS table's location, not the index's —
+    compaction moves the postings table but never its one-row sibling,
+    so sidecars stay put across compactions."""
     meta_t, stats_t = f"{table}_meta", f"{table}_stats"
     if spark.catalog.tableExists(meta_t):
-        base = table_location(spark, meta_t)
-    elif spark.catalog.tableExists(stats_t):
-        base = table_location(spark, stats_t)
-    else:
-        base = f"{table_location(spark, table)}_meta"
-    return f"{base}_markers"
+        return table_location(spark, meta_t)
+    if spark.catalog.tableExists(stats_t):
+        return table_location(spark, stats_t)
+    return f"{table_location(spark, table)}_meta"
+
+
+def _marker_dir(spark, table: str) -> str:
+    return f"{_sidecar_base(spark, table)}_markers"
 
 
 def _marker_fs(spark, path: str):
@@ -400,3 +406,505 @@ def compact_index(spark, table: str, new_path: str) -> str:
     if old_fs is not None:
         shutil.rmtree(old_fs, ignore_errors=True)
     return table_location(spark, table)
+
+
+# -- id-bloom sidecar -----------------------------------------------------
+#
+# The ingest loop's id-freshness guard probes the accepted batch's ids
+# against the near-dup index's id column — exact, shuffle-free, but the
+# ONE per-batch read whose input grows with the corpus (O(corpus×bands)
+# ids per batch; ROADMAP weak spot 6). The sidecar turns that into an
+# O(batch) steady state: a Bloom filter over every id ever folded, held
+# in one flat file next to the marker sidecar.
+#
+# Correctness invariant — SUPERSET, never subset: the bloom may contain
+# ids the index lacks (false positives fall back to the exact semi-join
+# probe, so the guard's answers never change), but an id in the index
+# must always hit the bloom (a false negative would wave a colliding
+# batch through and silently double postings). The invariant holds
+# because (a) the loop folds the batch's ids into the bloom BEFORE
+# either index append, (b) the sidecar write is tmp + atomic rename, so
+# a crash leaves either the old superset or the new one, and (c) a
+# MISSING sidecar disables the fast path entirely (exact probe), so the
+# delete-before-rename window degrades performance, not correctness.
+#
+# Sizing: the exact fallback scans the full id column, so the design
+# false-positive rate must be small PER BATCH, not per id —
+# bits_per_id=28/k=19 gives fpp≈1e-6, i.e. a 10k-doc batch triggers the
+# fallback with p≈1%, amortizing to ~0.01 id-column scans per batch.
+# Memory is 3.5 bytes/id driver-resident (1B ids → 3.5 GB: size
+# ``capacity`` deliberately; beyond that, shard the loop or keep the
+# exact probe). Hash positions are computed JVM-side
+# (xxhash64(id, seed_i) mod m) so build/update/probe agree bit-for-bit
+# and the per-batch cost stays Arrow/driver-light.
+#
+# Per-batch I/O is O(batch), NOT O(bitmap): bloom bits scatter
+# uniformly, so rewriting the bitmap per batch would be an
+# O(corpus-bits) write every batch (3.5 GB at 1B ids — the very cost
+# class being removed). ``update_id_bloom`` instead appends one DELTA
+# file of the batch's distinct bit positions (~8 bytes × k per id) to
+# ``<sidecar>_deltas/``, content-addressed by the position set's
+# digest — a replayed batch re-publishes the SAME file name, so
+# at-least-once delivery cannot grow the log. Readers overlay deltas
+# onto the in-memory bitmap at load; ``fold_id_bloom`` (called by the
+# ingest sweep past BLOOM_MAX_DELTAS files) rewrites the base with the
+# deltas applied and then deletes them — crash between the two steps
+# re-applies deltas already in the base, which is idempotent bit-OR.
+# Every delta carries (k, m) in its header; a delta whose geometry
+# disagrees with the base (a leftover from before a rebuild at
+# different sizing) is skipped on read and deleted at fold — the
+# rebuild derived its bitmap from ALL ids, so dropping stale deltas
+# preserves the superset invariant.
+
+_BLOOM_MAGIC = b"PFBLOOM1"
+_BLOOM_DELTA_MAGIC = b"PFBLMD01"
+_BLOOM_SUFFIX = "_idbloom"
+# path → (sig, (k, m, n_added, bitmap)) — reread only when the base
+# file or the delta listing changes; the single-writer loop makes this
+# safe, and readers in other processes see rename-published files.
+_BLOOM_CACHE: dict = {}
+# Fold the delta log into the base bitmap past this many files (the
+# ingest sweep calls fold_id_bloom alongside index compaction).
+BLOOM_MAX_DELTAS = 64
+
+
+def _bloom_path(spark, table: str) -> str:
+    return f"{_sidecar_base(spark, table)}{_BLOOM_SUFFIX}"
+
+
+def _bloom_stat(spark, path: str):
+    """(size, mtime) or None — the cache key, checked BEFORE reading
+    the (possibly many-MB) bitmap."""
+    import os
+
+    lp = _local_path(path)
+    if lp is not None:
+        try:
+            st = os.stat(lp)
+        except FileNotFoundError:
+            return None
+        return st.st_size, st.st_mtime_ns
+    fs, p = _marker_fs(spark, path)
+    if not fs.exists(p):
+        return None
+    st = fs.getFileStatus(p)
+    return st.getLen(), st.getModificationTime()
+
+
+def _bloom_read_bytes(spark, path: str) -> bytes:
+    """Slurp the sidecar. Local fast path; Hadoop FS for hdfs:/s3a:
+    (commons-io — the file is MBs and mtime-cached by the caller)."""
+    lp = _local_path(path)
+    if lp is not None:
+        with open(lp, "rb") as f:
+            return f.read()
+    fs, p = _marker_fs(spark, path)
+    stream = fs.open(p)
+    try:
+        return bytes(
+            spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+        )
+    finally:
+        stream.close()
+
+
+def _bloom_write_atomic(spark, path: str, data: bytes) -> None:
+    """Publish via tmp + rename: a reader sees the old file or the new
+    one, never a torn write. (Local rename replaces atomically; Hadoop
+    rename won't overwrite, so the old file is deleted first — the
+    uncovered instant has NO sidecar, which reads as 'exact probe
+    mode', not as a stale subset.)"""
+    import os
+
+    lp = _local_path(path)
+    if lp is not None:
+        tmp = f"{lp}.tmp"
+        os.makedirs(os.path.dirname(lp), exist_ok=True)
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, lp)
+        return
+    fs, p = _marker_fs(spark, path)
+    tmp_p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}.tmp")
+    out = fs.create(tmp_p, True)
+    try:
+        out.write(bytearray(data))
+    finally:
+        out.close()
+    fs.delete(p, False)
+    if not fs.rename(tmp_p, p):
+        raise IOError(f"rename {tmp_p} -> {p} failed")
+
+
+def _bloom_encode(k: int, m: int, n_added: int, bitmap) -> bytes:
+    import struct
+
+    return (
+        _BLOOM_MAGIC
+        + struct.pack("<IIQQ", 1, k, m, n_added)
+        + bitmap.tobytes()
+    )
+
+
+def _bloom_decode(data: bytes):
+    import struct
+
+    import numpy as np
+
+    if data[:8] != _BLOOM_MAGIC:
+        raise ValueError("not an id-bloom sidecar")
+    _ver, k, m, n_added = struct.unpack("<IIQQ", data[8:32])
+    bitmap = np.frombuffer(data[32:], dtype=np.uint8).copy()
+    if len(bitmap) != m // 8:
+        raise ValueError(f"id-bloom bitmap truncated: {len(bitmap)} != {m // 8}")
+    return k, m, n_added, bitmap
+
+
+def _bloom_delta_dir(path: str) -> str:
+    return f"{path}_deltas"
+
+
+def _list_bloom_deltas(spark, path: str) -> list[tuple[str, int]]:
+    """(delta path, size) under the sidecar's delta dir — O(#deltas),
+    bounded by the fold cadence."""
+    import os
+
+    ddir = _bloom_delta_dir(path)
+    lp = _local_path(ddir)
+    if lp is not None:
+        try:
+            names = sorted(os.listdir(lp))
+        except FileNotFoundError:
+            return []
+        out = []
+        for n in names:
+            if n.startswith("delta-"):
+                full = os.path.join(lp, n)
+                out.append((full, os.stat(full).st_size))
+        return out
+    fs, p = _marker_fs(spark, ddir)
+    if not fs.exists(p):
+        return []
+    return sorted(
+        (s.getPath().toString(), s.getLen())
+        for s in fs.listStatus(p)
+        if s.getPath().getName().startswith("delta-")
+    )
+
+
+def _delete_bloom_deltas(spark, deltas: list[tuple[str, int]]) -> None:
+    import os
+
+    for dpath, _sz in deltas:
+        lp = _local_path(dpath)
+        if lp is not None:
+            try:
+                os.remove(lp)
+            except FileNotFoundError:
+                pass
+        else:
+            fs, p = _marker_fs(spark, dpath)
+            fs.delete(p, False)
+
+
+def _bloom_delta_encode(k: int, m: int, positions) -> bytes:
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(sorted(set(int(p) for p in positions)), dtype="<i8")
+    return (
+        _BLOOM_DELTA_MAGIC
+        + struct.pack("<IIQQ", 1, k, m, len(arr))
+        + arr.tobytes()
+    )
+
+
+def _bloom_delta_decode(data: bytes):
+    """(k, m, positions) — raises on a foreign file."""
+    import struct
+
+    import numpy as np
+
+    if data[:8] != _BLOOM_DELTA_MAGIC:
+        raise ValueError("not an id-bloom delta")
+    _ver, k, m, n = struct.unpack("<IIQQ", data[8:32])
+    pos = np.frombuffer(data[32:], dtype="<i8")
+    if len(pos) != n:
+        raise ValueError("id-bloom delta truncated")
+    return k, m, pos
+
+
+def _load_bloom(spark, table: str):
+    """(k, m, n_added, bitmap-with-deltas-applied) or None, via a
+    cache keyed on (base file stat, delta listing) — a probe on an
+    unchanged sidecar costs one stat + one dir listing, no bitmap
+    read. Deltas whose (k, m) disagree with the base are leftovers
+    from before a rebuild at different sizing and are skipped (the
+    rebuild covered all ids). A concurrent rename-publish between the
+    stat and the read just caches the newer superset under the older
+    key; the next call self-corrects."""
+    path = _bloom_path(spark, table)
+    base_sig = _bloom_stat(spark, path)
+    if base_sig is None:
+        _BLOOM_CACHE.pop(path, None)
+        return None
+    deltas = _list_bloom_deltas(spark, path)
+    sig = (base_sig, tuple(deltas))
+    hit = _BLOOM_CACHE.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    k, m, n_added, bitmap = _bloom_decode(_bloom_read_bytes(spark, path))
+    for dpath, _sz in deltas:
+        dk, dm, pos = _bloom_delta_decode(_bloom_read_bytes(spark, dpath))
+        if (dk, dm) != (k, m):
+            continue
+        _set_bits(bitmap, pos)
+        n_added += max(1, len(pos) // max(k, 1))
+    parsed = (k, m, n_added, bitmap)
+    _BLOOM_CACHE[path] = (sig, parsed)
+    return parsed
+
+
+def _bloom_pos_array(id_col: str, k: int, m: int):
+    """array<long> of the id's k bit positions, all JVM-side."""
+    from pyspark.sql import functions as F
+
+    return F.array(*[
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(i)), F.lit(m))
+        for i in range(k)
+    ])
+
+
+def _set_bits(bitmap, positions) -> None:
+    import numpy as np
+
+    pos = np.asarray(positions, dtype=np.int64)
+    np.bitwise_or.at(
+        bitmap, pos >> 3, np.left_shift(1, (pos & 7)).astype(np.uint8)
+    )
+
+
+def build_id_bloom(
+    spark,
+    table: str,
+    ids_df=None,
+    id_col: str = "doc_id",
+    capacity: int | None = None,
+    bits_per_id: int = 28,
+    k: int = 19,
+) -> dict:
+    """Build (or REBUILD — e.g. when ``id_bloom_stats`` reports
+    saturation) the id-bloom sidecar for ``table`` from ``ids_df``
+    (default: the index's own id column — duplicates are free, only
+    distinct bit positions matter). ``capacity`` defaults to 2× the
+    current distinct-id count, so the steady-state loop has headroom
+    before the next rebuild; the build is one shuffle of k×n position
+    rows (the same cost class as building the index itself) and the
+    driver receives exactly m/8 bitmap bytes regardless of corpus size
+    — each 8-Mbit chunk of the bitmap is assembled executor-side by
+    ``applyInPandas`` over its chunk's positions.
+
+    Opt-in: the ingest guard uses the sidecar only if this was called;
+    without it the exact probe runs unconditionally. Creates
+    ``<table>_meta`` if absent so the sidecar anchor can never move
+    under a later compaction. Returns ``id_bloom_stats``."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    if not spark.catalog.tableExists(f"{table}_meta") and not (
+        spark.catalog.tableExists(f"{table}_stats")
+    ):
+        write_index_meta(spark, table, [], None)
+    ids = (
+        ids_df if ids_df is not None
+        else spark.table(table).select(id_col)
+    )
+    if capacity is None:
+        capacity = 2 * ids.select(id_col).distinct().count()
+    m = max(1024, int(math.ceil(bits_per_id * max(capacity, 1) / 64.0)) * 64)
+    chunk_bits = min(m, 1 << 23)  # ≤ 1 MiB of bitmap per Arrow group
+    # round m UP to a whole number of chunks: the assembly below copies
+    # fixed chunk-sized slices, and a ragged last chunk would overrun
+    # the bitmap (extra bits only widen the filter slightly)
+    m = int(math.ceil(m / float(chunk_bits))) * chunk_bits
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        c = int(pdf["_c"].iloc[0])
+        local = pdf["_p"].to_numpy(dtype=np.int64) - c * chunk_bits
+        bits = np.zeros(chunk_bits // 8, dtype=np.uint8)
+        _set_bits(bits, local)
+        return pd.DataFrame({"c": [c], "bits": [bits.tobytes()]})
+
+    chunks = (
+        ids.select(F.explode(_bloom_pos_array(id_col, k, m)).alias("_p"))
+        .withColumn("_c", (F.col("_p") / chunk_bits).cast("long"))
+        .groupBy("_c")
+        .applyInPandas(pack, "c long, bits binary")
+        .collect()
+    )
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    step = chunk_bits // 8
+    for r in chunks:
+        bitmap[r["c"] * step:(r["c"] + 1) * step] = np.frombuffer(
+            r["bits"], dtype=np.uint8
+        )
+    path = _bloom_path(spark, table)
+    _bloom_write_atomic(spark, path, _bloom_encode(k, m, capacity, bitmap))
+    # Clear the delta log ONLY AFTER the new base landed: the base was
+    # derived from all ids, so the deltas are redundant once it exists
+    # — but deleting them first would leave the OLD base without its
+    # deltas on a crash, a subset, which nothing could repair.
+    _delete_bloom_deltas(spark, _list_bloom_deltas(spark, path))
+    return id_bloom_stats(spark, table)
+
+
+def update_id_bloom(spark, table: str, ids_df, id_col: str = "doc_id") -> bool:
+    """Fold a BATCH's ids into the sidecar (idempotent — replays
+    republish the same content-addressed delta file). No-op (False)
+    when no sidecar exists. Must run BEFORE the batch's index folds:
+    the crash window then leaves the bloom a superset of the index,
+    which the exact fallback absorbs; the reverse order could leave it
+    a subset, which nothing could.
+
+    O(batch) on disk: writes one delta file of the batch's distinct
+    bit positions — never the bitmap, whose bytes are corpus-sized and
+    whose dirty bits scatter uniformly (no partial rewrite exists)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    loaded = _load_bloom(spark, table)
+    if loaded is None:
+        return False
+    k, m, _n, _bitmap = loaded
+    rows = (
+        ids_df.select(F.explode(_bloom_pos_array(id_col, k, m)).alias("_p"))
+        .distinct()
+        .collect()
+    )
+    if not rows:
+        return True
+    data = _bloom_delta_encode(k, m, [r["_p"] for r in rows])
+    name = f"delta-{hashlib.md5(data).hexdigest()}"
+    _bloom_write_atomic(
+        spark, f"{_bloom_delta_dir(_bloom_path(spark, table))}/{name}", data
+    )
+    return True
+
+
+def fold_id_bloom(
+    spark, table: str, max_deltas: int = BLOOM_MAX_DELTAS
+) -> bool:
+    """Rewrite the base bitmap with the delta log applied and delete
+    the folded deltas — the sidecar's compaction, called by the ingest
+    sweep when the delta count crosses ``max_deltas`` (pass 0 to force
+    it). The one O(bitmap-bytes) write, amortized over ``max_deltas``
+    batches. Crash-safe in both windows: before the base rename the
+    old base + deltas still answer; between the rename and the
+    deletes, re-applying a folded delta is idempotent bit-OR. Stale
+    different-geometry deltas (pre-rebuild leftovers) are deleted
+    unread. Returns True iff it folded."""
+    path = _bloom_path(spark, table)
+    if _bloom_stat(spark, path) is None:
+        return False
+    folding = _list_bloom_deltas(spark, path)
+    if len(folding) <= max_deltas:
+        return False
+    loaded = _load_bloom(spark, table)  # base + exactly these deltas
+    k, m, n_added, bitmap = loaded
+    _bloom_write_atomic(spark, path, _bloom_encode(k, m, n_added, bitmap))
+    _delete_bloom_deltas(spark, folding)
+    return True
+
+
+def _exact_id_probe(spark, table: str, ids_df, id_col: str, limit: int):
+    """The authoritative collision check: ids that EXIST in the index's
+    id column — a broadcast semi-join against the column-pruned id
+    column (no shuffle, no signature/text read, O(corpus×bands) input)."""
+    from pyspark.sql import functions as F
+
+    return [
+        r[id_col]
+        for r in spark.table(table)
+        .select(id_col)
+        .join(F.broadcast(ids_df.select(id_col)), id_col, "semi")
+        # the index keeps one row per (band, id): distinct AFTER the
+        # semi-join — its output is collisions only (normally empty),
+        # so the distinct never shuffles more than the clash set
+        .distinct()
+        .limit(limit)
+        .collect()
+    ]
+
+
+def probe_id_collisions(
+    spark, table: str, ids_df, id_col: str = "doc_id", limit: int = 5
+) -> list:
+    """Ids from ``ids_df`` already present in index ``table`` (≤
+    ``limit``, for the error message). With an id-bloom sidecar the
+    steady state is O(batch): positions compute JVM-side, the batch's
+    ids check against the driver-resident bitmap, and only ids whose k
+    bits are ALL set (a real collision, or a ~1e-6 false positive) fall
+    back to ``_exact_id_probe`` — restricted to the suspicious ids, so
+    a clean batch reads zero index rows. Without a sidecar every call
+    is the exact probe (the pre-r8 behavior)."""
+    loaded = _load_bloom(spark, table)
+    if loaded is None:
+        return _exact_id_probe(spark, table, ids_df, id_col, limit)
+    k, m, _n, bitmap = loaded
+    from pyspark.sql import functions as F
+
+    rows = ids_df.select(
+        F.col(id_col), _bloom_pos_array(id_col, k, m).alias("_pos")
+    ).collect()
+    suspicious = [
+        r[id_col]
+        for r in rows
+        if all((int(bitmap[p >> 3]) >> (p & 7)) & 1 for p in r["_pos"])
+    ]
+    if not suspicious:
+        return []
+    sus_df = spark.createDataFrame(
+        [(s,) for s in suspicious], ids_df.select(id_col).schema
+    )
+    return _exact_id_probe(spark, table, sus_df, id_col, limit)
+
+
+def id_bloom_stats(spark, table: str) -> dict | None:
+    """Saturation signal: ``est_fpp`` is fill_ratio**k (the probability
+    a fresh id hits all k bits). Runbook: when est_fpp drifts past
+    ~1e-4 — i.e. the exact fallback starts firing on a meaningful
+    fraction of batches — rebuild with a larger capacity via
+    ``build_id_bloom`` at a quiet point (the rebuild is one corpus-
+    sized shuffle, the same amortized class as ``compact_index``).
+    None when no sidecar exists."""
+    import numpy as np
+
+    loaded = _load_bloom(spark, table)
+    if loaded is None:
+        return None
+    k, m, n_added, bitmap = loaded
+    ones = 0
+    step = 1 << 22
+    for i in range(0, len(bitmap), step):
+        ones += int(np.unpackbits(bitmap[i:i + step]).sum())
+    fill = ones / float(m)
+    return {
+        "k": k,
+        "m_bits": m,
+        "n_added_est": n_added,
+        "fill_ratio": fill,
+        "est_fpp": fill ** k,
+    }
+
+
+def needs_bloom_rebuild(spark, table: str, max_fpp: float = 1e-4) -> bool:
+    """True when the sidecar exists and its estimated false-positive
+    rate exceeds ``max_fpp`` (signal only — the rebuild is corpus-sized
+    and belongs at a quiet point, not inside a batch)."""
+    stats = id_bloom_stats(spark, table)
+    return stats is not None and stats["est_fpp"] > max_fpp

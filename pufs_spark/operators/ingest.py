@@ -38,10 +38,13 @@ sized (BASELINE.md's persisted-index table: flat in corpus size);
 step 4 shuffles only the batch by the bucket expressions; step 5 is
 the only corpus-sized cost and amortizes over
 ``max_files_per_bucket`` batches. Nothing in the loop scans the
-corpus's TEXT per batch; the only input that grows with the corpus is
-the id-freshness guard's column-pruned, shuffle-free probe of the
-index's id column (opt-out for trusted feeds — see
-``check_id_freshness``).
+corpus's TEXT per batch; the only input that can grow with the corpus
+is the id-freshness guard's column-pruned, shuffle-free probe of the
+index's id column — and with an id-bloom sidecar
+(``indexes.build_id_bloom``) even that becomes O(batch): the exact
+probe then runs only on bloom hits (real collisions or ~1e-6 false
+positives). Opt-out entirely for trusted feeds
+(``check_id_freshness``).
 
 Streaming: run this inside ``foreachBatch`` on the output of
 ``pipeline.stream_clean_corpus`` (skip_clean=True — the stream gates
@@ -75,6 +78,7 @@ def restore_lost_index(
     buckets: int = 64,
     n_centroids: int = 16,
     ivf_buckets: int = 16,
+    rebuild_id_bloom: bool = False,
 ) -> list[str]:
     """Disaster-recovery runbook for a LOST persisted index (disk loss,
     fat-fingered rm of one index's directory): every index is fully
@@ -141,6 +145,14 @@ def restore_lost_index(
             )
         for bid in applied:
             indexes.write_applied_marker(spark, lost_table, bid)
+    if rebuild_id_bloom and kind == "near_dup":
+        # The id-bloom sidecar died with the index's disk; a restore
+        # that skips this leaves the loop in exact-probe mode (correct,
+        # slower) — deployments using the sidecar pass True and the
+        # bloom rebuilds from the same corpus the index just did.
+        indexes.build_id_bloom(
+            spark, lost_table, corpus_df.select(id_col), id_col
+        )
     return applied
 
 
@@ -312,14 +324,13 @@ def ingest_corpus_batch(
             or indexes.applied_marker_exists(spark, nd_table, batch_id)
         )
         if not is_replay:
-            clashes = [
-                r[id_col]
-                for r in spark.table(nd_table)
-                .select(id_col)
-                .join(F.broadcast(accepted.select(id_col)), id_col, "semi")
-                .limit(5)
-                .collect()
-            ]
+            # O(batch) when an id-bloom sidecar exists
+            # (indexes.build_id_bloom — ROADMAP weak spot 6); the
+            # exact index-column probe otherwise, and as the fallback
+            # for bloom hits — identical answers either way.
+            clashes = indexes.probe_id_collisions(
+                spark, nd_table, accepted.select(id_col), id_col, limit=5
+            )
             if clashes:
                 raise BatchIdCollisionError(
                     f"batch {batch_id!r}: accepted ids already present in "
@@ -327,6 +338,14 @@ def ingest_corpus_batch(
                     "must be globally fresh — folding would double BM25 "
                     "postings and LSH signatures for these ids"
                 )
+    if n_accepted:
+        # Fold the batch's ids into the bloom BEFORE the index folds
+        # (no-op without a sidecar): any crash then leaves the bloom a
+        # SUPERSET of the index — absorbed by the exact fallback — and
+        # never a subset, which would wave a future collision through.
+        # Runs even with the check off so a trusted feed can re-enable
+        # it later without a rebuild.
+        indexes.update_id_bloom(spark, nd_table, accepted.select(id_col), id_col)
 
     if n_accepted:
         # Both folds carry the SAME batch_id: each index has its own
@@ -363,6 +382,15 @@ def ingest_corpus_batch(
             fs = indexes._local_path(base)
             indexes.compact_index(spark, t, fs if fs is not None else base)
             compacted.append(t)
+    if ann_table is not None and similarity.compact_drift_log(spark, ann_table):
+        # the drift log appends one tiny file per batch — same
+        # small-file maintenance as the indexes, much cheaper rewrite
+        compacted.append(f"{ann_table}_drift")
+    if indexes.fold_id_bloom(spark, nd_table):
+        # the id-bloom delta log is per-batch O(batch) appends; folding
+        # it back into the base bitmap is its compaction (no-op when no
+        # sidecar exists or the log is short)
+        compacted.append(f"{nd_table}_idbloom")
 
     out.unpersist()
     if cleaned is not batch:

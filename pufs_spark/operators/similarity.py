@@ -491,6 +491,33 @@ def _append_drift_row(
         df.write.mode("append").insertInto(drift_t)
 
 
+def compact_drift_log(spark, table: str, max_files: int = 64) -> bool:
+    """Fold the drift log's per-batch append files back into one: each
+    applied batch appends one tiny file to ``<table>_drift``, so a
+    standing loop accumulates unbounded small files (the log's rows
+    stay one-per-batch — tiny — but the LISTING grows). Rewrites only
+    when the file count exceeds ``max_files``. The log is best-effort
+    diagnostics (same contract as the per-batch drift row itself), so
+    the rewrite is collect → overwrite without a swap protocol: a crash
+    inside it can lose log rows, never data. Returns True iff it
+    rewrote."""
+    from pufs_spark.operators import indexes
+
+    drift_t = f"{table}_drift"
+    if not spark.catalog.tableExists(drift_t):
+        return False
+    if len(indexes.list_table_files(spark, drift_t)) <= max_files:
+        return False
+    rows = [tuple(r) for r in spark.table(drift_t).collect()]
+    (
+        spark.createDataFrame(rows, _DRIFT_SCHEMA)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .insertInto(drift_t, overwrite=True)
+    )
+    return True
+
+
 def ann_index_drift(spark, table: str) -> DataFrame:
     """The IVF retrain signal: per-batch assignment-quality drop vs
     the build baseline. Returns (batch_id, n, mean_sim, p10_sim,

@@ -55,4 +55,39 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _ship_package(spark)
     return spark
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make ``pufs_spark`` importable on executor Python workers.
+
+    Several operators close over module-level helpers (e.g. the
+    ``pandas_udf`` in operators/dedup.py, ``_set_bits`` in
+    operators/indexes.py), which cloudpickle serializes BY REFERENCE —
+    the worker must import the module. That holds when the driver runs
+    from the repo root (workers inherit cwd) but not when the package
+    is imported from an arbitrary path (a driver-side ``sys.path``
+    entry is not propagated). Shipping a zip via ``addPyFile`` is the
+    in-code equivalent of ``spark-submit --py-files`` and covers every
+    deployment shape, including a real multi-node cluster. Once per
+    SparkContext; ~10 ms for this package's size."""
+    sc = spark.sparkContext
+    if getattr(sc, "_pufs_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    fd, zip_path = tempfile.mkstemp(prefix="pufs_spark_pkg_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for name in files:
+                if not name.endswith(".py"):
+                    continue
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    sc._pufs_pkg_shipped = True

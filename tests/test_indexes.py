@@ -287,6 +287,46 @@ def test_ivf_drift_signal_flags_shifted_batch(spark, tmp_path_factory):
               "ivf_dr_drift")
 
 
+def test_drift_log_compaction_bounds_files_preserves_rows(
+    spark, tmp_path_factory
+):
+    """Each applied batch appends one tiny file to <table>_drift, so a
+    standing loop grows an unbounded listing; compact_drift_log folds
+    it back to one file with the rows (and every ann_index_drift
+    answer) unchanged."""
+    from pufs_spark.operators import similarity
+
+    wh = tmp_path_factory.mktemp("ivf_driftc")
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    seed = emb.where(F.col("vec_id") % 4 == 0)
+    _drop(spark, "ivf_dc", "ivf_dc_centroids", "ivf_dc_meta", "ivf_dc_drift")
+    similarity.build_ann_index(seed, "ivf_dc", str(wh / "idx"), buckets=8)
+    try:
+        for i in range(4):
+            similarity.update_ann_index(
+                emb.where(F.col("vec_id") % 4 == 1)
+                .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000 * i)),
+                "ivf_dc", batch_id=f"b{i}",
+            )
+        before = {
+            r["batch_id"]: r["mean_drop"]
+            for r in similarity.ann_index_drift(spark, "ivf_dc").collect()
+        }
+        nfiles = len(indexes.list_table_files(spark, "ivf_dc_drift"))
+        assert nfiles >= 5  # baseline + one per batch
+        assert not similarity.compact_drift_log(spark, "ivf_dc", max_files=64)
+        assert similarity.compact_drift_log(spark, "ivf_dc", max_files=3)
+        assert len(indexes.list_table_files(spark, "ivf_dc_drift")) == 1
+        after = {
+            r["batch_id"]: r["mean_drop"]
+            for r in similarity.ann_index_drift(spark, "ivf_dc").collect()
+        }
+        assert after == before
+    finally:
+        _drop(spark, "ivf_dc", "ivf_dc_centroids", "ivf_dc_meta",
+              "ivf_dc_drift")
+
+
 def test_listing_ignores_temporary_staging_files(spark, docs, tmp_path_factory):
     """A crashed (never-committed) Spark append leaves completed task
     files under <location>/_temporary/... whose basenames look like

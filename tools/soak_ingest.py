@@ -13,7 +13,7 @@ compaction fires repeatedly mid-run. The claims this measures:
 Prints one JSON line with per-batch walls, accepted counts, file
 counts, and compaction events. Results land in BASELINE.md.
 
-Usage: [SPARK_GRAFT_SF_DIR=...] [SOAK_BATCHES=24] [SOAK_ANN=1]
+Usage: [SPARK_GRAFT_SF_DIR=...] [SOAK_BATCHES=24] [SOAK_ANN=1] [SOAK_BLOOM=1]
        python tools/soak_ingest.py
 
 SOAK_ANN=1 adds the loop's THIRD guarded fold: a deterministic
@@ -41,6 +41,7 @@ from pufs_spark.tables import load_table  # noqa: E402
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BATCHES = int(os.environ.get("SOAK_BATCHES", "24"))
 WITH_ANN = os.environ.get("SOAK_ANN", "0") == "1"
+WITH_BLOOM = os.environ.get("SOAK_BLOOM", "0") == "1"
 
 
 def with_vec(df, dims=16):
@@ -69,6 +70,10 @@ def main() -> None:
               "soak_ann_drift"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
     dedup.build_near_dup_index(corpus, "soak_nd", wh + "/nd", rows=4)
+    if WITH_BLOOM:
+        # id-freshness guard fast path: probes run O(batch) against
+        # the sidecar instead of scanning the index id column
+        indexes.build_id_bloom(spark, "soak_nd", id_col="doc_id")
     text.build_bm25_index(corpus, "soak_bm", wh + "/bm")
     if WITH_ANN:
         similarity.build_ann_index(
@@ -119,6 +124,12 @@ def main() -> None:
         "sf_dir": SF_DIR,
         "batches": N_BATCHES,
         "with_ann": WITH_ANN,
+        "with_bloom": WITH_BLOOM,
+        "bloom_stats": (
+            {k: (round(v, 6) if isinstance(v, float) else v)
+             for k, v in indexes.id_bloom_stats(spark, "soak_nd").items()}
+            if WITH_BLOOM else None
+        ),
         "ann_drift": drift,
         "walls_s": walls,
         "mean_wall_first_half_s": round(sum(walls[:half]) / half, 2),
