@@ -772,7 +772,14 @@ def update_id_bloom(spark, table: str, ids_df, id_col: str = "doc_id") -> bool:
 
     O(batch) on disk: writes one delta file of the batch's distinct
     bit positions — never the bitmap, whose bytes are corpus-sized and
-    whose dirty bits scatter uniformly (no partial rewrite exists)."""
+    whose dirty bits scatter uniformly (no partial rewrite exists).
+
+    Bounded collect: the driver materializes ≤ k×|batch| longs
+    (~150 bytes/id transient) — the same cost class as the guard's
+    pre-existing ``F.broadcast(batch ids)`` in the exact probe, i.e.
+    the loop's batch-sized-driver-work contract, NOT a corpus scan.
+    Multi-million-doc feeds should shard the batch upstream (the
+    ingest loop's other per-batch costs assume that too)."""
     import hashlib
 
     from pyspark.sql import functions as F
@@ -851,7 +858,13 @@ def probe_id_collisions(
     bits are ALL set (a real collision, or a ~1e-6 false positive) fall
     back to ``_exact_id_probe`` — restricted to the suspicious ids, so
     a clean batch reads zero index rows. Without a sidecar every call
-    is the exact probe (the pre-r8 behavior)."""
+    is the exact probe (the pre-r8 behavior).
+
+    Bounded collect: ≤ k×|batch| positions land on the driver — the
+    batch-sized contract shared with ``update_id_bloom`` (see its
+    docstring); membership must be checked where the bitmap lives, and
+    re-broadcasting a multi-GB bitmap per batch (its signature changes
+    with every delta) would cost more than it saves."""
     loaded = _load_bloom(spark, table)
     if loaded is None:
         return _exact_id_probe(spark, table, ids_df, id_col, limit)
