@@ -631,6 +631,7 @@ def serve_mirror_fleet(
     host: str = "127.0.0.1",
     port: int = 0,
     max_cache_bytes: int | None = None,
+    start_method: str = "fork",
 ) -> tuple[MirrorFleet, int]:
     """Serve the mirror from ``n_procs`` OS processes sharing one port
     via SO_REUSEPORT — the multi-process front that lifts the single
@@ -642,10 +643,20 @@ def serve_mirror_fleet(
     fleet memory is ``n_procs × max_cache_bytes`` worst case.
 
     ``cas_factory``: zero-arg callable built INSIDE each worker (a
-    CAS handle may not survive a fork/pickle)."""
+    CAS handle may not survive a fork/pickle).
+
+    ``start_method``: ``"fork"`` (default — accepts closure
+    factories, instant startup) or ``"spawn"`` — fresh interpreters
+    that import ``_fleet_worker`` by module path instead of
+    inheriting the parent's whole address space. A driver that holds
+    a live SparkSession should prefer spawn: forked children share
+    the parent's py4j/JVM socket fds, and a worker crash-handler
+    touching them corrupts the gateway. Spawn requires every arg to
+    pickle by reference — a module-level ``cas_factory``
+    (``functools.partial(Freezer, path)``), not a lambda."""
     import multiprocessing as mp
 
-    ctx = mp.get_context("fork")
+    ctx = mp.get_context(start_method)
     q = ctx.Queue()
 
     def _spawn(p):

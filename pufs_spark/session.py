@@ -90,4 +90,23 @@ def _ship_package(spark: SparkSession) -> None:
                 rel = os.path.relpath(full, os.path.dirname(pkg_dir))
                 zf.write(full, rel)
     sc.addPyFile(zip_path)
+    # Spark 4.1's STREAMING Python planner (python_streaming_source_
+    # runner, which unpickles the pufs_commits DataSource) resolves its
+    # includes under <userFiles>/streaming_job/ — streaming queries are
+    # tagged with that job-artifact state — while addPyFile lands the
+    # zip at the userFiles ROOT. A stream planned from a driver that
+    # imported pufs_spark via sys.path (not cwd) therefore failed with
+    # ModuleNotFoundError. The planner always runs on the driver, so a
+    # driver-local mirror of the zip into that subdir closes the gap;
+    # cwd-launched drivers never notice (import falls back to cwd).
+    try:
+        import shutil
+
+        from pyspark.core.files import SparkFiles
+
+        sj_dir = os.path.join(SparkFiles.getRootDirectory(), "streaming_job")
+        os.makedirs(sj_dir, exist_ok=True)
+        shutil.copy2(zip_path, os.path.join(sj_dir, os.path.basename(zip_path)))
+    except Exception:  # noqa: BLE001 — artifact-dir convention may move;
+        pass  # cwd-based imports still cover the repo-root launch shape
     sc._pufs_pkg_shipped = True

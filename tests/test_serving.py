@@ -493,6 +493,53 @@ def test_mirror_fleet_parity_folds_and_failover(spark, tmp_path):
     assert fleet.alive() == 0
 
 
+def test_fleet_spawn_start_method(spark, tmp_path):
+    """serve_mirror_fleet(start_method="spawn"): production-fidelity
+    workers — fresh interpreters importing _fleet_worker by module
+    path, nothing inherited from a driver that holds a live
+    SparkSession (ROADMAP weak spot 7). The factory must pickle by
+    reference, so it's functools.partial over the module-level
+    Freezer instead of the fork tests' lambda."""
+    import functools
+    import os
+
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.sources.cas import Freezer
+    from pufs_spark.streaming import mirror as M
+
+    root = str(tmp_path / "cat")
+    mdir = str(tmp_path / "mirror")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "docs")
+    w.add_immutable_bytes(d, "a.txt", b"alpha contents")
+    log.commit(w)
+    q = M.start_catalog_mirror(spark, root, mdir, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    fleet, port = serving.serve_mirror_fleet(
+        mdir,
+        n_procs=2,
+        cas_factory=functools.partial(
+            Freezer, os.path.join(root, "freezer")
+        ),
+        start_method="spawn",
+    )
+    try:
+        assert fleet.alive() == 2
+        for _ in range(4):
+            c = serving.PufsClient("127.0.0.1", port)
+            try:
+                resp = c.get_dir_contents("/docs")
+                assert resp["errorMsg"] == ""
+                assert {e["name"] for e in resp["entries"]} == {"a.txt"}
+                assert c.read_bytes("/docs/a.txt") == b"alpha contents"
+            finally:
+                c.close()
+    finally:
+        fleet.stop()
+    assert fleet.alive() == 0
+
+
 def test_fleet_survives_live_rebucket_and_folds(spark, tmp_path):
     """The fleet twin of the live-rebucket chaos: requests spread
     across N SO_REUSEPORT processes race a fold, a forced bucket-count
