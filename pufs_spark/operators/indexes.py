@@ -804,7 +804,7 @@ def update_id_bloom(spark, table: str, ids_df, id_col: str = "doc_id") -> bool:
 
 
 def fold_id_bloom(
-    spark, table: str, max_deltas: int = BLOOM_MAX_DELTAS
+    spark, table: str, max_deltas: int | None = None
 ) -> bool:
     """Rewrite the base bitmap with the delta log applied and delete
     the folded deltas — the sidecar's compaction, called by the ingest
@@ -814,7 +814,11 @@ def fold_id_bloom(
     old base + deltas still answer; between the rename and the
     deletes, re-applying a folded delta is idempotent bit-OR. Stale
     different-geometry deltas (pre-rebuild leftovers) are deleted
-    unread. Returns True iff it folded."""
+    unread. Returns True iff it folded. ``max_deltas`` defaults to the
+    CURRENT ``BLOOM_MAX_DELTAS`` (resolved at call time, so tests and
+    deployments can tune the module knob)."""
+    if max_deltas is None:
+        max_deltas = BLOOM_MAX_DELTAS
     path = _bloom_path(spark, table)
     if _bloom_stat(spark, path) is None:
         return False

@@ -171,6 +171,13 @@ class IngestResult:
     n_after_exact: int
     n_accepted: int
     compacted: list[str]
+    # True when the id-bloom sidecar crossed its saturation threshold
+    # (indexes.needs_bloom_rebuild) — schedule a build_id_bloom rebuild
+    # at a quiet point. Checked only when a bloom fold just ran, so the
+    # O(bitmap) popcount amortizes over the fold cadence exactly like
+    # the fold's own rewrite; between folds the flag stays False
+    # (saturation moves batch-sized bits per batch — it can't jump).
+    bloom_rebuild_due: bool = False
 
 
 def _clean_gates(
@@ -386,11 +393,17 @@ def ingest_corpus_batch(
         # the drift log appends one tiny file per batch — same
         # small-file maintenance as the indexes, much cheaper rewrite
         compacted.append(f"{ann_table}_drift")
+    bloom_rebuild_due = False
     if indexes.fold_id_bloom(spark, nd_table):
         # the id-bloom delta log is per-batch O(batch) appends; folding
         # it back into the base bitmap is its compaction (no-op when no
         # sidecar exists or the log is short)
         compacted.append(f"{nd_table}_idbloom")
+        # the fold just paid one O(bitmap) pass, so the saturation
+        # popcount piggybacks on the same cadence (the bitmap is still
+        # in the signature cache) — surfacing the rebuild signal in the
+        # loop's own output instead of leaving it to out-of-band polls
+        bloom_rebuild_due = indexes.needs_bloom_rebuild(spark, nd_table)
 
     out.unpersist()
     if cleaned is not batch:
@@ -402,4 +415,5 @@ def ingest_corpus_batch(
         n_after_exact=n_after_exact,
         n_accepted=n_accepted,
         compacted=compacted,
+        bloom_rebuild_due=bloom_rebuild_due,
     )
