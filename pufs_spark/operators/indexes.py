@@ -508,16 +508,28 @@ def _bloom_read_bytes(spark, path: str) -> bytes:
         stream.close()
 
 
-def _bloom_write_atomic(spark, path: str, data: bytes) -> None:
+def _bloom_write_atomic(
+    spark, path: str, data: bytes, if_absent: bool = False
+) -> None:
     """Publish via tmp + rename: a reader sees the old file or the new
     one, never a torn write. (Local rename replaces atomically; Hadoop
-    rename won't overwrite, so the old file is deleted first — the
-    uncovered instant has NO sidecar, which reads as 'exact probe
-    mode', not as a stale subset.)"""
+    rename won't overwrite, so the old file is deleted first — for the
+    BASE bitmap the uncovered instant has NO sidecar, which reads as
+    'exact probe mode', not as a stale subset.)
+
+    ``if_absent=True`` (content-addressed delta publishes) skips the
+    write entirely when the target exists — the name is a digest of the
+    content, so the existing file IS the payload. This matters on the
+    Hadoop arm: delete-then-rename of a LIVE delta during a replay
+    re-publish would, on a crash between the two steps, remove a delta
+    the base still needs — a bloom SUBSET, the one state the superset
+    invariant forbids and nothing downstream can repair."""
     import os
 
     lp = _local_path(path)
     if lp is not None:
+        if if_absent and os.path.exists(lp):
+            return
         tmp = f"{lp}.tmp"
         os.makedirs(os.path.dirname(lp), exist_ok=True)
         with open(tmp, "wb") as f:
@@ -525,13 +537,16 @@ def _bloom_write_atomic(spark, path: str, data: bytes) -> None:
         os.replace(tmp, lp)
         return
     fs, p = _marker_fs(spark, path)
+    if if_absent and fs.exists(p):
+        return
     tmp_p = spark._jvm.org.apache.hadoop.fs.Path(f"{path}.tmp")
     out = fs.create(tmp_p, True)
     try:
         out.write(bytearray(data))
     finally:
         out.close()
-    fs.delete(p, False)
+    if not if_absent:
+        fs.delete(p, False)
     if not fs.rename(tmp_p, p):
         raise IOError(f"rename {tmp_p} -> {p} failed")
 
@@ -566,7 +581,12 @@ def _bloom_delta_dir(path: str) -> str:
 
 def _list_bloom_deltas(spark, path: str) -> list[tuple[str, int]]:
     """(delta path, size) under the sidecar's delta dir — O(#deltas),
-    bounded by the fold cadence."""
+    bounded by the fold cadence. Names ending in ``.tmp`` are the
+    in-flight halves of ``_bloom_write_atomic``'s tmp+rename — a crash
+    between the write and the rename leaves one behind, and treating it
+    as a delta would make every subsequent ``_load_bloom`` raise on its
+    torn bytes, wedging the ingest loop. They are skipped here
+    (published deltas only) and reaped by ``fold_id_bloom``."""
     import os
 
     ddir = _bloom_delta_dir(path)
@@ -578,7 +598,7 @@ def _list_bloom_deltas(spark, path: str) -> list[tuple[str, int]]:
             return []
         out = []
         for n in names:
-            if n.startswith("delta-"):
+            if n.startswith("delta-") and not n.endswith(".tmp"):
                 full = os.path.join(lp, n)
                 out.append((full, os.stat(full).st_size))
         return out
@@ -589,7 +609,40 @@ def _list_bloom_deltas(spark, path: str) -> list[tuple[str, int]]:
         (s.getPath().toString(), s.getLen())
         for s in fs.listStatus(p)
         if s.getPath().getName().startswith("delta-")
+        and not s.getPath().getName().endswith(".tmp")
     )
+
+
+def _reap_stale_bloom_tmps(spark, path: str) -> int:
+    """Delete crash-leftover ``*.tmp`` files under the delta dir.
+    Safe at a fold point: the single-writer loop means no delta write
+    is in flight, so any ``.tmp`` present is an orphan."""
+    import os
+
+    ddir = _bloom_delta_dir(path)
+    reaped = 0
+    lp = _local_path(ddir)
+    if lp is not None:
+        try:
+            names = os.listdir(lp)
+        except FileNotFoundError:
+            return 0
+        for n in names:
+            if n.endswith(".tmp"):
+                try:
+                    os.remove(os.path.join(lp, n))
+                    reaped += 1
+                except FileNotFoundError:
+                    pass
+        return reaped
+    fs, p = _marker_fs(spark, ddir)
+    if not fs.exists(p):
+        return 0
+    for s in fs.listStatus(p):
+        if s.getPath().getName().endswith(".tmp"):
+            fs.delete(s.getPath(), False)
+            reaped += 1
+    return reaped
 
 
 def _delete_bloom_deltas(spark, deltas: list[tuple[str, int]]) -> None:
@@ -723,8 +776,9 @@ def build_id_bloom(
         ids_df if ids_df is not None
         else spark.table(table).select(id_col)
     )
+    n_ids = ids.select(id_col).distinct().count()
     if capacity is None:
-        capacity = 2 * ids.select(id_col).distinct().count()
+        capacity = 2 * n_ids
     m = max(1024, int(math.ceil(bits_per_id * max(capacity, 1) / 64.0)) * 64)
     chunk_bits = min(m, 1 << 23)  # ≤ 1 MiB of bitmap per Arrow group
     # round m UP to a whole number of chunks: the assembly below copies
@@ -753,7 +807,10 @@ def build_id_bloom(
             r["bits"], dtype=np.uint8
         )
     path = _bloom_path(spark, table)
-    _bloom_write_atomic(spark, path, _bloom_encode(k, m, capacity, bitmap))
+    # n_added records ids actually inserted (capacity only sized m) —
+    # id_bloom_stats' n_added_est would otherwise overstate 2× from the
+    # first report and mislead the saturation runbook.
+    _bloom_write_atomic(spark, path, _bloom_encode(k, m, n_ids, bitmap))
     # Clear the delta log ONLY AFTER the new base landed: the base was
     # derived from all ids, so the deltas are redundant once it exists
     # — but deleting them first would leave the OLD base without its
@@ -798,7 +855,10 @@ def update_id_bloom(spark, table: str, ids_df, id_col: str = "doc_id") -> bool:
     data = _bloom_delta_encode(k, m, [r["_p"] for r in rows])
     name = f"delta-{hashlib.md5(data).hexdigest()}"
     _bloom_write_atomic(
-        spark, f"{_bloom_delta_dir(_bloom_path(spark, table))}/{name}", data
+        spark,
+        f"{_bloom_delta_dir(_bloom_path(spark, table))}/{name}",
+        data,
+        if_absent=True,
     )
     return True
 
@@ -822,6 +882,7 @@ def fold_id_bloom(
     path = _bloom_path(spark, table)
     if _bloom_stat(spark, path) is None:
         return False
+    _reap_stale_bloom_tmps(spark, path)
     folding = _list_bloom_deltas(spark, path)
     if len(folding) <= max_deltas:
         return False

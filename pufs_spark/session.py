@@ -75,12 +75,23 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_pufs_pkg_shipped", False):
         return
+    import atexit
     import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    fd, zip_path = tempfile.mkstemp(prefix="pufs_spark_pkg_", suffix=".zip")
-    os.close(fd)
+    # Deterministic per-process path, NOT mkstemp: executors fetch the
+    # zip from this original path lazily at first task (deleting it
+    # early breaks updateDependencies), and a host cycling many
+    # SparkContexts in one process would otherwise accrete one random
+    # zip per context. One path per (uid, pid) caps the footprint at a
+    # single file, rewritten with identical content on re-ship, and the
+    # atexit hook removes it when the driver process exits.
+    zip_path = os.path.join(
+        tempfile.gettempdir(),
+        f"pufs_spark_pkg_{os.getuid()}_{os.getpid()}.zip",
+    )
+    atexit.register(_remove_quiet, zip_path)
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for name in files:
@@ -110,3 +121,10 @@ def _ship_package(spark: SparkSession) -> None:
     except Exception:  # noqa: BLE001 — artifact-dir convention may move;
         pass  # cwd-based imports still cover the repo-root launch shape
     sc._pufs_pkg_shipped = True
+
+
+def _remove_quiet(path: str) -> None:
+    try:
+        os.remove(path)
+    except OSError:
+        pass

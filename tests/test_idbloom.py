@@ -157,6 +157,75 @@ def test_stale_geometry_delta_is_skipped_then_reaped(
         _drop(spark, "blm_st", "blm_st_meta")
 
 
+def test_torn_tmp_delta_does_not_wedge_loop(spark, docs, nd_index):
+    """A crash between _bloom_write_atomic's tmp write and its rename
+    leaves 'delta-<md5>.tmp' in the delta dir. The listing must skip it
+    (its bytes are torn — decoding would raise and wedge every
+    subsequent probe/update/fold), and fold_id_bloom must reap it."""
+    import os
+
+    _corpus, _stats = nd_index
+    path = indexes._bloom_path(spark, "blm_nd")
+    ddir = indexes._local_path(indexes._bloom_delta_dir(path))
+    os.makedirs(ddir, exist_ok=True)
+    torn = os.path.join(ddir, "delta-deadbeef.tmp")
+    with open(torn, "wb") as f:
+        f.write(b"PFBLMD01-torn-halfway")  # magic ok, body garbage
+    try:
+        assert torn not in [p for p, _ in
+                            indexes._list_bloom_deltas(spark, path)]
+        # probe and update still work (pre-fix these raised ValueError)
+        in_index = docs.where(F.col("doc_id") % 2 == 0).limit(2)
+        assert len(indexes.probe_id_collisions(
+            spark, "blm_nd", in_index, "doc_id")) == 2
+        assert indexes.update_id_bloom(
+            spark, "blm_nd", docs.limit(3), "doc_id")
+        indexes.fold_id_bloom(spark, "blm_nd", max_deltas=0)
+        assert not os.path.exists(torn), "fold must reap the stale .tmp"
+    finally:
+        if os.path.exists(torn):
+            os.remove(torn)
+
+
+def test_delta_republish_skips_existing_file(spark, docs, nd_index):
+    """A replay re-publishing a content-addressed delta must not touch
+    the existing file (if_absent skip) — on hdfs/s3a the old
+    delete-then-rename path could, on a crash between the two steps,
+    remove a LIVE delta and leave the bloom a subset of the index."""
+    import os
+
+    _corpus, _stats = nd_index
+    path = indexes._bloom_path(spark, "blm_nd")
+    batch = docs.where(F.col("doc_id") % 2 == 1).offset(100).limit(6)
+    indexes.update_id_bloom(spark, "blm_nd", batch, "doc_id")
+    deltas = indexes._list_bloom_deltas(spark, path)
+    target = deltas[-1][0]
+    st0 = os.stat(target)
+    indexes.update_id_bloom(spark, "blm_nd", batch, "doc_id")  # replay
+    st1 = os.stat(target)
+    assert (st0.st_mtime_ns, st0.st_ino) == (st1.st_mtime_ns, st1.st_ino), \
+        "replay rewrote an existing content-addressed delta"
+
+
+def test_bloom_stats_report_actual_ids_not_capacity(
+    spark, docs, tmp_path_factory
+):
+    """n_added_est must reflect ids actually inserted; capacity only
+    sizes the bitmap (default 2× headroom) — the old encoding
+    overstated insertions 2× from the first report."""
+    wh = tmp_path_factory.mktemp("idbloom_nadded")
+    _drop(spark, "blm_na", "blm_na_meta")
+    corpus = docs.where(F.col("doc_id") % 7 == 0)
+    n = corpus.select("doc_id").distinct().count()
+    dedup.build_near_dup_index(corpus, "blm_na", str(wh / "nd"), buckets=8)
+    try:
+        stats = indexes.build_id_bloom(spark, "blm_na", id_col="doc_id")
+        assert stats["n_added_est"] == n, \
+            f"expected {n} inserted ids, got {stats['n_added_est']}"
+    finally:
+        _drop(spark, "blm_na", "blm_na_meta")
+
+
 def test_saturated_bloom_still_exact(spark, docs, tmp_path_factory):
     """A deliberately under-sized bloom (2 bits/id) false-positives
     constantly — every answer must still equal the exact probe."""

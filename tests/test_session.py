@@ -31,3 +31,29 @@ def test_ship_package_covers_streaming_planner(spark):
         "package zip not mirrored into the streaming planner's "
         f"job-artifact dir {sj}"
     )
+
+
+def test_ship_package_does_not_accrete_temp_zips(spark):
+    """One deterministic per-(uid,pid) zip, not one mkstemp file per
+    SparkContext: a long-lived host cycling many sessions must not
+    accrete zips in the system temp dir (the atexit hook removes the
+    single file at process exit; executors fetch from the original
+    path lazily, so it cannot be deleted while the context lives)."""
+    import glob
+    import tempfile
+
+    from pufs_spark import session as sess
+
+    expected = os.path.join(
+        tempfile.gettempdir(),
+        f"pufs_spark_pkg_{os.getuid()}_{os.getpid()}.zip",
+    )
+    # force a re-ship: same path is rewritten, no second file appears
+    spark.sparkContext._pufs_pkg_shipped = False
+    sess._ship_package(spark)
+    mine = glob.glob(
+        os.path.join(
+            tempfile.gettempdir(), f"pufs_spark_pkg_{os.getuid()}_*.zip"
+        )
+    )
+    assert mine == [expected], f"zips accreted: {mine}"
