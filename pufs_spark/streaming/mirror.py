@@ -54,6 +54,16 @@ from pufs_spark.catalog.commitlog import CommitLog
 from pufs_spark.catalog.datastore import DataStore
 
 META_FILE = "mirror_meta.json"
+# Depth-1 child entries, per bucket, stored INSIDE each state dir (not
+# the meta: the meta is re-read per request, and a catalog with many
+# top-level entries would make every snapshot pay for the root
+# listing). Maintained at fold time with the same O(changed-buckets)
+# discipline as the top-group summary, so a root listing never faults
+# in data buckets (VERDICT r8 finding 1).
+# The leading underscore matters: Spark's parquet reader skips
+# underscore-prefixed files (like _SUCCESS), so whole-state-dir reads
+# (read_mirror, re-bucket, depth migration) never try to parse it.
+ROOTDIR_FILE = "_rootdir.json"
 N_BUCKETS = 64
 # Bucket key depth: paths bucket by md5 of their first BUCKET_DEPTH
 # components, so even a catalog that keeps EVERYTHING under one top
@@ -113,6 +123,59 @@ def _parse_summary(m: dict) -> dict[int, int]:
     }
 
 
+def _parse_totals(m: dict) -> dict[int, tuple[int, int, int, int]] | None:
+    """Per-bucket (nodes, dirs, files, bytes) from the meta, or None
+    for a state published before totals existed (readers fall back to
+    the bucket sweep; the next fold backfills)."""
+    if "totals" not in m:
+        return None
+    return {int(b): tuple(t) for b, t in m["totals"].items()}
+
+
+def _bucket_totals(items: dict) -> tuple[int, int, int, int]:
+    """(nodes, dirs, files, bytes) over one bucket's final rows — the
+    same accounting the serving sweep does, done once at fold time."""
+    nodes = len(items)
+    dirs = sum(1 for d, _s, _b in items.values() if d)
+    nbytes = sum((s or 0) for d, s, _b in items.values() if not d)
+    return nodes, dirs, nodes - dirs, nbytes
+
+
+def _root_items(items: dict) -> dict[str, list]:
+    """name → [is_dir, size, bid] for the DEPTH-1 paths in one bucket's
+    rows — the bucket's contribution to the root listing."""
+    out: dict[str, list] = {}
+    for p, (d, s, b) in items.items():
+        name = p.strip("/")
+        if name and "/" not in name:
+            out[name] = [d, s, b]
+    return out
+
+
+def _read_rootdir(state_dir: str) -> dict[int, dict] | None:
+    """bucket → {name: [is_dir, size, bid]} from the state dir's
+    rootdir sidecar; None when the state predates it."""
+    f = os.path.join(state_dir, ROOTDIR_FILE)
+    if not os.path.exists(f):
+        return None
+    raw = json.load(open(f))
+    return {int(b): kids for b, kids in raw.get("buckets", {}).items()}
+
+
+def _write_rootdir(tmp_dir: str, root_by_bucket: dict[int, dict]) -> None:
+    with open(os.path.join(tmp_dir, ROOTDIR_FILE), "w") as f:
+        json.dump(
+            {
+                "buckets": {
+                    str(b): kids
+                    for b, kids in sorted(root_by_bucket.items())
+                    if kids
+                }
+            },
+            f,
+        )
+
+
 def _load_meta(mirror_dir: str) -> tuple[int, int, dict[int, int]]:
     """(last applied version, n_buckets, summary) where summary maps
     bucket id → top-group bitmask (int); (-1, N_BUCKETS, {}) if no
@@ -129,6 +192,14 @@ def _resolve_state(mirror_dir: str) -> tuple[int, str, int, dict[int, int]]:
     ``state-{version}``, but a bucket-count migration republishes the
     SAME version under a suffixed dir (meta key ``state_dirname``), so
     resolve through the meta rather than deriving from the version."""
+    return _resolve_state_ex(mirror_dir)[:4]
+
+
+def _resolve_state_ex(
+    mirror_dir: str,
+) -> tuple[int, str, int, dict[int, int], dict[int, tuple] | None]:
+    """``_resolve_state`` plus the per-bucket totals (None when the
+    state predates them) — still ONE meta read."""
     m = _meta_dict(mirror_dir)
     v = m.get("version", -1)
     dirname = m.get("state_dirname") or f"state-{v:012d}"
@@ -137,6 +208,7 @@ def _resolve_state(mirror_dir: str) -> tuple[int, str, int, dict[int, int]]:
         os.path.join(mirror_dir, dirname),
         m.get("n_buckets", N_BUCKETS),
         _parse_summary(m),
+        _parse_totals(m),
     )
 
 
@@ -219,38 +291,45 @@ def _publish_state(
     summary: dict[int, int],
     prev_dir: str,
     keep_all: bool = False,
+    totals: dict[int, tuple] | None = None,
 ) -> None:
     """Publish a fully-built tmp state dir: rename it into place, swing
     the meta pointer atomically (version + bucket rule + count + the
-    per-bucket top-group summary + the dir name), then prune every
-    state dir except the new one and the previous one (kept for
-    in-flight readers). ``keep_all`` skips pruning entirely (only dead
-    tmp dirs go): a re-bucket publishes INSIDE the same fold callback
-    that just published a state — pruning here would delete the
-    fold's previous dir and break the one-fold snapshot guarantee;
-    the NEXT fold prunes down to {current, previous} as usual."""
+    per-bucket top-group summary + per-bucket totals + the dir name),
+    then prune every state dir except the new one and the previous one
+    (kept for in-flight readers). ``keep_all`` skips pruning entirely
+    (only dead tmp dirs go): a re-bucket publishes INSIDE the same fold
+    callback that just published a state — pruning here would delete
+    the fold's previous dir and break the one-fold snapshot guarantee;
+    the NEXT fold prunes down to {current, previous} as usual.
+
+    ``totals`` (bucket → (nodes, dirs, files, bytes)) makes ``stat``
+    a meta read instead of an every-bucket sweep; None only for
+    legacy callers, and readers then fall back to the sweep."""
     if os.path.exists(new_dir):
         # replay of an already-published state: the existing dir IS
         # this fold's result (folding is idempotent) — keep it
         shutil.rmtree(tmp_dir)
     else:
         os.replace(tmp_dir, new_dir)
+    meta = {
+        "version": version,
+        "n_buckets": n_buckets,
+        "bucket_depth": BUCKET_DEPTH,
+        "state_dirname": os.path.basename(new_dir),
+        "summary": {
+            str(b): format(bits, "x")
+            for b, bits in sorted(summary.items())
+            if bits
+        },
+    }
+    if totals is not None:
+        meta["totals"] = {
+            str(b): list(t) for b, t in sorted(totals.items()) if t[0]
+        }
     mtmp = os.path.join(mirror_dir, META_FILE + f".tmp.{os.getpid()}")
     with open(mtmp, "w") as f:
-        json.dump(
-            {
-                "version": version,
-                "n_buckets": n_buckets,
-                "bucket_depth": BUCKET_DEPTH,
-                "state_dirname": os.path.basename(new_dir),
-                "summary": {
-                    str(b): format(bits, "x")
-                    for b, bits in sorted(summary.items())
-                    if bits
-                },
-            },
-            f,
-        )
+        json.dump(meta, f)
     os.replace(mtmp, os.path.join(mirror_dir, META_FILE))
     # prune everything but {new, previous} — including tmp dirs left by
     # a crashed fold (folds are serialized by foreachBatch, so any tmp
@@ -274,7 +353,48 @@ def _save_state(
 ) -> None:
     """Publish a new state dir: fresh parquet for the touched buckets,
     hard links (fallback: copies) to the previous state's files for the
-    rest, then the atomic meta swing (see ``_publish_state``)."""
+    rest, then the atomic meta swing (see ``_publish_state``).
+
+    Also maintains the O(changed) serving aggregates: per-bucket
+    (nodes, dirs, files, bytes) totals in the meta and the root
+    listing's depth-1 entries in the state dir's rootdir sidecar —
+    touched buckets recompute from their final rows (already in hand),
+    untouched buckets carry over. A previous state that predates the
+    aggregates is backfilled ONCE here (one streaming pass over the
+    untouched bucket files, bucket-at-a-time, no catalog-sized dict);
+    every state published after that upgrade pays O(changed) again."""
+    prev_meta = _meta_dict(mirror_dir)
+    prev_totals = _parse_totals(prev_meta)
+    prev_root = _read_rootdir(prev_dir) if os.path.isdir(prev_dir) else {}
+    totals: dict[int, tuple] = {}
+    root_by_bucket: dict[int, dict] = {}
+    untouched = []
+    if os.path.isdir(prev_dir):
+        untouched = [
+            int(f[len("bucket-"):len("bucket-") + 4])
+            for f in os.listdir(prev_dir)
+            if f.startswith("bucket-") and
+            int(f[len("bucket-"):len("bucket-") + 4]) not in touched
+        ]
+    if prev_totals is not None and prev_root is not None:
+        totals = {b: t for b, t in prev_totals.items() if b not in touched}
+        root_by_bucket = {
+            b: k for b, k in prev_root.items() if b not in touched
+        }
+    else:
+        for b in untouched:  # one-time backfill of a pre-upgrade state
+            items = _load_buckets(prev_dir, [b], n_buckets)
+            if items:
+                totals[b] = _bucket_totals(items)
+                kids = _root_items(items)
+                if kids:
+                    root_by_bucket[b] = kids
+    for b, items in touched.items():
+        if items:
+            totals[b] = _bucket_totals(items)
+            kids = _root_items(items)
+            if kids:
+                root_by_bucket[b] = kids
     new_dir = _state_dir(mirror_dir, version)
     tmp_dir = new_dir + f".tmp.{os.getpid()}"
     if os.path.exists(tmp_dir):
@@ -282,6 +402,8 @@ def _save_state(
     os.makedirs(tmp_dir)
     if os.path.isdir(prev_dir):
         for f in os.listdir(prev_dir):
+            if not f.startswith("bucket-"):
+                continue  # rootdir sidecar is written fresh below
             b = int(f[len("bucket-"):len("bucket-") + 4])
             if b in touched:
                 continue
@@ -291,9 +413,10 @@ def _save_state(
                 shutil.copy2(os.path.join(prev_dir, f), os.path.join(tmp_dir, f))
     for b, items in touched.items():
         _write_bucket(tmp_dir, b, items)
+    _write_rootdir(tmp_dir, root_by_bucket)
     _publish_state(
         mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir,
-        keep_all=keep_all,
+        keep_all=keep_all, totals=totals,
     )
 
 
@@ -368,8 +491,9 @@ def _write_buckets_distributed(
     # source is scanned once, not twice, and no md5 is recomputed for
     # the bucket id. Bounded: ≤ n_buckets × SUMMARY_GROUPS pairs.
     summary: dict[int, int] = {}
+    written = spark.read.parquet(out)
     pairs = (
-        spark.read.parquet(out)
+        written
         .select(F.col("_mb").cast("int").alias("_mb"),
                 _top_group_expr().alias("_tg"))
         .distinct()
@@ -377,6 +501,35 @@ def _write_buckets_distributed(
     )
     for r in pairs:
         summary[r["_mb"]] = summary.get(r["_mb"], 0) | (1 << r["_tg"])
+    # per-bucket (nodes, dirs, files, bytes) — ≤ n_buckets rows on the
+    # driver — and the root listing's depth-1 entries (bounded by the
+    # catalog's top-level fanout, the same rows a root listing returns)
+    totals: dict[int, tuple] = {}
+    for r in (
+        written.groupBy(F.col("_mb").cast("int").alias("_mb"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("is_dir").cast("int")).alias("d"),
+            F.sum(
+                F.when(~F.col("is_dir"), F.coalesce(F.col("size"), F.lit(0)))
+                .otherwise(0)
+            ).alias("by"),
+        )
+        .collect()
+    ):
+        totals[r["_mb"]] = (r["n"], int(r["d"]), r["n"] - int(r["d"]),
+                            int(r["by"]))
+    comps = F.filter(F.split(F.col("path"), "/"), lambda c: c != "")
+    root_by_bucket: dict[int, dict] = {}
+    for r in (
+        written.where(F.size(comps) == 1)
+        .select(F.col("_mb").cast("int").alias("_mb"),
+                "path", "is_dir", "size", "bid")
+        .collect()
+    ):
+        root_by_bucket.setdefault(r["_mb"], {})[r["path"].strip("/")] = [
+            r["is_dir"], r["size"], r["bid"]
+        ]
     tmp_dir = new_dir + f".tmp.{os.getpid()}"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir)
@@ -392,9 +545,10 @@ def _write_buckets_distributed(
         assert len(parts) == 1, (d, parts)  # one task per bucket
         os.replace(os.path.join(out, d, parts[0]), _bucket_file(tmp_dir, b))
     shutil.rmtree(out, ignore_errors=True)
+    _write_rootdir(tmp_dir, root_by_bucket)
     _publish_state(
         mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir,
-        keep_all=keep_all,
+        keep_all=keep_all, totals=totals,
     )
 
 

@@ -265,14 +265,21 @@ def test_mirror_pruned_state_retries_then_errors_in_band(
         resp = svc.handle({"op": "getattr", "path": "/docs/a.txt"})
         assert resp["errorMsg"] == "" and resp["size"] == 14
 
-        # persistently gone: in-band error, no exception escapes
+        # stat is immune: it reads fold-maintained meta totals, never
+        # the (poisoned) state dir
         calls["n"], calls["poison"] = 0, 10**9
         resp = svc.handle({"op": "stat"})
+        assert resp["errorMsg"] == "" and resp["files"] == 1
+
+        # persistently gone on a bucket-reading op: in-band error, no
+        # exception escapes
+        calls["n"] = 0
+        resp = svc.handle({"op": "get_dir_contents", "path": "/docs"})
         assert "FileNotFoundError" in resp["errorMsg"]
     finally:
         store.snapshot = real_snapshot
     # and the service still answers afterwards
-    assert svc.handle({"op": "stat"})["errorMsg"] == ""
+    assert svc.handle({"op": "get_dir_contents", "path": "/docs"})["errorMsg"] == ""
 
 
 def test_serving_survives_live_rebucket_and_folds(spark, tmp_path):
@@ -377,7 +384,10 @@ def test_mirror_cache_is_byte_bounded_lru(spark, tmp_path):
 
     unbounded = serving.MirrorStore(mdir)
     snap = unbounded.snapshot()
-    snap.stat_totals()  # faults in every bucket
+    # fault in every bucket explicitly (stat/root-listing no longer
+    # touch data buckets — they read fold-maintained aggregates)
+    for _ in snap._all_rows():
+        pass
     full = unbounded.cached_bytes()
     assert full > 0
 
@@ -401,6 +411,174 @@ def test_mirror_cache_is_byte_bounded_lru(spark, tmp_path):
     # evicted entries re-decode transparently: re-read the first path
     resp = svc.handle({"op": "getattr", "path": "/d00/file-000.bin"})
     assert resp["errorMsg"] == "" and resp["size"] == 0
+
+
+def test_stat_and_root_listing_read_zero_data_buckets(spark, tmp_path):
+    """VERDICT r8 finding 1 / task 1: mirror ``stat`` and the root
+    listing must be O(changed), not O(catalog). On a catalog 4× the
+    cache cap, both ops must read ZERO data-bucket files — the fold
+    maintains per-bucket totals in the meta and depth-1 entries in
+    the rootdir sidecar — with answers identical to the full sweep,
+    and a delta fold keeps the aggregates right (recomputing only the
+    changed buckets)."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+    from pufs_spark.streaming import mirror as M
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    nfiles = 0
+    for i in range(40):
+        top = f"/d{i:02d}"
+        batch.append(row(1, "upsert", top, True, 0, None))
+        batch.append(row(1, "upsert", f"/rootfile-{i:02d}", False, i,
+                         f"rbid-{i}"))
+        nfiles += 1
+        for j in range(25):
+            batch.append(row(1, "upsert", f"{top}/f-{j:03d}", False,
+                             10 * i + j, f"bid-{i}-{j}"))
+            nfiles += 1
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    # the sweep's answers, as the oracle (forced via the fallback path)
+    ref = serving.MirrorStore(mdir)
+    snap = ref.snapshot()
+    sweep_stat = {"nodes": 0, "dirs": 0, "files": 0, "bytes": 0}
+    root_sweep = []
+    for p, (d, s, _b) in snap._all_rows():
+        sweep_stat["nodes"] += 1
+        if d:
+            sweep_stat["dirs"] += 1
+        else:
+            sweep_stat["files"] += 1
+            sweep_stat["bytes"] += s or 0
+        name = p.strip("/")
+        if name and "/" not in name:
+            root_sweep.append(name)
+    full = ref.cached_bytes()
+
+    store = serving.MirrorStore(mdir, max_cache_bytes=max(1, full // 4))
+    svc = serving.MirrorService(store)
+    reads = []
+
+    def counting_bucket_entry(state_dir, fname, _orig=store._bucket_entry):
+        reads.append(fname)
+        return _orig(state_dir, fname)
+
+    store._bucket_entry = counting_bucket_entry
+    st = svc.handle({"op": "stat"})
+    listing = svc.handle({"op": "get_dir_contents", "path": "/"})
+    assert reads == [], f"stat/root-listing read data buckets: {reads}"
+    assert {k: st[k] for k in sweep_stat} == sweep_stat
+    assert st["files"] == nfiles
+    assert [e["name"] for e in listing["entries"]] == sorted(root_sweep)
+    by_name = {e["name"]: e for e in listing["entries"]}
+    assert by_name["rootfile-07"]["size"] == 7
+    assert by_name["rootfile-07"]["blockId"] == "rbid-7"
+    assert by_name["d03"]["isDir"]
+
+    # a delta fold updates the aggregates O(changed): add one root
+    # file, delete a whole top dir, grow one nested file
+    M._fold_rows(str(tmp_path / "cat"), mdir, [
+        row(2, "upsert", "/rootfile-new", False, 1000, "rbid-new"),
+        row(2, "absent", "/d05"),
+        row(2, "upsert", "/d06/f-000", False, 9999, "bid-6-0"),
+    ], spark=spark)
+    reads.clear()
+    st2 = svc.handle({"op": "stat"})
+    listing2 = svc.handle({"op": "get_dir_contents", "path": "/"})
+    assert reads == []
+    assert st2["files"] == nfiles + 1 - 25        # +new, -d05's 25 files
+    assert st2["dirs"] == sweep_stat["dirs"] - 1  # -d05
+    assert st2["bytes"] == (
+        sweep_stat["bytes"] + 1000
+        - sum(10 * 5 + j for j in range(25))      # d05's files
+        + 9999 - (10 * 6 + 0)                     # f-000 grew
+    )
+    names2 = {e["name"] for e in listing2["entries"]}
+    assert "rootfile-new" in names2 and "d05" not in names2
+
+    # answers must also match a fresh full sweep after the fold
+    snap2 = serving.MirrorStore(mdir).snapshot()
+    resweep = {"nodes": 0, "dirs": 0, "files": 0, "bytes": 0}
+    for _p, (d, s, _b) in snap2._all_rows():
+        resweep["nodes"] += 1
+        if d:
+            resweep["dirs"] += 1
+        else:
+            resweep["files"] += 1
+            resweep["bytes"] += s or 0
+    assert {k: st2[k] for k in resweep} == resweep
+
+
+def test_pre_aggregate_state_falls_back_then_backfills(spark, tmp_path):
+    """A mirror state published before the fold-time aggregates
+    existed has no meta totals and no rootdir sidecar: serving must
+    fall back to the sweep (same answers), and the NEXT fold must
+    backfill both so the fast path engages."""
+    import json as _json
+    import os
+
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+    from pufs_spark.streaming import mirror as M
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    for i in range(6):
+        batch.append(row(1, "upsert", f"/t{i}", True, 0, None))
+        for j in range(4):
+            batch.append(row(1, "upsert", f"/t{i}/f{j}", False, i + j,
+                             f"b-{i}-{j}"))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    # simulate a pre-upgrade state: strip the aggregates
+    meta_path = os.path.join(mdir, M.META_FILE)
+    meta = _json.load(open(meta_path))
+    stripped = {k: v for k, v in meta.items() if k != "totals"}
+    with open(meta_path, "w") as f:
+        _json.dump(stripped, f)
+    sd = os.path.join(mdir, meta["state_dirname"])
+    os.remove(os.path.join(sd, M.ROOTDIR_FILE))
+
+    svc = serving.MirrorService(serving.MirrorStore(mdir))
+    st = svc.handle({"op": "stat"})
+    assert st["files"] == 24 and st["dirs"] == 7  # sweep fallback works
+    names = {e["name"] for e in
+             svc.handle({"op": "get_dir_contents", "path": "/"})["entries"]}
+    assert names == {f"t{i}" for i in range(6)}
+
+    # one delta fold backfills: totals + rootdir reappear, fast path on
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(2, "upsert", "/t0/f9", False, 100, "b-0-9")],
+                 spark=spark)
+    meta2 = _json.load(open(meta_path))
+    assert "totals" in meta2
+    store = serving.MirrorStore(mdir)
+    svc2 = serving.MirrorService(store)
+    reads = []
+
+    def counting(state_dir, fname, _orig=store._bucket_entry):
+        reads.append(fname)
+        return _orig(state_dir, fname)
+
+    store._bucket_entry = counting
+    st2 = svc2.handle({"op": "stat"})
+    names2 = {e["name"] for e in
+              svc2.handle({"op": "get_dir_contents", "path": "/"})["entries"]}
+    assert reads == []
+    assert st2["files"] == 25 and st2["bytes"] == st["bytes"] + 100
+    assert names2 == names
 
 
 def test_mirror_fleet_parity_folds_and_failover(spark, tmp_path):
