@@ -417,3 +417,135 @@ def ingest_corpus_batch(
         compacted=compacted,
         bloom_rebuild_due=bloom_rebuild_due,
     )
+
+
+@dataclass
+class MaintenanceResult:
+    """What ``run_maintenance`` did and why (all fields are evidence
+    the operator can log): ``drift_window`` holds the (batch_id,
+    mean_drop) pairs the retrain decision inspected, newest last."""
+
+    bloom_rebuilt: bool = False
+    bloom_stats: dict | None = None
+    ann_retrained: bool = False
+    drift_threshold: float | None = None
+    drift_window: list | None = None
+    ann_ring: list | None = None
+
+
+def run_maintenance(
+    spark,
+    nd_table: str | None = None,
+    ann_table: str | None = None,
+    corpus_df: DataFrame | None = None,
+    ann_path: str | None = None,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    max_fpp: float = 1e-4,
+    drift_threshold: float | None = None,
+    drift_patience: int = 3,
+    calibrate_on: int = 3,
+    drift_margin: float = 0.1,
+    n_centroids: int = 16,
+    ivf_buckets: int = 16,
+) -> MaintenanceResult:
+    """The quiet-point maintenance orchestrator (r8 verdict task 2):
+    the ingest loop SURFACES ``bloom_rebuild_due`` and the drift
+    signal but leaves acting on them to the operator — this wires
+    both, to be called at a batch boundary (pause the loop, run,
+    resume — the same discipline as ``restore_lost_index``). Both
+    arms are corpus-sized when they fire, which is exactly why they
+    live here and not inside the per-batch loop.
+
+    Bloom arm (``nd_table``): when ``indexes.needs_bloom_rebuild``
+    (est_fpp past ``max_fpp``), rebuild the sidecar from the index's
+    own id column via ``build_id_bloom`` — capacity re-defaults to 2×
+    the CURRENT distinct-id count, so each rebuild restores the same
+    relative headroom the original build had.
+
+    IVF arm (``ann_table`` + ``corpus_df``): retrain when the
+    ``drift_patience`` NEWEST batches in ``ann_index_drift`` ALL show
+    ``mean_drop`` above the threshold. ``drift_threshold=None``
+    calibrates it from the current lineage's own first
+    ``calibrate_on`` batches (max of their mean_drop + ``drift_margin``
+    — the runbook's "early-batch plateau"), and then requires at least
+    ``calibrate_on + drift_patience`` batch rows so the calibration
+    and trigger windows cannot overlap. The retrain is
+    ``similarity.build_ann_index`` over ``corpus_df`` (the service's
+    full accepted corpus, carrying ``vec_col``) at ``ann_path``
+    (default: the index's current location — the same-path retrain
+    whose drift-log reset r8 pinned). ``build_ann_index`` does not
+    touch ``<table>_meta``, so the applied-batch ring and marker files
+    survive and an at-least-once replay of the last pre-retrain batch
+    stays a no-op — this function VERIFIES that and re-seeds the ring
+    if a future regression ever drops it. The retrain also resets the
+    drift baseline (fresh ``__build__`` row), so the patience counter
+    restarts from zero post-retrain by construction.
+
+    A drift log without the ``ts`` column (written before retention
+    existed) has no recency order, so the IVF arm skips it — the
+    first retrain (manual, or after enough fresh batches at the next
+    lineage) recreates the log in the current shape."""
+    res = MaintenanceResult()
+    if nd_table is not None and indexes.needs_bloom_rebuild(
+        spark, nd_table, max_fpp
+    ):
+        res.bloom_stats = indexes.build_id_bloom(
+            spark, nd_table, id_col=id_col
+        )
+        res.bloom_rebuilt = True
+
+    if ann_table is None:
+        return res
+    drift_t = f"{ann_table}_drift"
+    if not spark.catalog.tableExists(drift_t):
+        return res
+    if "ts" not in spark.table(drift_t).columns:
+        return res  # pre-retention log: no recency order to trust
+    rows = sorted(
+        (
+            r for r in similarity.ann_index_drift(spark, ann_table).collect()
+            if r["batch_id"] != "__build__"
+        ),
+        key=lambda r: r["batch_id"],
+    )
+    # ann_index_drift carries no ts (it's the operator-facing view);
+    # re-key by append time for recency
+    ts_by_id = {
+        r["batch_id"]: r["ts"] for r in spark.table(drift_t).collect()
+    }
+    rows.sort(key=lambda r: ts_by_id[r["batch_id"]])
+    threshold = drift_threshold
+    need = drift_patience
+    if threshold is None:
+        if len(rows) < calibrate_on + drift_patience:
+            return res  # not enough signal to calibrate AND trigger
+        threshold = (
+            max(r["mean_drop"] for r in rows[:calibrate_on]) + drift_margin
+        )
+    res.drift_threshold = threshold
+    window = rows[-drift_patience:]
+    res.drift_window = [(r["batch_id"], r["mean_drop"]) for r in window]
+    if len(window) < need or not all(
+        r["mean_drop"] > threshold for r in window
+    ):
+        return res
+    if corpus_df is None:
+        raise ValueError(
+            f"IVF drift trigger fired for {ann_table!r} but no corpus_df "
+            "was provided to retrain from"
+        )
+    ring_before, _ = indexes.read_index_meta(spark, ann_table)
+    path = ann_path or indexes.table_location(spark, ann_table)
+    similarity.build_ann_index(
+        corpus_df, ann_table, path, n_centroids, id_col, vec_col, ivf_buckets
+    )
+    ring_after, _ = indexes.read_index_meta(spark, ann_table)
+    if ring_after != ring_before:
+        # build_ann_index leaves <table>_meta alone by contract; if a
+        # future change breaks that, the replay guard must not be lost
+        indexes.write_index_meta(spark, ann_table, ring_before, None)
+        ring_after = ring_before
+    res.ann_retrained = True
+    res.ann_ring = list(ring_after)
+    return res

@@ -462,7 +462,18 @@ def _assigned_sim_stats(assigned: DataFrame, cent: DataFrame, vec_col: str):
     )
 
 
-_DRIFT_SCHEMA = "batch_id string, n bigint, mean_sim double, p10_sim double"
+# ``ts`` (append wall-clock) orders the log for retention — batch ids
+# are opaque strings, so recency needs its own column. Logs created
+# before the column existed (no ts) keep appending in their old shape
+# and skip retention until the next retrain recreates them.
+_DRIFT_SCHEMA = (
+    "batch_id string, ts double, n bigint, mean_sim double, p10_sim double"
+)
+_DRIFT_SCHEMA_LEGACY = (
+    "batch_id string, n bigint, mean_sim double, p10_sim double"
+)
+# compact_drift_log retention: keep __build__ + this many newest rows.
+DRIFT_KEEP_LAST = 256
 
 
 def _append_drift_row(
@@ -476,41 +487,75 @@ def _append_drift_row(
     write into an index that predates the drift log (no table, no
     baseline) is skipped: there is nothing to compare against until
     the next retrain creates the baseline."""
+    import time
+
     from pufs_spark.operators import indexes
 
     drift_t = f"{table}_drift"
-    df = spark.createDataFrame(
-        [(batch_id, stats["n"], stats["mean_sim"], stats["p10_sim"])],
-        _DRIFT_SCHEMA,
-    )
     if overwrite:
+        df = spark.createDataFrame(
+            [(batch_id, float(time.time()), stats["n"], stats["mean_sim"],
+              stats["p10_sim"])],
+            _DRIFT_SCHEMA,
+        )
         spark.sql(f"DROP TABLE IF EXISTS {drift_t}")
         loc = path or f"{indexes.table_location(spark, table)}_drift"
         df.write.option("path", loc).mode("overwrite").saveAsTable(drift_t)
     elif spark.catalog.tableExists(drift_t):
-        df.write.mode("append").insertInto(drift_t)
+        if "ts" in spark.table(drift_t).columns:
+            row = (batch_id, float(time.time()), stats["n"],
+                   stats["mean_sim"], stats["p10_sim"])
+            schema = _DRIFT_SCHEMA
+        else:  # pre-ts log: keep its shape until the next retrain
+            row = (batch_id, stats["n"], stats["mean_sim"], stats["p10_sim"])
+            schema = _DRIFT_SCHEMA_LEGACY
+        spark.createDataFrame([row], schema).write.mode("append").insertInto(
+            drift_t
+        )
 
 
-def compact_drift_log(spark, table: str, max_files: int = 64) -> bool:
-    """Fold the drift log's per-batch append files back into one: each
-    applied batch appends one tiny file to ``<table>_drift``, so a
-    standing loop accumulates unbounded small files (the log's rows
-    stay one-per-batch — tiny — but the LISTING grows). Rewrites only
-    when the file count exceeds ``max_files``. The log is best-effort
-    diagnostics (same contract as the per-batch drift row itself), so
-    the rewrite is collect → overwrite without a swap protocol: a crash
-    inside it can lose log rows, never data. Returns True iff it
-    rewrote."""
+def compact_drift_log(
+    spark, table: str, max_files: int = 64, keep_last: int | None = None
+) -> bool:
+    """Fold the drift log's per-batch append files back into one AND
+    bound its length: keep the ``__build__`` baseline plus the
+    ``keep_last`` newest rows by append time (default
+    ``DRIFT_KEEP_LAST``) — a years-long standing loop otherwise grows
+    the log (and this rewrite's driver-side collect, the last
+    unbounded one, VERDICT r8 finding 2) one row per batch forever.
+    Between rewrites the log holds at most keep_last + max_files + 1
+    rows, so the collect is bounded too. Rewrites only when the file
+    count exceeds ``max_files``. The log is best-effort diagnostics
+    (same contract as the per-batch drift row itself), so the rewrite
+    is collect → overwrite without a swap protocol: a crash inside it
+    can lose log rows, never data. A pre-ts log (no append-time
+    column) compacts files but keeps all rows — bounded at the next
+    retrain, which recreates the log in the current shape. Returns
+    True iff it rewrote."""
     from pufs_spark.operators import indexes
 
+    if keep_last is None:
+        keep_last = DRIFT_KEEP_LAST
     drift_t = f"{table}_drift"
     if not spark.catalog.tableExists(drift_t):
         return False
     if len(indexes.list_table_files(spark, drift_t)) <= max_files:
         return False
-    rows = [tuple(r) for r in spark.table(drift_t).collect()]
+    has_ts = "ts" in spark.table(drift_t).columns
+    rows = spark.table(drift_t).collect()
+    if has_ts:
+        build = [tuple(r) for r in rows if r["batch_id"] == "__build__"]
+        rest = sorted(
+            (tuple(r) for r in rows if r["batch_id"] != "__build__"),
+            key=lambda t: (t[1], t[0]),  # (ts, batch_id): stable on ties
+        )
+        kept = build + (rest[-keep_last:] if keep_last > 0 else [])
+        schema = _DRIFT_SCHEMA
+    else:
+        kept = [tuple(r) for r in rows]
+        schema = _DRIFT_SCHEMA_LEGACY
     (
-        spark.createDataFrame(rows, _DRIFT_SCHEMA)
+        spark.createDataFrame(kept, schema)
         .coalesce(1)
         .write.mode("overwrite")
         .insertInto(drift_t, overwrite=True)
