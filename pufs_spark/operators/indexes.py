@@ -308,7 +308,24 @@ def guarded_append(spark, table: str, batch_id: str | None, do_append) -> bool:
     its id applied); unchanged → it never landed (drop the intent; the
     replay redoes it). ``batch_id=None`` skips the marker entirely
     (caller accepts replay duplicates). Returns True iff the append
-    ran."""
+    ran.
+
+    REPLAY HORIZON (caller contract): replay detection is bounded —
+    the ring keeps the newest ``META_BATCH_RING`` ids and the marker
+    sidecar the newest ~``2×META_BATCH_RING`` files by mtime — so a
+    replay arriving MORE than ~2×META_BATCH_RING batches late is
+    indistinguishable from a fresh batch and re-appends. That bound is
+    sound for the intended caller, a streaming ``foreachBatch`` loop:
+    checkpoint batch ids are monotone and a replay is always the
+    immediately-retried batch, never one ~128 batches stale. A
+    non-streaming caller minting ARBITRARY ids gets exactly this
+    weaker guarantee and must either keep its own applied set or
+    route ids so no replay can be older than the horizon (the ids are
+    opaque strings, so an out-of-horizon arrival cannot be detected
+    here even in principle — there is no order to compare against).
+    The ingest loop's id-freshness guard is the backstop: a
+    beyond-horizon replay re-appending its DOC ids trips
+    ``BatchIdCollisionError`` before any fold."""
     if batch_id is None:
         do_append()
         return True

@@ -483,3 +483,49 @@ def test_ivf_retrain_at_same_path_resets_drift_log(spark, tmp_path_factory):
     finally:
         _drop(spark, "ivf_rt", "ivf_rt_centroids", "ivf_rt_meta",
               "ivf_rt_drift")
+
+
+def test_guarded_append_replay_horizon(spark, tmp_path_factory, monkeypatch):
+    """The guarded_append docstring's REPLAY HORIZON contract, pinned:
+    a replay within ~2x META_BATCH_RING batches no-ops (ring evicted,
+    marker file still there), while one OLDER than the pruned marker
+    window is indistinguishable from a fresh batch and re-appends —
+    the documented bound a non-streaming caller minting arbitrary ids
+    must plan for."""
+    wh = tmp_path_factory.mktemp("horizon")
+    monkeypatch.setattr(indexes, "META_BATCH_RING", 2)  # horizon = ~4
+    _drop(spark, "hz_t", "hz_t_meta")
+    spark.createDataFrame([(0, "seed")], "id long, v string").write.option(
+        "path", str(wh / "t")
+    ).saveAsTable("hz_t")
+    indexes.write_index_meta(spark, "hz_t", [], None)
+    try:
+        def appender(i):
+            def do():
+                spark.createDataFrame(
+                    [(i, f"row{i}")], "id long, v string"
+                ).write.insertInto("hz_t")
+            return do
+
+        n_batches = 6
+        for i in range(n_batches):
+            assert indexes.guarded_append(spark, "hz_t", f"b{i}", appender(i))
+        n_rows = spark.table("hz_t").count()
+        ring, _ = indexes.read_index_meta(spark, "hz_t")
+        assert ring == ["b4", "b5"]  # ring: newest META_BATCH_RING only
+
+        # within the marker window (newest ~2x ring = b2..b5): even
+        # ring-evicted ids are recognized via their marker files
+        for bid in ("b2", "b3", "b4", "b5"):
+            assert not indexes.guarded_append(
+                spark, "hz_t", bid, appender(99)
+            ), f"{bid} replay re-appended inside the horizon"
+        assert spark.table("hz_t").count() == n_rows
+
+        # beyond the horizon: b0's marker was pruned — the replay is
+        # treated as fresh and re-appends (the documented weakness)
+        assert not indexes.applied_marker_exists(spark, "hz_t", "b0")
+        assert indexes.guarded_append(spark, "hz_t", "b0", appender(0))
+        assert spark.table("hz_t").count() == n_rows + 1
+    finally:
+        _drop(spark, "hz_t", "hz_t_meta")
