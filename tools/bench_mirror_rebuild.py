@@ -37,12 +37,14 @@ def main() -> None:
         root = os.path.join(tmp, "cat")
         n_top = max(8, int(N_INODES ** 0.5 // 2))
         n_files = max(1, N_INODES // n_top - 1)
+        t0 = time.monotonic()
         w, log = CL.open_log(root)
         for i in range(n_top):
             d = w.mkdir(ROOT_INODE, f"dir{i:05d}")
             for j in range(n_files):
                 w.add_immutable_bytes(d, f"f{j:05d}", b"x" * 16)
         log.commit(w)
+        out["build_s"] = round(time.monotonic() - t0, 2)
 
         rdr = PufsCommitsStreamReader({"root": root})
         rows = [
@@ -58,19 +60,30 @@ def main() -> None:
             time.monotonic() - t0, 2
         )
 
-        # driver-dict fallback at the same size (the r6 ceiling)
-        mdir_p = os.path.join(tmp, "mirror_py")
-        t0 = time.monotonic()
-        M._fold_rows(root, mdir_p, rows, spark=None)
-        out["checkpoint_rebuild_driver_dict_s"] = round(
-            time.monotonic() - t0, 2
-        )
+        # driver-dict fallback at the same size (the r6 ceiling) —
+        # skipped past 1M inodes: it is O(catalog) driver memory BY
+        # DESIGN (test-only arm) and the 200k point already bounds it
+        if N_INODES <= 1_000_000:
+            mdir_p = os.path.join(tmp, "mirror_py")
+            t0 = time.monotonic()
+            M._fold_rows(root, mdir_p, rows, spark=None)
+            out["checkpoint_rebuild_driver_dict_s"] = round(
+                time.monotonic() - t0, 2
+            )
 
-        # re-bucket migration 64 -> 256 (wholesale executor rewrite)
-        t0 = time.monotonic()
-        new_n = M.maybe_rebucket(spark, mdir_d, max_bucket_bytes=1)
-        out["rebucket_to"] = new_n
-        out["rebucket_s"] = round(time.monotonic() - t0, 2)
+        # re-bucket migrations up to the MAX_BUCKETS=4096 ceiling
+        # (each is a wholesale executor rewrite at growth=4): at 10M
+        # inodes this exercises every step 64 -> 256 -> 1024 -> 4096
+        out["rebucket_steps"] = []
+        while True:
+            t0 = time.monotonic()
+            new_n = M.maybe_rebucket(spark, mdir_d, max_bucket_bytes=1)
+            if new_n is None:
+                break
+            out["rebucket_steps"].append(
+                {"to": new_n, "s": round(time.monotonic() - t0, 2)}
+            )
+        out["final_buckets"] = M._resolve_state(str(mdir_d))[2]
 
         # a 1-path delta at the migrated count (the steady-state cost)
         t0p = w.resolve_path("/dir00000")

@@ -195,6 +195,40 @@ def main() -> None:
 
         samples, timeline = run_phase(port, paths, dirs, SECONDS, writer)
         out["live"] = summarize(samples, timeline, SECONDS)
+
+        # aggregate ops (stat + root listing): fold-maintained meta /
+        # sidecar reads as of r9 — must stay flat even when the
+        # decoded catalog no longer fits the default 1 GiB cache cap
+        # (pre-r9 these swept every bucket and thrashed the LRU)
+        def lat_pcts(lats):
+            lats = sorted(lats)
+            return {
+                "n": len(lats),
+                "p50_ms": round(lats[len(lats) // 2] * 1000, 3),
+                "p99_ms": round(
+                    lats[min(len(lats) - 1, int(0.99 * len(lats)))] * 1000, 3
+                ),
+            }
+
+        agg: dict = {"stat": [], "root_list": []}
+        c = serving.PufsClient("127.0.0.1", port, timeout=60.0)
+        deadline = time.monotonic() + min(SECONDS, 5.0)
+        while time.monotonic() < deadline:
+            t0 = time.monotonic()
+            r = c.call(op="stat")
+            agg["stat"].append(time.monotonic() - t0)
+            assert not r.get("errorMsg"), r
+            t0 = time.monotonic()
+            r = c.call(op="get_dir_contents", path="/")
+            agg["root_list"].append(time.monotonic() - t0)
+            assert not r.get("errorMsg"), r
+        c.close()
+        out["aggregates"] = {k: lat_pcts(v) for k, v in agg.items()}
+        st = server.service.store
+        out["cache"] = {
+            "cap_bytes": st.max_cache_bytes,
+            "cached_bytes": st.cached_bytes(),
+        }
         server.shutdown()
 
         # fleet scaling (r7 verdict task 6): same catalog, quiescent,
