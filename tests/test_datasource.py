@@ -481,7 +481,11 @@ def test_mirror_one_path_delta_rewrites_one_bucket(spark, tmp_path):
     fresh = [
         f
         for f in os.listdir(new_dir)
-        if os.stat(os.path.join(new_dir, f)).st_ino != prev_inodes.get(f)
+        # the _rootdir sidecar is rewritten every publish by design
+        # (tiny, O(top-level fanout)); the hard-link claim is about
+        # the DATA buckets
+        if f.startswith("bucket-")
+        and os.stat(os.path.join(new_dir, f)).st_ino != prev_inodes.get(f)
     ]
     fresh_bytes = sum(os.path.getsize(os.path.join(new_dir, f)) for f in fresh)
     # up to three buckets rewritten: the new file's key bucket, its
