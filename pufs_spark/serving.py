@@ -195,8 +195,27 @@ class MirrorStore:
     # closed round 7, relocated into the server.
     DEFAULT_CACHE_BYTES = 1 << 30  # 1 GiB of estimated decoded dicts
 
-    def __init__(self, mirror_dir: str, max_cache_bytes: int | None = None):
+    # Parquet-size threshold above which a cache MISS serves point
+    # lookups / single-dir listings via a FILTERED parquet read
+    # (pyarrow predicate pushdown) instead of decoding the whole
+    # bucket into the cache. Decoding a 150k-row bucket costs ~1-2 s
+    # of Python object materialization and evicts ~50 MB of hot
+    # entries — measured at 10M inodes / 64 buckets, where uniform
+    # getattr traffic collapsed to ~1 qps from LRU thrash (r9 bench).
+    # A filtered read touches only the matching row group(s) and
+    # materializes only the matching rows (~ms), and never pollutes
+    # the cache. Small buckets (every properly re-bucketed mirror)
+    # keep the decode-and-cache fast path: a warm dict hit is ~0.1 ms,
+    # unbeatable when the working set fits the cap.
+    POINT_READ_PARQUET_BYTES = 4 << 20
+
+    def __init__(self, mirror_dir: str, max_cache_bytes: int | None = None,
+                 point_read_bytes: int | None = None):
         self.mirror_dir = mirror_dir
+        self.point_read_bytes = (
+            self.POINT_READ_PARQUET_BYTES if point_read_bytes is None
+            else point_read_bytes
+        )
         # file → (sig, rows, kids, est): rows is path → (is_dir, size,
         # bid); kids is parent-path → [(name, row)] so a listing reads
         # its result directly instead of scanning every row in the
@@ -314,6 +333,92 @@ class MirrorStore:
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
         return self._bucket_entry(state_dir, fname)[0]
 
+    def _stat_sig(self, f: str):
+        import os as _os
+
+        try:
+            st = _os.stat(f)
+        except FileNotFoundError:
+            return None
+        return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+    def _cache_hit(self, fname: str, sig) -> tuple[dict, dict] | None:
+        with self._lock:
+            hit = self._cache.get(fname)
+            if hit is not None and hit[0] == sig:
+                self._cache.move_to_end(fname)
+                return hit[1], hit[2]
+        return None
+
+    def _point_lookup(self, state_dir: str, fname: str, path: str):
+        """One path's (is_dir, size, bid) or None. Cached bucket →
+        dict hit; oversized uncached bucket → FILTERED parquet read
+        (row-group pruned — bucket files are path-sorted — and no
+        cache insert, so a scan-shaped miss can't evict hot entries);
+        small uncached → decode-and-cache as before."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        f = _os.path.join(state_dir, fname)
+        sig = self._stat_sig(f)
+        if sig is None:
+            if not _os.path.isdir(state_dir):
+                raise FileNotFoundError(state_dir)  # pruned: retryable
+            return None  # empty bucket has no file
+        hit = self._cache_hit(fname, sig)
+        if hit is not None:
+            return hit[0].get(path)
+        if sig[2] > self.point_read_bytes:
+            t = pq.read_table(f, filters=[("path", "==", path)])
+            if t.num_rows == 0:
+                return None
+            return (
+                bool(t["is_dir"][0].as_py()),
+                t["size"][0].as_py(),
+                t["bid"][0].as_py(),
+            )
+        return self._bucket_entry(state_dir, fname)[0].get(path)
+
+    def _dir_children(
+        self, state_dir: str, fname: str, parent: str
+    ) -> list[tuple[str, tuple]]:
+        """One bucket's direct children of ``parent``. Cached → kids
+        index; oversized uncached → prefix-range filtered read (the
+        subtree shares the ``parent + '/'`` prefix; '0' is the
+        successor byte of '/'); small uncached → decode-and-cache."""
+        import os as _os
+
+        import pyarrow.parquet as pq
+
+        f = _os.path.join(state_dir, fname)
+        sig = self._stat_sig(f)
+        if sig is None:
+            if not _os.path.isdir(state_dir):
+                raise FileNotFoundError(state_dir)
+            return []
+        hit = self._cache_hit(fname, sig)
+        if hit is not None:
+            return list(hit[1].get(parent, ()))
+        if sig[2] > self.point_read_bytes:
+            lo = "/" if parent == "/" else parent + "/"
+            hi = "0" if parent == "/" else parent + "0"
+            t = pq.read_table(
+                f, filters=[("path", ">=", lo), ("path", "<", hi)]
+            )
+            out = []
+            for p, d, s, b in zip(
+                t["path"].to_pylist(),
+                t["is_dir"].to_pylist(),
+                t["size"].to_pylist(),
+                t["bid"].to_pylist(),
+            ):
+                par, _, name = p.rpartition("/")
+                if (par or "/") == parent and name:
+                    out.append((name, (d, s, b)))
+            return out
+        return list(self._bucket_entry(state_dir, fname)[1].get(parent, ()))
+
     def _root_entries(self, state_dir: str) -> list[tuple[str, tuple]] | None:
         """The root listing from the state dir's rootdir sidecar —
         fold-maintained depth-1 entries, so "/" never faults in data
@@ -377,11 +482,10 @@ class MirrorSnapshot:
         self.summary = summary
         self.totals = totals
 
-    def _bucket_for(self, path: str) -> dict:
+    def _fname_for(self, path: str) -> str:
         from pufs_spark.streaming import mirror as M
 
-        b = M._bucket(path, self.n_buckets)
-        return self.store._bucket_rows(self.state_dir, f"bucket-{b:04d}.parquet")
+        return f"bucket-{M._bucket(path, self.n_buckets):04d}.parquet"
 
     def _all_rows(self):
         import os as _os
@@ -391,8 +495,12 @@ class MirrorSnapshot:
                 yield from self.store._bucket_rows(self.state_dir, fname).items()
 
     def lookup(self, path: str) -> tuple:
-        """(is_dir, size, bid) or NotFoundError. One bucket touched."""
-        row = self._bucket_for(path).get(path)
+        """(is_dir, size, bid) or NotFoundError. One bucket touched —
+        and for an oversized bucket, only the row group(s) holding the
+        path (MirrorStore._point_lookup)."""
+        row = self.store._point_lookup(
+            self.state_dir, self._fname_for(path), path
+        )
         if row is None:
             raise E.NotFoundError(path)
         return row
@@ -400,10 +508,12 @@ class MirrorSnapshot:
     def list_dir(self, path: str) -> list[tuple[str, tuple]]:
         """[(name, (is_dir, size, bid))] for the directory's direct
         children, read from the per-bucket children index (O(result),
-        no row scan). A dir at depth ≥ BUCKET_DEPTH lists from ONE
-        bucket (the subtree shares its key prefix); a depth-1 dir lists
-        from the buckets its top-group summary names; only the root
-        consults every bucket."""
+        no row scan) — or, for an oversized uncached bucket, a
+        prefix-range filtered parquet read (MirrorStore._dir_children).
+        A dir at depth ≥ BUCKET_DEPTH lists from ONE bucket (the
+        subtree shares its key prefix); a depth-1 dir lists from the
+        buckets its top-group summary names; the root reads the
+        fold-maintained rootdir sidecar and touches no data bucket."""
         import os as _os
 
         from pufs_spark.streaming import mirror as M
@@ -423,9 +533,12 @@ class MirrorSnapshot:
                 if f.startswith("bucket-")
             ]
         else:
-            if not self._bucket_for(norm).get(norm, (False,))[0]:
-                # missing, or a file: same errors the DataStore raises
-                self.lookup(norm)  # raises NotFoundError if absent
+            row = self.store._point_lookup(
+                self.state_dir, self._fname_for(norm), norm
+            )
+            if row is None:
+                raise E.NotFoundError(norm)
+            if not row[0]:  # a file: same error the DataStore raises
                 raise E.NotDirError(norm)
             depth = len([c for c in norm.strip("/").split("/") if c])
             if depth < M.BUCKET_DEPTH:
@@ -441,8 +554,9 @@ class MirrorSnapshot:
                 ]
         out: list[tuple[str, tuple]] = []
         for fname in buckets:
-            _rows, kids = self.store._bucket_entry(self.state_dir, fname)
-            out.extend(kids.get(norm, ()))
+            out.extend(
+                self.store._dir_children(self.state_dir, fname, norm)
+            )
         return sorted(out)
 
     def stat_totals(self) -> dict:

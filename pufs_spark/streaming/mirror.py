@@ -479,9 +479,13 @@ def _write_buckets_distributed(
     out = os.path.join(mirror_dir, f"rebuild.tmp.{os.getpid()}")
     shutil.rmtree(out, ignore_errors=True)
     # repartition on the bucket id puts each bucket wholly in one task,
-    # so partitionBy emits exactly one file per non-empty bucket
+    # so partitionBy emits exactly one file per non-empty bucket; the
+    # within-task path sort gives each row group min/max path stats, so
+    # the serving layer's filtered point reads prune to ~one row group
+    # (the driver arm's _write_bucket sorts too)
     (
         bucketed.repartition(n_buckets, "_mb")
+        .sortWithinPartitions("_mb", "path")
         .write.partitionBy("_mb")
         .mode("overwrite")
         .parquet(out)

@@ -516,6 +516,59 @@ def test_stat_and_root_listing_read_zero_data_buckets(spark, tmp_path):
     assert {k: st2[k] for k in resweep} == resweep
 
 
+def test_oversized_bucket_point_reads_skip_cache(spark, tmp_path):
+    """At 10M inodes / 64 buckets the decode-and-cache path collapsed
+    (each getattr miss decoded a ~150k-row bucket and evicted ~50 MB
+    of hot entries — r9 bench). Above point_read_bytes a cache miss
+    must serve lookups and listings via filtered parquet reads:
+    answers identical to the decode path, ZERO bytes entering the
+    cache, same error taxonomy."""
+    from pufs_spark.catalog import errors as CE
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+    from pufs_spark.streaming import mirror as M
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    for i in range(10):
+        batch.append(row(1, "upsert", f"/d{i}", True, 0, None))
+        for j in range(30):
+            batch.append(row(1, "upsert", f"/d{i}/sub{j}", True, 0, None))
+            batch.append(row(1, "upsert", f"/d{i}/f{j:02d}", False,
+                             i * 100 + j, f"b-{i}-{j}"))
+            batch.append(row(1, "upsert", f"/d{i}/sub{j}/leaf", False, j,
+                             None))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    decode = serving.MirrorService(serving.MirrorStore(mdir))
+    pr_store = serving.MirrorStore(mdir, point_read_bytes=0)
+    point = serving.MirrorService(pr_store)
+
+    for req in (
+        {"op": "getattr", "path": "/d3/f07"},
+        {"op": "getattr", "path": "/d3/sub5/leaf"},   # null bid
+        {"op": "getattr", "path": "/"},
+        {"op": "get_dir_contents", "path": "/d4"},    # depth-1: summary
+        {"op": "get_dir_contents", "path": "/d4/sub2"},  # one bucket
+        {"op": "get_dir_contents", "path": "/"},      # rootdir sidecar
+        {"op": "getattr", "path": "/absent"},         # NotFoundError
+        {"op": "get_dir_contents", "path": "/d1/f00"},  # NotDirError
+        {"op": "get_dir_contents", "path": "/nope"},  # NotFoundError
+        {"op": "stat"},
+    ):
+        a, b = decode.handle(dict(req)), point.handle(dict(req))
+        assert a == b, (req, a, b)
+    assert pr_store.cached_bytes() == 0, \
+        "point reads must not populate the bucket cache"
+    # and the decode path DID cache (the fast path for small buckets)
+    assert decode.store.cached_bytes() > 0
+
+
 def test_pre_aggregate_state_falls_back_then_backfills(spark, tmp_path):
     """A mirror state published before the fold-time aggregates
     existed has no meta totals and no rootdir sidecar: serving must

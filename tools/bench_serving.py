@@ -39,6 +39,12 @@ N_INODES = int(os.environ.get("BENCH_INODES", "20000"))
 SECONDS = float(os.environ.get("BENCH_SECONDS", "10"))
 N_CLIENTS = int(os.environ.get("BENCH_CLIENTS", "4"))
 FLEET_SIZES = os.environ.get("BENCH_FLEET", "1,2,4")
+# Per-request client timeout. A request past it is recorded as a
+# 'timeout' sample (the client reconnects and keeps going) — at 10M
+# inodes a cold depth-1 listing can fault dozens of 150k-row buckets,
+# and dying on the first one would hide exactly the cliff this bench
+# exists to surface.
+TIMEOUT_S = float(os.environ.get("BENCH_TIMEOUT", "30"))
 
 
 def build_catalog(root: str, n_inodes: int) -> tuple:
@@ -61,20 +67,35 @@ def client_worker(port: int, seed: int, seconds: float, paths: list[str],
     instead of service latency."""
     out = []
     try:
-        c = serving.PufsClient("127.0.0.1", port, timeout=30.0)
+        c = serving.PufsClient("127.0.0.1", port, timeout=TIMEOUT_S)
         rng = random.Random(seed)
         deadline = time.monotonic() + seconds
         while time.monotonic() < deadline:
             r = rng.random()
             t0 = time.monotonic()
-            if r < 0.8:
-                op = "getattr"
-                resp = c.call(op=op, path=rng.choice(paths))
-            else:
-                # a depth-1 dir listing is the expensive op by design:
-                # its children spread across buckets (depth-2 key rule)
-                op = "list"
-                resp = c.call(op="get_dir_contents", path=rng.choice(dirs))
+            try:
+                if r < 0.8:
+                    op = "getattr"
+                    resp = c.call(op=op, path=rng.choice(paths))
+                else:
+                    # a depth-1 dir listing is the expensive op by
+                    # design: its children spread across buckets
+                    # (depth-2 key rule)
+                    op = "list"
+                    resp = c.call(op="get_dir_contents",
+                                  path=rng.choice(dirs))
+            except (TimeoutError, OSError):
+                # record the blown budget and reconnect (the late
+                # response would desync the line protocol) — timeouts
+                # are data, not a bench crash
+                out.append((time.monotonic(), time.monotonic() - t0, -1,
+                            "timeout"))
+                try:
+                    c.close()
+                except OSError:
+                    pass
+                c = serving.PufsClient("127.0.0.1", port, timeout=TIMEOUT_S)
+                continue
             dt = time.monotonic() - t0
             if resp.get("errorMsg", ""):
                 # in-band errors ARE part of the contract (a request
@@ -124,6 +145,8 @@ def run_phase(port: int, paths, dirs, seconds: float,
 def summarize(samples: list, timeline: list, seconds: float) -> dict:
     def pcts(lats):
         lats = sorted(lats)
+        if not lats:
+            return {"p50_ms": None, "p99_ms": None}
 
         def pct(p):
             return round(
@@ -139,6 +162,7 @@ def summarize(samples: list, timeline: list, seconds: float) -> dict:
         "getattr": pcts([dt for _, dt, _, op in samples if op == "getattr"]),
         "list": pcts([dt for _, dt, _, op in samples if op == "list"]),
         "errors": sum(1 for *_x, op in samples if op == "error"),
+        "timeouts": sum(1 for *_x, op in samples if op == "timeout"),
     }
     if timeline:
         # staleness of each answer = committed version at response time
