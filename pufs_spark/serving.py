@@ -207,7 +207,23 @@ class MirrorStore:
     # the cache. Small buckets (every properly re-bucketed mirror)
     # keep the decode-and-cache fast path: a warm dict hit is ~0.1 ms,
     # unbeatable when the working set fits the cap.
+    #
+    # Parquet size alone under-triggers — sorted paths compress ~20×,
+    # so a 50 MB-decoded bucket can sit under any sane on-disk
+    # threshold (the 10M bench's buckets were ~2 MB each). The PRIMARY
+    # trigger is therefore snapshot-wide: when the state's ESTIMATED
+    # decoded size (from the fold-maintained per-bucket node totals)
+    # exceeds the cache cap, caching would thrash by construction and
+    # every miss takes the filtered-read path (MirrorSnapshot computes
+    # this once per request from the meta it already read). The
+    # on-disk threshold stays as the fallback for legacy states
+    # without totals and as a single-pathological-bucket guard.
     POINT_READ_PARQUET_BYTES = 4 << 20
+    # Estimated decoded bytes per catalog row (dict/tuple overhead +
+    # twice the path text at typical path lengths) — matches
+    # _entry_bytes' accounting, used with the meta's per-bucket node
+    # counts to predict whether the decoded state fits the cap.
+    EST_DECODED_BYTES_PER_ROW = 340
 
     def __init__(self, mirror_dir: str, max_cache_bytes: int | None = None,
                  point_read_bytes: int | None = None):
@@ -350,12 +366,16 @@ class MirrorStore:
                 return hit[1], hit[2]
         return None
 
-    def _point_lookup(self, state_dir: str, fname: str, path: str):
+    def _point_lookup(
+        self, state_dir: str, fname: str, path: str,
+        force_point: bool = False,
+    ):
         """One path's (is_dir, size, bid) or None. Cached bucket →
-        dict hit; oversized uncached bucket → FILTERED parquet read
-        (row-group pruned — bucket files are path-sorted — and no
-        cache insert, so a scan-shaped miss can't evict hot entries);
-        small uncached → decode-and-cache as before."""
+        dict hit; oversized uncached bucket (or ``force_point``, the
+        snapshot's decoded-state-exceeds-cap signal) → FILTERED
+        parquet read (row-group pruned — bucket files are path-sorted
+        — and no cache insert, so a scan-shaped miss can't evict hot
+        entries); small uncached → decode-and-cache as before."""
         import os as _os
 
         import pyarrow.parquet as pq
@@ -369,7 +389,7 @@ class MirrorStore:
         hit = self._cache_hit(fname, sig)
         if hit is not None:
             return hit[0].get(path)
-        if sig[2] > self.point_read_bytes:
+        if force_point or sig[2] > self.point_read_bytes:
             t = pq.read_table(f, filters=[("path", "==", path)])
             if t.num_rows == 0:
                 return None
@@ -381,12 +401,14 @@ class MirrorStore:
         return self._bucket_entry(state_dir, fname)[0].get(path)
 
     def _dir_children(
-        self, state_dir: str, fname: str, parent: str
+        self, state_dir: str, fname: str, parent: str,
+        force_point: bool = False,
     ) -> list[tuple[str, tuple]]:
         """One bucket's direct children of ``parent``. Cached → kids
-        index; oversized uncached → prefix-range filtered read (the
-        subtree shares the ``parent + '/'`` prefix; '0' is the
-        successor byte of '/'); small uncached → decode-and-cache."""
+        index; oversized uncached (or ``force_point``) → prefix-range
+        filtered read (the subtree shares the ``parent + '/'`` prefix;
+        '0' is the successor byte of '/'); small uncached →
+        decode-and-cache."""
         import os as _os
 
         import pyarrow.parquet as pq
@@ -400,7 +422,7 @@ class MirrorStore:
         hit = self._cache_hit(fname, sig)
         if hit is not None:
             return list(hit[1].get(parent, ()))
-        if sig[2] > self.point_read_bytes:
+        if force_point or sig[2] > self.point_read_bytes:
             lo = "/" if parent == "/" else parent + "/"
             hi = "0" if parent == "/" else parent + "0"
             t = pq.read_table(
@@ -481,6 +503,15 @@ class MirrorSnapshot:
         self.n_buckets = n_buckets
         self.summary = summary
         self.totals = totals
+        # Decoded-state-exceeds-cap: caching would thrash (every miss
+        # evicts another bucket's hot entries), so misses take the
+        # filtered-read path instead. Computed from the meta this
+        # snapshot already read — no extra I/O per request.
+        self.point_reads = totals is not None and (
+            store.EST_DECODED_BYTES_PER_ROW
+            * sum(t[0] for t in totals.values())
+            > store.max_cache_bytes
+        )
 
     def _fname_for(self, path: str) -> str:
         from pufs_spark.streaming import mirror as M
@@ -499,7 +530,8 @@ class MirrorSnapshot:
         and for an oversized bucket, only the row group(s) holding the
         path (MirrorStore._point_lookup)."""
         row = self.store._point_lookup(
-            self.state_dir, self._fname_for(path), path
+            self.state_dir, self._fname_for(path), path,
+            force_point=self.point_reads,
         )
         if row is None:
             raise E.NotFoundError(path)
@@ -534,7 +566,8 @@ class MirrorSnapshot:
             ]
         else:
             row = self.store._point_lookup(
-                self.state_dir, self._fname_for(norm), norm
+                self.state_dir, self._fname_for(norm), norm,
+                force_point=self.point_reads,
             )
             if row is None:
                 raise E.NotFoundError(norm)
@@ -555,7 +588,10 @@ class MirrorSnapshot:
         out: list[tuple[str, tuple]] = []
         for fname in buckets:
             out.extend(
-                self.store._dir_children(self.state_dir, fname, norm)
+                self.store._dir_children(
+                    self.state_dir, fname, norm,
+                    force_point=self.point_reads,
+                )
             )
         return sorted(out)
 

@@ -568,6 +568,23 @@ def test_oversized_bucket_point_reads_skip_cache(spark, tmp_path):
     # and the decode path DID cache (the fast path for small buckets)
     assert decode.store.cached_bytes() > 0
 
+    # the PRIMARY trigger is decoded-state-vs-cap (parquet sizes
+    # under-trigger ~20x on sorted paths): a cap smaller than the
+    # estimated decoded catalog flips the whole snapshot to point
+    # reads even though every bucket is tiny on disk
+    capped_store = serving.MirrorStore(mdir, max_cache_bytes=1000)
+    capped = serving.MirrorService(capped_store)
+    assert capped_store.snapshot().point_reads
+    for req in (
+        {"op": "getattr", "path": "/d3/f07"},
+        {"op": "get_dir_contents", "path": "/d4/sub2"},
+    ):
+        assert capped.handle(dict(req)) == decode.handle(dict(req))
+    assert capped_store.cached_bytes() == 0, \
+        "over-cap snapshot must not thrash the cache"
+    # and a roomy cap on the same catalog keeps decode-and-cache
+    assert not serving.MirrorStore(mdir).snapshot().point_reads
+
 
 def test_pre_aggregate_state_falls_back_then_backfills(spark, tmp_path):
     """A mirror state published before the fold-time aggregates
