@@ -518,6 +518,18 @@ def run_maintenance(
     threshold = drift_threshold
     need = drift_patience
     if threshold is None:
+        # Calibration reads the lineage's FIRST batches; drift-log
+        # retention guarantees exactly DRIFT_KEEP_FIRST of them survive
+        # compaction (similarity.DRIFT_KEEP_FIRST), so a wider window
+        # would silently slide onto newer — possibly drifted — batches
+        # once the log wraps. Fail loudly instead (ADVICE r9).
+        if calibrate_on > similarity.DRIFT_KEEP_FIRST:
+            raise ValueError(
+                f"calibrate_on={calibrate_on} exceeds the "
+                f"{similarity.DRIFT_KEEP_FIRST} oldest rows drift-log "
+                "retention preserves; pass drift_threshold explicitly "
+                "or lower calibrate_on"
+            )
         if len(rows) < calibrate_on + drift_patience:
             return res  # not enough signal to calibrate AND trigger
         threshold = (

@@ -474,6 +474,14 @@ _DRIFT_SCHEMA_LEGACY = (
 )
 # compact_drift_log retention: keep __build__ + this many newest rows.
 DRIFT_KEEP_LAST = 256
+# ... plus this many OLDEST post-build rows, always. run_maintenance's
+# auto-calibration reads the lineage's first batches as the "early-batch
+# plateau"; if retention dropped them, calibration would silently slide
+# onto newer — possibly already-drifted — batches, ratcheting the
+# threshold upward so a slowly drifting corpus never retrains (ADVICE
+# r9). Keeping the head pins the calibration window for the lineage's
+# whole life; run_maintenance enforces calibrate_on <= DRIFT_KEEP_FIRST.
+DRIFT_KEEP_FIRST = 8
 
 
 def _append_drift_row(
@@ -518,9 +526,11 @@ def compact_drift_log(
     spark, table: str, max_files: int = 64, keep_last: int | None = None
 ) -> bool:
     """Fold the drift log's per-batch append files back into one AND
-    bound its length: keep the ``__build__`` baseline plus the
-    ``keep_last`` newest rows by append time (default
-    ``DRIFT_KEEP_LAST``) — a years-long standing loop otherwise grows
+    bound its length: keep the ``__build__`` baseline, the
+    ``DRIFT_KEEP_FIRST`` oldest post-build rows (the auto-calibration
+    window — see the constant's comment), plus the ``keep_last`` newest
+    rows by append time (default ``DRIFT_KEEP_LAST``) — a years-long
+    standing loop otherwise grows
     the log (and this rewrite's driver-side collect, the last
     unbounded one, VERDICT r8 finding 2) one row per batch forever.
     Between rewrites the log holds at most keep_last + max_files + 1
@@ -549,7 +559,9 @@ def compact_drift_log(
             (tuple(r) for r in rows if r["batch_id"] != "__build__"),
             key=lambda t: (t[1], t[0]),  # (ts, batch_id): stable on ties
         )
-        kept = build + (rest[-keep_last:] if keep_last > 0 else [])
+        tail = rest[-keep_last:] if keep_last > 0 else []
+        head = rest[: max(0, min(DRIFT_KEEP_FIRST, len(rest) - len(tail)))]
+        kept = build + head + tail
         schema = _DRIFT_SCHEMA
     else:
         kept = [tuple(r) for r in rows]

@@ -75,23 +75,21 @@ def _ship_package(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_pufs_pkg_shipped", False):
         return
-    import atexit
-    import tempfile
     import zipfile
 
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    # Deterministic per-process path, NOT mkstemp: executors fetch the
-    # zip from this original path lazily at first task (deleting it
-    # early breaks updateDependencies), and a host cycling many
-    # SparkContexts in one process would otherwise accrete one random
-    # zip per context. One path per (uid, pid) caps the footprint at a
-    # single file, rewritten with identical content on re-ship, and the
-    # atexit hook removes it when the driver process exits.
-    zip_path = os.path.join(
-        tempfile.gettempdir(),
-        f"pufs_spark_pkg_{os.getuid()}_{os.getpid()}.zip",
-    )
-    atexit.register(_remove_quiet, zip_path)
+    # The zip lives inside a PRIVATE per-process directory (mkdtemp,
+    # mode 0700), not at a predictable path directly in the shared temp
+    # dir: a fixed world-guessable name is an insecure temp file
+    # (CWE-377 — another local user could pre-create the file and
+    # retain write access to code that executors will import). The dir
+    # is created once per process and reused by later SparkContexts in
+    # the same process (executors fetch the zip from its original path
+    # lazily, so it must outlive the context; one dir per process caps
+    # the footprint at a single file, rewritten in place on re-ship).
+    # atexit removes the dir on clean exit; SIGKILL'ed drivers can't
+    # run atexit, so every ship also reaps siblings whose pid is dead.
+    zip_path = _package_zip_path()
     with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
         for root, _dirs, files in os.walk(pkg_dir):
             for name in files:
@@ -123,8 +121,82 @@ def _ship_package(spark: SparkSession) -> None:
     sc._pufs_pkg_shipped = True
 
 
-def _remove_quiet(path: str) -> None:
+_PKG_PREFIX = "pufs_spark_pkg_"
+_pkg_dir: str | None = None
+
+
+def _package_zip_path() -> str:
+    """Return the per-process package-zip path, creating its private dir.
+
+    Directory name embeds ``<uid>_<pid>`` so crashed-driver leftovers are
+    attributable: :func:`_reap_dead_pkg_dirs` removes any sibling whose
+    embedded pid no longer exists (``os.kill(pid, 0)`` -> ESRCH). That
+    reap-at-ship is the backstop for the one leak path atexit cannot
+    cover — SIGKILL / OOM-killed drivers."""
+    global _pkg_dir
+    import atexit
+    import shutil
+    import tempfile
+
+    tmp = tempfile.gettempdir()
+    _reap_dead_pkg_dirs(tmp)
+    if _pkg_dir is None or not os.path.isdir(_pkg_dir):
+        _pkg_dir = tempfile.mkdtemp(
+            prefix=f"{_PKG_PREFIX}{os.getuid()}_{os.getpid()}_", dir=tmp
+        )
+        atexit.register(shutil.rmtree, _pkg_dir, ignore_errors=True)
+    # Basename keeps the <uid>_<pid> tag: it is what executors see under
+    # their userFiles dir, and the streaming-planner mirror copies it by
+    # basename, so an attributable name aids debugging on real clusters.
+    return os.path.join(
+        _pkg_dir, f"{_PKG_PREFIX}{os.getuid()}_{os.getpid()}.zip"
+    )
+
+
+def _reap_dead_pkg_dirs(tmp: str) -> None:
+    """Remove package dirs (and legacy flat zips) left by dead drivers.
+
+    Only entries we own (st_uid check, lstat so a planted symlink is
+    never followed) whose name parses as ``pufs_spark_pkg_<uid>_<pid>*``
+    with a pid that is neither ours nor alive. Live foreign drivers and
+    unparsable names are left alone, so concurrent sessions on one host
+    never reap each other."""
+    import shutil
+    import stat
+
+    uid = os.getuid()
     try:
-        os.remove(path)
+        entries = os.listdir(tmp)
     except OSError:
-        pass
+        return
+    for name in entries:
+        if not name.startswith(f"{_PKG_PREFIX}{uid}_"):
+            continue
+        rest = name[len(_PKG_PREFIX) :].split("_")  # [uid, pid, rand?]
+        try:
+            pid = int(rest[1].removesuffix(".zip"))
+        except (IndexError, ValueError):
+            continue
+        if pid == os.getpid() or _pid_alive(pid):
+            continue
+        path = os.path.join(tmp, name)
+        try:
+            st = os.lstat(path)
+            if st.st_uid != uid:
+                continue
+            if stat.S_ISDIR(st.st_mode):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+        except OSError:
+            continue
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    return True

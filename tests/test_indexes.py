@@ -327,13 +327,18 @@ def test_drift_log_compaction_bounds_files_preserves_rows(
               "ivf_dc_drift")
 
 
-def test_drift_log_retention_caps_rows(spark, tmp_path_factory):
-    """VERDICT r8 finding 2: the drift log gained one row per applied
-    batch FOREVER, and compaction collect()ed the whole log — the last
-    unbounded driver materialization. Retention keeps __build__ + the
-    keep_last newest rows in the same rewrite, and ann_index_drift
-    still answers against the kept rows."""
+def test_drift_log_retention_caps_rows(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r8 finding 2 + ADVICE r9: the drift log gained one row
+    per applied batch FOREVER, and compaction collect()ed the whole
+    log — the last unbounded driver materialization. Retention keeps
+    __build__ + the DRIFT_KEEP_FIRST OLDEST post-build rows (the
+    auto-calibration window — dropping them would slide calibration
+    onto already-drifted batches and ratchet the threshold up) + the
+    keep_last newest rows, and ann_index_drift still answers against
+    the kept rows."""
     from pufs_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "DRIFT_KEEP_FIRST", 2)
 
     wh = tmp_path_factory.mktemp("ivf_driftr")
     emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
@@ -358,9 +363,10 @@ def test_drift_log_retention_caps_rows(spark, tmp_path_factory):
             r["batch_id"]: r
             for r in similarity.ann_index_drift(spark, "ivf_rr").collect()
         }
-        # __build__ survives (the baseline join still works) and only
-        # the 3 NEWEST batches remain
-        assert set(rows) == {"__build__", "b3", "b4", "b5"}
+        # __build__ survives (the baseline join still works), the 2
+        # OLDEST batches survive (calibration window), the 3 NEWEST
+        # survive; only the middle (b2) is dropped
+        assert set(rows) == {"__build__", "b0", "b1", "b3", "b4", "b5"}
         assert rows["__build__"]["mean_drop"] == 0.0
         assert all(rows[f"b{i}"]["mean_drop"] is not None for i in (3, 4, 5))
         # steady state: another fold + rewrite stays capped
@@ -373,10 +379,17 @@ def test_drift_log_retention_caps_rows(spark, tmp_path_factory):
         assert similarity.compact_drift_log(
             spark, "ivf_rr", max_files=0, keep_last=3
         )
-        assert spark.table("ivf_rr_drift").count() == 4
+        assert spark.table("ivf_rr_drift").count() == 6
         kept = {r["batch_id"]
                 for r in spark.table("ivf_rr_drift").collect()}
-        assert kept == {"__build__", "b4", "b5", "b6"}
+        assert kept == {"__build__", "b0", "b1", "b4", "b5", "b6"}
+        # auto-calibration wider than the preserved head must refuse
+        # rather than silently calibrate on post-retention rows
+        from pufs_spark.operators import ingest
+        with pytest.raises(ValueError, match="calibrate_on"):
+            ingest.run_maintenance(
+                spark, ann_table="ivf_rr", calibrate_on=3
+            )
     finally:
         _drop(spark, "ivf_rr", "ivf_rr_centroids", "ivf_rr_meta",
               "ivf_rr_drift")

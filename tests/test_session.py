@@ -33,27 +33,54 @@ def test_ship_package_covers_streaming_planner(spark):
     )
 
 
-def test_ship_package_does_not_accrete_temp_zips(spark):
-    """One deterministic per-(uid,pid) zip, not one mkstemp file per
-    SparkContext: a long-lived host cycling many sessions must not
-    accrete zips in the system temp dir (the atexit hook removes the
-    single file at process exit; executors fetch from the original
-    path lazily, so it cannot be deleted while the context lives)."""
-    import glob
+def test_ship_package_does_not_accrete_temp_zips(spark, tmp_path, monkeypatch):
+    """Hermetic accretion/reaping check in a private temp dir (the real
+    system temp dir may hold live zips from CONCURRENT drivers, which
+    are not ours to count or delete — r9's flaky version globbed it).
+
+    Pins three behaviors of the ship path:
+    - the package is written inside ONE private 0700 dir per process,
+      rewritten in place on re-ship (no accretion across contexts);
+    - a planted orphan from a dead pid (the SIGKILL leak atexit cannot
+      cover) is reaped at ship time — both dir-style and legacy
+      flat-zip-style names;
+    - a live foreign driver's dir is left alone."""
+    import stat
     import tempfile
 
     from pufs_spark import session as sess
 
-    expected = os.path.join(
-        tempfile.gettempdir(),
-        f"pufs_spark_pkg_{os.getuid()}_{os.getpid()}.zip",
-    )
-    # force a re-ship: same path is rewritten, no second file appears
+    uid = os.getuid()
+    monkeypatch.setattr(tempfile, "tempdir", str(tmp_path))
+    monkeypatch.setattr(sess, "_pkg_dir", None)
+
+    # Plant: a dead-pid dir, a dead-pid legacy flat zip, a live-pid dir.
+    # pid 2**22+5 exceeds the kernel pid_max ceiling -> guaranteed dead.
+    dead = 2**22 + 5
+    dead_dir = tmp_path / f"pufs_spark_pkg_{uid}_{dead}_x1"
+    dead_dir.mkdir()
+    (dead_dir / "stale.zip").write_bytes(b"junk")
+    dead_zip = tmp_path / f"pufs_spark_pkg_{uid}_{dead}.zip"
+    dead_zip.write_bytes(b"junk")
+    live_dir = tmp_path / f"pufs_spark_pkg_{uid}_1_x2"  # pid 1 is alive
+    live_dir.mkdir()
+
     spark.sparkContext._pufs_pkg_shipped = False
     sess._ship_package(spark)
-    mine = glob.glob(
-        os.path.join(
-            tempfile.gettempdir(), f"pufs_spark_pkg_{os.getuid()}_*.zip"
-        )
-    )
-    assert mine == [expected], f"zips accreted: {mine}"
+    first = sess._pkg_dir
+    assert first and first.startswith(str(tmp_path))
+    assert stat.S_IMODE(os.stat(first).st_mode) == 0o700
+    assert os.listdir(first) == [f"pufs_spark_pkg_{uid}_{os.getpid()}.zip"]
+    assert not dead_dir.exists() and not dead_zip.exists(), "orphans not reaped"
+    assert live_dir.exists(), "live foreign driver's dir was reaped"
+
+    # Re-ship: same dir, same single file — nothing accretes.
+    spark.sparkContext._pufs_pkg_shipped = False
+    sess._ship_package(spark)
+    assert sess._pkg_dir == first
+    mine = [
+        n
+        for n in os.listdir(tmp_path)
+        if n.startswith(f"pufs_spark_pkg_{uid}_{os.getpid()}")
+    ]
+    assert mine == [os.path.basename(first)], f"accreted: {mine}"
