@@ -586,6 +586,68 @@ def test_oversized_bucket_point_reads_skip_cache(spark, tmp_path):
     assert not serving.MirrorStore(mdir).snapshot().point_reads
 
 
+def test_hot_bucket_admission_under_point_reads(spark, tmp_path):
+    """r9 verdict finding 3: point-read mode was all-or-nothing — a
+    zipf-skewed workload whose hot working set WOULD fit the cap paid
+    a filtered parquet read on every request. Admission: a bucket's
+    POINT_ADMIT_AFTER'th point read within the decay window promotes
+    it into the LRU (warm-dict speed after), but ONLY while the cache
+    has headroom for its estimated decoded size — an admission never
+    evicts, so scan traffic still cannot thrash residents."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+    from pufs_spark.streaming import mirror as M
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    for i in range(8):
+        batch.append(row(1, "upsert", f"/d{i}", True, 0, None))
+        for j in range(40):
+            batch.append(row(1, "upsert", f"/d{i}/f{j:02d}", False,
+                             i * 100 + j, f"b-{i}-{j}"))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    store = serving.MirrorStore(mdir, max_cache_bytes=1000)  # forces
+    snap = store.snapshot()                  # snapshot point_reads on
+    assert snap.point_reads
+    K = store.POINT_ADMIT_AFTER
+
+    # (1) no headroom (cap 1000 < any bucket's est): K+ accesses to one
+    # hot path never admit — the all-point-reads guarantee survives
+    for _ in range(K + 2):
+        assert snap.lookup("/d3/f07") == (False, 307, "b-3-7")
+    assert store.cached_bytes() == 0
+
+    # (2) roomy cap, point-read mode via point_read_bytes=0: the hot
+    # bucket is admitted on its K'th access and serves from the dict
+    hot = serving.MirrorStore(mdir, point_read_bytes=0)
+    hsnap = hot.snapshot()
+    assert not hsnap.point_reads  # small catalog: bytes-trigger only
+    for n in range(K - 1):
+        assert hsnap.lookup("/d5/f11") == (False, 511, "b-5-11")
+    assert hot.cached_bytes() == 0, "admitted before the K'th access"
+    assert hsnap.lookup("/d5/f11") == (False, 511, "b-5-11")
+    assert hot.cached_bytes() > 0, "K'th access must admit"
+    admitted = hot.cached_bytes()
+    # one-shot scans over OTHER buckets do not admit and do not evict
+    for i in (0, 1, 2, 4, 6, 7):
+        hsnap.lookup(f"/d{i}/f00")
+    assert hot.cached_bytes() == admitted
+
+    # (3) listings share the same admission path
+    lst = serving.MirrorStore(mdir, point_read_bytes=0)
+    lsnap = lst.snapshot()
+    for _ in range(2 * K):
+        kids = lsnap.list_dir("/d2")
+    assert len(kids) == 40
+    assert lst.cached_bytes() > 0, "hot listing bucket must admit"
+
+
 def test_pre_aggregate_state_falls_back_then_backfills(spark, tmp_path):
     """A mirror state published before the fold-time aggregates
     existed has no meta totals and no rootdir sidecar: serving must
