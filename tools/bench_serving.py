@@ -61,7 +61,7 @@ def build_catalog(root: str, n_inodes: int) -> tuple:
 
 
 def client_worker(port: int, seed: int, seconds: float, paths: list[str],
-                  dirs: list[str], q) -> None:
+                  dirs: list[str], q, p_getattr: float = 0.8) -> None:
     """Runs in its OWN process — clients must not share the server's
     GIL, or the bench measures client/server interpreter contention
     instead of service latency."""
@@ -74,7 +74,7 @@ def client_worker(port: int, seed: int, seconds: float, paths: list[str],
             r = rng.random()
             t0 = time.monotonic()
             try:
-                if r < 0.8:
+                if r < p_getattr:
                     op = "getattr"
                     resp = c.call(op=op, path=rng.choice(paths))
                 else:
@@ -112,14 +112,16 @@ def client_worker(port: int, seed: int, seconds: float, paths: list[str],
 
 
 def run_phase(port: int, paths, dirs, seconds: float,
-              writer=None, n_clients: int | None = None) -> tuple[list, list]:
+              writer=None, n_clients: int | None = None,
+              p_getattr: float = 0.8) -> tuple[list, list]:
     import multiprocessing as mp
 
     ctx = mp.get_context("fork")
     q = ctx.Queue()
     procs = [
         ctx.Process(target=client_worker,
-                    args=(port, 1000 + i, seconds, paths, dirs, q))
+                    args=(port, 1000 + i, seconds, paths, dirs, q,
+                          p_getattr))
         for i in range(N_CLIENTS if n_clients is None else n_clients)
     ]
     stop = threading.Event()
@@ -254,6 +256,55 @@ def main() -> None:
             "cached_bytes": st.cached_bytes(),
         }
         server.shutdown()
+
+        # zipf-skewed getattr: hot-bucket admission vs all-point-reads
+        # (r9 verdict finding 3 / r10 task 4). Each mode gets a FRESH
+        # cold store so admission warms from nothing; "point_reads
+        # only" disables admission by making the threshold unreachable.
+        # The done-criterion: admission qps >= point-only qps (the hot
+        # working set reaches warm-dict speed, scan tail unchanged).
+        import hashlib
+
+        def zipf_paths(seed: int, size: int = 30000, s: float = 1.16):
+            """Rank-weighted path sample: pareto-distributed rank,
+            md5(rank) -> stable path, so the SAME few paths (and
+            therefore buckets) carry most of the traffic."""
+            zrng = random.Random(seed)
+            outp = []
+            while len(outp) < size:
+                r = int(zrng.paretovariate(s))
+                h = hashlib.md5(str(r).encode()).digest()
+                i = int.from_bytes(h[:4], "big") % n_top
+                j = int.from_bytes(h[4:8], "big") % n_files
+                outp.append(f"/dir{i:05d}/f{j:05d}")
+            return outp
+
+        zpaths = zipf_paths(11)
+        skew_secs = min(SECONDS, 10.0)
+        out["skew"] = {}
+        for mode in ("admission", "point_reads_only"):
+            st = serving.MirrorStore(mdir)
+            if mode == "point_reads_only":
+                st.POINT_ADMIT_AFTER = 1 << 60  # instance attr: never admit
+            srv = serving.PufsServer(
+                serving.MirrorService(st), "127.0.0.1", 0
+            )
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            sport = srv.server_address[1]
+            samples, _ = run_phase(
+                sport, zpaths, dirs, skew_secs, p_getattr=1.0
+            )
+            out["skew"][mode] = {
+                **summarize(samples, [], skew_secs),
+                "point_reads_mode": st.snapshot().point_reads,
+                "cached_bytes": st.cached_bytes(),
+            }
+            srv.shutdown()
+        pq_qps = out["skew"]["point_reads_only"]["qps"]
+        out["skew"]["admission_speedup"] = (
+            round(out["skew"]["admission"]["qps"] / pq_qps, 2)
+            if pq_qps else None
+        )
 
         # fleet scaling (r7 verdict task 6): same catalog, quiescent,
         # N SO_REUSEPORT processes. Long-lived connections stick to one
