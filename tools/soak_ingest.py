@@ -14,12 +14,22 @@ Prints one JSON line with per-batch walls, accepted counts, file
 counts, and compaction events. Results land in BASELINE.md.
 
 Usage: [SPARK_GRAFT_SF_DIR=...] [SOAK_BATCHES=24] [SOAK_ANN=1] [SOAK_BLOOM=1]
-       python tools/soak_ingest.py
+       [SOAK_MAINT=1] python tools/soak_ingest.py
 
 SOAK_ANN=1 adds the loop's THIRD guarded fold: a deterministic
 pseudo-embedding rides each doc (the loop never runs a model) and
 accepted rows fold into a persisted IVF index with a per-batch drift
 stat — measuring that the embedding side is batch-sized too.
+
+SOAK_MAINT=1 (implies SOAK_ANN + SOAK_BLOOM) exercises the quiet-point
+maintenance orchestrator END TO END (r9 verdict finding 5): the bloom
+sidecar starts at a deliberately tight capacity so saturation fires
+mid-soak, the pseudo-embedding distribution SHIFTS at the halfway
+batch so real drift accumulates, and ``run_maintenance`` runs at every
+MAINT_EVERY'th batch boundary (the loop pauses — the documented
+discipline). Expected record: exactly one IVF retrain shortly after
+the shift (patience-gated), at least one bloom rebuild, and flat
+post-maintenance walls.
 """
 
 from __future__ import annotations
@@ -40,28 +50,33 @@ from pufs_spark.tables import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_BATCHES = int(os.environ.get("SOAK_BATCHES", "24"))
-WITH_ANN = os.environ.get("SOAK_ANN", "0") == "1"
-WITH_BLOOM = os.environ.get("SOAK_BLOOM", "0") == "1"
+WITH_MAINT = os.environ.get("SOAK_MAINT", "0") == "1"
+WITH_ANN = WITH_MAINT or os.environ.get("SOAK_ANN", "0") == "1"
+WITH_BLOOM = WITH_MAINT or os.environ.get("SOAK_BLOOM", "0") == "1"
+MAINT_EVERY = int(os.environ.get("SOAK_MAINT_EVERY", "4"))
 
 
-def with_vec(df, dims=16):
-    """Deterministic pseudo-embedding per doc id."""
-    return df.withColumn(
-        "embedding",
-        F.array(*[
-            (F.pmod(F.hash(F.col("doc_id") + F.lit(i)), F.lit(1000))
-             .cast("float") / 500.0 - 1.0)
-            for i in range(dims)
-        ]),
-    )
+def with_vec(df, dims=16, shifted=False):
+    """Deterministic pseudo-embedding per doc id. ``shifted=True``
+    squeezes the distribution into one corner of the cube — vectors
+    land far from centroids trained on the unshifted corpus, so the
+    drift signal (mean_drop) rises for real, not via a mock."""
+    base = [
+        (F.pmod(F.hash(F.col("doc_id") + F.lit(i)), F.lit(1000))
+         .cast("float") / 500.0 - 1.0)
+        for i in range(dims)
+    ]
+    if shifted:
+        base = [c * F.lit(0.2) + F.lit(0.85) for c in base]
+    return df.withColumn("embedding", F.array(*base))
 
 
 def main() -> None:
     spark = get_spark(app_name="soak_ingest")
-    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
-    if WITH_ANN:
-        docs = with_vec(docs)
+    raw = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    docs = with_vec(raw) if WITH_ANN else raw
     mod = N_BATCHES + 8
+    half = N_BATCHES // 2
     corpus = docs.where(F.col("doc_id") % mod >= N_BATCHES).cache()
     wh = tempfile.mkdtemp(prefix="pufs_soak_")
     accepted_dir = os.path.join(wh, "accepted")
@@ -72,8 +87,14 @@ def main() -> None:
     dedup.build_near_dup_index(corpus, "soak_nd", wh + "/nd", rows=4)
     if WITH_BLOOM:
         # id-freshness guard fast path: probes run O(batch) against
-        # the sidecar instead of scanning the index id column
-        indexes.build_id_bloom(spark, "soak_nd", id_col="doc_id")
+        # the sidecar instead of scanning the index id column. Under
+        # SOAK_MAINT the capacity is deliberately TIGHT (the seed's
+        # own id count, no 2x headroom) so saturation genuinely fires
+        # mid-soak and the orchestrator's bloom arm has real work.
+        cap = corpus.select("doc_id").distinct().count() if WITH_MAINT \
+            else None
+        indexes.build_id_bloom(spark, "soak_nd", id_col="doc_id",
+                               capacity=cap)
     text.build_bm25_index(corpus, "soak_bm", wh + "/bm")
     if WITH_ANN:
         similarity.build_ann_index(
@@ -89,8 +110,15 @@ def main() -> None:
         return corpus
 
     walls, accepted, files_nd, files_bm, compactions = [], [], [], [], []
+    maint: list[dict] = []
     for i in range(N_BATCHES):
-        batch = docs.where(F.col("doc_id") % mod == i)
+        # drift-forcing shift: from the halfway batch on, embeddings
+        # move to a corner of the cube the frozen centroids never saw
+        src = (
+            with_vec(raw, shifted=True)
+            if WITH_MAINT and i >= half else docs
+        )
+        batch = src.where(F.col("doc_id") % mod == i)
         t0 = time.time()
         r = ingest.ingest_corpus_batch(
             batch, corpus_now(), "soak_nd", "soak_bm", wh + "/bm",
@@ -112,7 +140,30 @@ def main() -> None:
             f"compacted={r.compacted}",
             flush=True,
         )
-    half = N_BATCHES // 2
+        if WITH_MAINT and (i + 1) % MAINT_EVERY == 0:
+            # quiet point: the loop is paused between batches — the
+            # same discipline run_maintenance documents
+            t0 = time.time()
+            mr = ingest.run_maintenance(
+                spark, nd_table="soak_nd", ann_table="soak_ann",
+                corpus_df=corpus_now().select("doc_id", "embedding"),
+                ann_path=wh + "/ann", id_col="doc_id",
+            )
+            maint.append({
+                "after_batch": i,
+                "wall_s": round(time.time() - t0, 2),
+                "bloom_rebuilt": mr.bloom_rebuilt,
+                "ann_retrained": mr.ann_retrained,
+                "drift_threshold": (
+                    round(mr.drift_threshold, 4)
+                    if mr.drift_threshold is not None else None
+                ),
+                "drift_window": (
+                    [(b, round(d, 4)) for b, d in mr.drift_window]
+                    if mr.drift_window else None
+                ),
+            })
+            print(f"maintenance after batch {i}: {maint[-1]}", flush=True)
     drift = None
     if WITH_ANN:
         drift = [
@@ -125,6 +176,10 @@ def main() -> None:
         "batches": N_BATCHES,
         "with_ann": WITH_ANN,
         "with_bloom": WITH_BLOOM,
+        "with_maint": WITH_MAINT,
+        "maintenance": maint or None,
+        "retrains_total": sum(1 for m in maint if m["ann_retrained"]),
+        "bloom_rebuilds_total": sum(1 for m in maint if m["bloom_rebuilt"]),
         "bloom_stats": (
             {k: (round(v, 6) if isinstance(v, float) else v)
              for k, v in indexes.id_bloom_stats(spark, "soak_nd").items()}
