@@ -237,12 +237,30 @@ class MirrorStore:
     # can never thrash what is already resident; everything else
     # keeps the filtered-read path. Counters halve every
     # POINT_FREQ_WINDOW point reads (TinyLFU-style aging), so "hot"
-    # means hot recently: uniform traffic over B buckets needs
-    # B*ADMIT_AFTER <= WINDOW to ever admit — at the 64-bucket 10M
-    # shape that admits (64*8=512 < 4096) until the cap fills, then
-    # stops; at the 4096-bucket ceiling it never does.
+    # means hot recently.
+    #
+    # The threshold SCALES WITH THE BUCKET'S DECODE COST: the 10M
+    # bench measured a 150k-row bucket decode at ~2 s (13 µs/row of
+    # Python dict materialization) vs ~10-15 ms per filtered point
+    # read — break-even is ~150 reads, and a fixed low threshold made
+    # admission a net LOSS over short horizons (first 10M run:
+    # admission 212 qps vs 240 qps point-reads-only, every inline
+    # decode stalling the process ~2 s). ``_admit_threshold`` charges
+    # each bucket its own break-even count (floor POINT_ADMIT_AFTER,
+    # ceiling POINT_ADMIT_CEIL), so small buckets admit quickly and
+    # 150k-row buckets must earn their decode. A side effect the
+    # uniform case inherits: 64-bucket uniform traffic accumulates
+    # ~2×(4096/64)=128 per window < the ~190 break-even of a 10M/64
+    # bucket — scan-shaped traffic no longer admits AT ALL at that
+    # shape, which is exactly right (every decode it skipped was a
+    # 2 s stall it couldn't amortize).
     POINT_ADMIT_AFTER = 8
+    POINT_ADMIT_CEIL = 512
     POINT_FREQ_WINDOW = 4096
+    # decode ≈ DECODE_US_PER_ROW µs/row; one filtered point read ≈
+    # POINT_READ_COST_MS (both measured, 10M bench r10)
+    DECODE_US_PER_ROW = 13.0
+    POINT_READ_COST_MS = 10.0
 
     def __init__(self, mirror_dir: str, max_cache_bytes: int | None = None,
                  point_read_bytes: int | None = None):
@@ -391,13 +409,26 @@ class MirrorStore:
                 return hit[1], hit[2]
         return None
 
+    def _admit_threshold(self, est: int) -> int:
+        """Point reads a bucket must accrue before its decode is worth
+        paying: estimated decode wall over one filtered-read wall,
+        clamped to [POINT_ADMIT_AFTER, POINT_ADMIT_CEIL]."""
+        rows = est / self.EST_DECODED_BYTES_PER_ROW
+        breakeven = rows * self.DECODE_US_PER_ROW / 1000.0 \
+            / self.POINT_READ_COST_MS
+        return max(
+            self.POINT_ADMIT_AFTER,
+            min(self.POINT_ADMIT_CEIL, int(breakeven)),
+        )
+
     def _note_point_read(self, fname: str, est: int) -> bool:
         """Record one point read against ``fname``; True = admit the
-        bucket into the LRU now (hot enough AND it fits the current
-        headroom — see POINT_ADMIT_AFTER). Counts are clamped at the
+        bucket into the LRU now (hot enough to amortize its own decode
+        AND it fits the current headroom). Counts are clamped at the
         admission threshold (a hot-but-unadmittable bucket admits on
         its first access after headroom appears, e.g. post-fold
         shrink) and halve every POINT_FREQ_WINDOW accesses."""
+        need = self._admit_threshold(est)
         with self._lock:
             self._point_accesses += 1
             if self._point_accesses >= self.POINT_FREQ_WINDOW:
@@ -405,11 +436,9 @@ class MirrorStore:
                 self._point_freq = {
                     k: v // 2 for k, v in self._point_freq.items() if v >= 2
                 }
-            c = min(
-                self._point_freq.get(fname, 0) + 1, self.POINT_ADMIT_AFTER
-            )
+            c = min(self._point_freq.get(fname, 0) + 1, need)
             self._point_freq[fname] = c
-            if c < self.POINT_ADMIT_AFTER:
+            if c < need:
                 return False
             if self._cache_bytes + est > self.max_cache_bytes:
                 return False  # admission must never evict
@@ -505,6 +534,67 @@ class MirrorStore:
                     out.append((name, (d, s, b)))
             return out
         return list(self._bucket_entry(state_dir, fname)[1].get(parent, ()))
+
+    def _dir_children_multi(
+        self, state_dir: str, fnames: list[str], parent: str,
+        force_point: bool = False,
+    ) -> list[tuple[str, tuple]]:
+        """Direct children of ``parent`` across MANY buckets (depth-1
+        listings: the dir's children spread over every bucket its
+        top-group summary names). Cached buckets answer from their
+        kids index; small uncached ones decode-and-cache; all
+        remaining point-read buckets are served by ONE
+        pyarrow.dataset scan with the prefix-range filter —
+        row-group-pruned like the per-bucket path, but parallel
+        across files in Arrow's C++ thread pool with the GIL
+        released. The first 10M run paid 64 SEQUENTIAL filtered
+        reads (plus inline admission decodes) per root-adjacent
+        listing — p50 20.6 s quiescent; one batched scan is the
+        plan a distributed engine would pick (scan + filter over a
+        file set), expressed at the serving layer.
+
+        No admission counting here: a depth-1 listing touching 64
+        buckets says nothing about any single bucket's heat, and the
+        batched scan already amortizes the per-file cost."""
+        import os as _os
+
+        import pyarrow.dataset as _ds
+
+        out: list[tuple[str, tuple]] = []
+        batch: list[str] = []
+        for fname in fnames:
+            f = _os.path.join(state_dir, fname)
+            sig = self._stat_sig(f)
+            if sig is None:
+                if not _os.path.isdir(state_dir):
+                    raise FileNotFoundError(state_dir)
+                continue
+            hit = self._cache_hit(fname, sig)
+            if hit is not None:
+                out.extend(hit[1].get(parent, ()))
+                continue
+            if force_point or sig[2] > self.point_read_bytes:
+                batch.append(f)
+            else:
+                out.extend(
+                    self._bucket_entry(state_dir, fname)[1].get(parent, ())
+                )
+        if batch:
+            lo = "/" if parent == "/" else parent + "/"
+            hi = "0" if parent == "/" else parent + "0"
+            t = _ds.dataset(batch, format="parquet").to_table(
+                filter=(_ds.field("path") >= lo) & (_ds.field("path") < hi)
+            )
+            for p, d, s, b in zip(
+                t["path"].to_pylist(),
+                t["is_dir"].to_pylist(),
+                t["size"].to_pylist(),
+                t["bid"].to_pylist(),
+            ):
+                par, _, name = p.rpartition("/")
+                if (par or "/") == parent and name:
+                    out.append((name, (d, s, b)))
+        return out
 
     def _root_entries(self, state_dir: str) -> list[tuple[str, tuple]] | None:
         """The root listing from the state dir's rootdir sidecar —
@@ -668,6 +758,16 @@ class MirrorSnapshot:
                 buckets = [
                     f"bucket-{M._bucket(norm, self.n_buckets):04d}.parquet"
                 ]
+        if len(buckets) > 1:
+            # depth-1 (or legacy root sweep): one batched dataset scan
+            # over every point-read bucket instead of N sequential
+            # filtered reads (see _dir_children_multi)
+            return sorted(
+                self.store._dir_children_multi(
+                    self.state_dir, buckets, norm,
+                    force_point=self.point_reads,
+                )
+            )
         out: list[tuple[str, tuple]] = []
         for fname in buckets:
             out.extend(

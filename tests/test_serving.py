@@ -610,6 +610,9 @@ def test_hot_bucket_admission_under_point_reads(spark, tmp_path):
         for j in range(40):
             batch.append(row(1, "upsert", f"/d{i}/f{j:02d}", False,
                              i * 100 + j, f"b-{i}-{j}"))
+    batch.append(row(1, "upsert", "/d2/sub", True, 0, None))
+    for j in range(10):
+        batch.append(row(1, "upsert", f"/d2/sub/leaf{j}", False, j, None))
     M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
 
     store = serving.MirrorStore(mdir, max_cache_bytes=1000)  # forces
@@ -639,13 +642,21 @@ def test_hot_bucket_admission_under_point_reads(spark, tmp_path):
         hsnap.lookup(f"/d{i}/f00")
     assert hot.cached_bytes() == admitted
 
-    # (3) listings share the same admission path
+    # (3) DEEP (single-bucket) listings share the admission path;
+    # depth-1 listings go through the batched multi-bucket scan and
+    # never admit (one listing touching 64 buckets says nothing
+    # about any single bucket's heat)
     lst = serving.MirrorStore(mdir, point_read_bytes=0)
     lsnap = lst.snapshot()
+    for _ in range(3):  # stays under the admission threshold
+        wide = lsnap.list_dir("/d3")
+    assert len(wide) == 40
+    assert lst.cached_bytes() == 0, \
+        "multi-bucket listing scan must not decode-and-cache"
     for _ in range(2 * K):
-        kids = lsnap.list_dir("/d2")
-    assert len(kids) == 40
-    assert lst.cached_bytes() > 0, "hot listing bucket must admit"
+        kids = lsnap.list_dir("/d2/sub")
+    assert len(kids) == 10
+    assert lst.cached_bytes() > 0, "hot deep-listing bucket must admit"
 
 
 def test_pre_aggregate_state_falls_back_then_backfills(spark, tmp_path):

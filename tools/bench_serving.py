@@ -280,7 +280,12 @@ def main() -> None:
             return outp
 
         zpaths = zipf_paths(11)
-        skew_secs = min(SECONDS, 10.0)
+        # admission amortizes decodes over time (break-even ~150 reads
+        # per 150k-row bucket) — a too-short phase measures only the
+        # warmup, so default the skew phases to >= 45 s each
+        skew_secs = float(
+            os.environ.get("BENCH_SKEW_SECONDS", str(max(SECONDS, 45.0)))
+        )
         out["skew"] = {}
         for mode in ("admission", "point_reads_only"):
             st = serving.MirrorStore(mdir)
