@@ -58,16 +58,24 @@ MAINT_EVERY = int(os.environ.get("SOAK_MAINT_EVERY", "4"))
 
 def with_vec(df, dims=16, shifted=False):
     """Deterministic pseudo-embedding per doc id. ``shifted=True``
-    squeezes the distribution into one corner of the cube — vectors
-    land far from centroids trained on the unshifted corpus, so the
-    drift signal (mean_drop) rises for real, not via a mock."""
+    moves the mass to the ORTHOGONAL half of the dims (the same
+    construction the drift-signal tests pin): unshifted vectors live
+    in dims [0, dims/2), shifted in [dims/2, dims) — cosine to every
+    centroid trained on the unshifted corpus collapses toward zero,
+    so mean_drop rises to the baseline for real, not via a mock.
+    (A first attempt shifted vectors INTO a corner of the same
+    subspace; they stayed well-aligned with the nearest centroid and
+    the drift signal never cleared the calibration plateau.)"""
+    half_d = dims // 2
+
+    def comp(i):
+        return (F.pmod(F.hash(F.col("doc_id") + F.lit(i)), F.lit(1000))
+                .cast("float") / 500.0 - 1.0)
+
     base = [
-        (F.pmod(F.hash(F.col("doc_id") + F.lit(i)), F.lit(1000))
-         .cast("float") / 500.0 - 1.0)
+        comp(i) if (i >= half_d) == shifted else F.lit(0.0).cast("float")
         for i in range(dims)
     ]
-    if shifted:
-        base = [c * F.lit(0.2) + F.lit(0.85) for c in base]
     return df.withColumn("embedding", F.array(*base))
 
 
