@@ -712,7 +712,9 @@ class MirrorSnapshot:
         """[(name, (is_dir, size, bid))] for the directory's direct
         children, read from the per-bucket children index (O(result),
         no row scan) — or, for an oversized uncached bucket, a
-        prefix-range filtered parquet read (MirrorStore._dir_children).
+        prefix-range filtered parquet read (MirrorStore._dir_children;
+        one batched, Arrow-parallel dataset scan when the children
+        span several buckets — _dir_children_multi).
         A dir at depth ≥ BUCKET_DEPTH lists from ONE bucket (the
         subtree shares its key prefix); a depth-1 dir lists from the
         buckets its top-group summary names; the root reads the
