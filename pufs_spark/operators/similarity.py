@@ -533,8 +533,9 @@ def compact_drift_log(
     standing loop otherwise grows
     the log (and this rewrite's driver-side collect, the last
     unbounded one, VERDICT r8 finding 2) one row per batch forever.
-    Between rewrites the log holds at most keep_last + max_files + 1
-    rows, so the collect is bounded too. Rewrites only when the file
+    Between rewrites the log holds at most keep_last +
+    DRIFT_KEEP_FIRST + max_files + 1 rows, so the collect is bounded
+    too. Rewrites only when the file
     count exceeds ``max_files``. The log is best-effort diagnostics
     (same contract as the per-batch drift row itself), so the rewrite
     is collect → overwrite without a swap protocol: a crash inside it
