@@ -235,7 +235,12 @@ class MirrorStore:
     # evicts, so scan-shaped traffic (uniform over more buckets than
     # fit) can fill the cache with its first hot-enough buckets but
     # can never thrash what is already resident; everything else
-    # keeps the filtered-read path. Counters halve every
+    # keeps the filtered-read path. The invariant is enforced twice:
+    # the estimate-based headroom pre-check here, and again at insert
+    # time against the ACTUAL decoded size (_cache_put no_evict=True
+    # drops the insert instead of evicting — the estimate can
+    # undershoot on long path text, and concurrent admissions can
+    # race past the same headroom). Counters halve every
     # POINT_FREQ_WINDOW point reads (TinyLFU-style aging), so "hot"
     # means hot recently.
     #
@@ -315,21 +320,37 @@ class MirrorStore:
         with self._lock:
             return self._cache_bytes
 
-    def _cache_put(self, fname: str, sig, rows: dict, kids: dict) -> None:
+    def _cache_put(
+        self, fname: str, sig, rows: dict, kids: dict,
+        no_evict: bool = False,
+    ) -> bool:
         """Insert under the byte cap, evicting least-recently-used
         entries first. A single bucket larger than the whole cap is
         still cached alone (the cap bounds the steady state; refusing
-        it would re-decode on every request)."""
+        it would re-decode on every request).
+
+        ``no_evict=True`` (hot-bucket admission) enforces the
+        "admission never evicts" invariant at the only point where the
+        ACTUAL decoded size is known: ``_note_point_read``'s headroom
+        pre-check uses the fold-maintained per-row estimate, which can
+        undershoot on long path text, and two concurrent admissions can
+        both pass it against the same headroom. If the entry no longer
+        fits without eviction, the insert is dropped (returns False) —
+        the caller already has the decoded answer, and the bucket
+        re-earns admission once headroom appears."""
         est = self._entry_bytes(rows)
         with self._lock:
             old = self._cache.pop(fname, None)
             if old is not None:
                 self._cache_bytes -= old[3]
+            if no_evict and self._cache_bytes + est > self.max_cache_bytes:
+                return False
             while self._cache and self._cache_bytes + est > self.max_cache_bytes:
                 _, evicted = self._cache.popitem(last=False)
                 self._cache_bytes -= evicted[3]
             self._cache[fname] = (sig, rows, kids, est)
             self._cache_bytes += est
+            return True
 
     # -- state access ---------------------------------------------------
 
@@ -351,7 +372,9 @@ class MirrorStore:
             raise E.NotFoundError(f"no mirror state in {self.mirror_dir}")
         return MirrorSnapshot(self, v, state_dir, n_buckets, summary, totals)
 
-    def _bucket_entry(self, state_dir: str, fname: str) -> tuple[dict, dict]:
+    def _bucket_entry(
+        self, state_dir: str, fname: str, no_evict: bool = False,
+    ) -> tuple[dict, dict]:
         import os as _os
 
         import pyarrow.parquet as pq
@@ -386,7 +409,7 @@ class MirrorStore:
             if p != "/":
                 parent, _, name = p.rpartition("/")
                 kids.setdefault(parent or "/", []).append((name, row))
-        self._cache_put(fname, sig, rows, kids)
+        self._cache_put(fname, sig, rows, kids, no_evict=no_evict)
         return rows, kids
 
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
@@ -413,7 +436,7 @@ class MirrorStore:
         """Point reads a bucket must accrue before its decode is worth
         paying: estimated decode wall over one filtered-read wall,
         clamped to [POINT_ADMIT_AFTER, POINT_ADMIT_CEIL]."""
-        rows = est / self.EST_DECODED_BYTES_PER_ROW
+        rows = est / (self.EST_DECODED_BYTES_PER_ROW or 1)
         breakeven = rows * self.DECODE_US_PER_ROW / 1000.0 \
             / self.POINT_READ_COST_MS
         return max(
@@ -477,7 +500,9 @@ class MirrorStore:
         if force_point or sig[2] > self.point_read_bytes:
             est = admit_est if admit_est is not None else sig[2] * 25
             if self._note_point_read(fname, est):
-                return self._bucket_entry(state_dir, fname)[0].get(path)
+                return self._bucket_entry(
+                    state_dir, fname, no_evict=True
+                )[0].get(path)
             t = pq.read_table(f, filters=[("path", "==", path)])
             if t.num_rows == 0:
                 return None
@@ -515,7 +540,9 @@ class MirrorStore:
             est = admit_est if admit_est is not None else sig[2] * 25
             if self._note_point_read(fname, est):
                 return list(
-                    self._bucket_entry(state_dir, fname)[1].get(parent, ())
+                    self._bucket_entry(
+                        state_dir, fname, no_evict=True
+                    )[1].get(parent, ())
                 )
             lo = "/" if parent == "/" else parent + "/"
             hi = "0" if parent == "/" else parent + "0"

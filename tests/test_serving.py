@@ -659,6 +659,62 @@ def test_hot_bucket_admission_under_point_reads(spark, tmp_path):
     assert lst.cached_bytes() > 0, "hot deep-listing bucket must admit"
 
 
+def test_admission_insert_never_evicts_on_underestimate(spark, tmp_path):
+    """The admission headroom pre-check in _note_point_read uses the
+    fold-maintained per-row ESTIMATE (EST_DECODED_BYTES_PER_ROW); the
+    actual decoded footprint (300 B/row + 2x path text) exceeds it for
+    long paths, and two concurrent admissions can pass the same
+    headroom. Injected failure: force the estimate to zero so the
+    pre-check always passes — the never-evict invariant must still
+    hold because _cache_put(no_evict=True) re-checks against the
+    ACTUAL size and drops the insert rather than evicting a
+    resident."""
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+    from pufs_spark.streaming import mirror as M
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    for i in range(8):
+        batch.append(row(1, "upsert", f"/d{i}", True, 0, None))
+        for j in range(40):
+            batch.append(row(1, "upsert", f"/d{i}/f{j:02d}", False,
+                             i * 100 + j, f"b-{i}-{j}"))
+    mdir = str(tmp_path / "mirror")
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    store = serving.MirrorStore(mdir, point_read_bytes=0)
+    store.POINT_ADMIT_AFTER = 1  # instance attr: admit on first read
+    store.EST_DECODED_BYTES_PER_ROW = 0  # pre-check always sees room
+    snap = store.snapshot()
+
+    # admit one bucket legitimately, then shrink the cap around it so
+    # nothing else fits without eviction
+    assert snap.lookup("/d5/f11") == (False, 511, "b-5-11")
+    resident = store.cached_bytes()
+    assert resident > 0
+    resident_keys = set(store._cache)
+    store.max_cache_bytes = resident + 10
+
+    # a second bucket passes the zero-estimate pre-check but its
+    # actual decode does not fit: the answer is still served, nothing
+    # is cached, and the resident bucket survives untouched
+    for _ in range(3):
+        assert snap.lookup("/d3/f07") == (False, 307, "b-3-7")
+    assert store.cached_bytes() == resident
+    assert set(store._cache) == resident_keys
+
+    # headroom restored -> the same bucket re-earns admission and lands
+    store.max_cache_bytes = serving.MirrorStore.DEFAULT_CACHE_BYTES
+    assert snap.lookup("/d3/f07") == (False, 307, "b-3-7")
+    assert store.cached_bytes() > resident
+    assert len(store._cache) == 2
+
+
 def test_pre_aggregate_state_falls_back_then_backfills(spark, tmp_path):
     """A mirror state published before the fold-time aggregates
     existed has no meta totals and no rootdir sidecar: serving must
