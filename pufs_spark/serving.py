@@ -165,7 +165,11 @@ class MirrorStore:
     versions, so a cache keyed by each bucket file's (inode, mtime,
     size) signature survives version bumps for untouched buckets —
     refresh cost after a fold is O(changed buckets), and a lookup or
-    non-root listing touches exactly one bucket. A root listing and
+    non-root listing touches exactly one bucket. For the buckets a
+    fold DID touch, the fold's delta sidecar (mirror.DELTA_FILE) lets
+    a stale resident entry be patched forward in place — O(batch)
+    dict upserts/deletes instead of a full re-decode or a fresh
+    point-read admission re-earn (see ``_cache_hit``). A root listing and
     stat() touch NO data buckets at all: the fold maintains per-bucket
     (nodes, dirs, files, bytes) totals in the mirror meta and the
     depth-1 entries in a rootdir sidecar, so both ops are meta-sized
@@ -293,6 +297,10 @@ class MirrorStore:
         # (top-level fanout), kept outside the byte-capped bucket LRU
         # so a root listing can never be evicted by a bucket sweep.
         self._rootdir_cache: dict = {}
+        # delta-sidecar path → (sig, parsed per-bucket patch entries);
+        # one sidecar per published fold, parsed once, pruned like the
+        # rootdir cache (at most {current, previous} state dirs exist).
+        self._delta_cache: dict = {}
         self._cache_bytes = 0
         self.max_cache_bytes = (
             self.DEFAULT_CACHE_BYTES if max_cache_bytes is None
@@ -387,11 +395,9 @@ class MirrorStore:
                 raise  # state dir pruned mid-request: retryable, not empty
             return {}, {}  # empty buckets have no file
         sig = (st.st_ino, st.st_mtime_ns, st.st_size)
-        with self._lock:
-            hit = self._cache.get(fname)
-            if hit is not None and hit[0] == sig:
-                self._cache.move_to_end(fname)
-                return hit[1], hit[2]
+        hit = self._cache_hit(fname, sig, state_dir)
+        if hit is not None:
+            return hit
         # pq.read_table may still hit FileNotFoundError/OSError if the
         # dir is pruned between the stat and here — it propagates as
         # OSError and MirrorService retries against a fresh snapshot.
@@ -424,13 +430,144 @@ class MirrorStore:
             return None
         return (st.st_ino, st.st_mtime_ns, st.st_size)
 
-    def _cache_hit(self, fname: str, sig) -> tuple[dict, dict] | None:
+    def _cache_hit(
+        self, fname: str, sig, state_dir: str | None = None,
+    ) -> tuple[dict, dict] | None:
+        """Cached (rows, kids) for ``fname`` at exactly ``sig`` — or,
+        when the resident entry is one fold BEHIND ``sig`` and the
+        state dir carries a delta sidecar chaining the two signatures,
+        the entry PATCHED forward in place (O(batch) dict ops). Without
+        the patch, every fold re-invalidated every resident bucket it
+        touched: at the 10M/64-bucket shape each hot bucket then paid a
+        fresh ~190-point-read admission re-earn plus a ~2 s decode per
+        fold, which is the whole gap between 940 qps quiescent and
+        ~26 qps under live folds (r10 bench). A miss here (no sidecar,
+        over-cap delta, entry more than one fold behind) falls back to
+        the ordinary reload paths."""
         with self._lock:
             hit = self._cache.get(fname)
             if hit is not None and hit[0] == sig:
                 self._cache.move_to_end(fname)
                 return hit[1], hit[2]
-        return None
+        if hit is None or state_dir is None:
+            return None
+        return self._patch_hit(state_dir, fname, sig)
+
+    def _load_delta(self, state_dir: str) -> dict | None:
+        """Parsed delta sidecar for ``state_dir`` (None when absent),
+        cached by the sidecar file's signature. Parsing happens outside
+        the lock — a racing double-parse is harmless."""
+        import os as _os
+
+        from pufs_spark.streaming import mirror as M
+
+        f = _os.path.join(state_dir, M.DELTA_FILE)
+        try:
+            st = _os.stat(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return None
+        sig = (st.st_ino, st.st_mtime_ns, st.st_size)
+        with self._lock:
+            hit = self._delta_cache.get(f)
+            if hit is not None and hit[0] == sig:
+                return hit[1]
+        try:
+            with open(f) as fh:
+                raw = json.load(fh)
+        except (OSError, ValueError):
+            return None  # pruned or torn mid-read: patching is optional
+        entries = {
+            fname: (
+                tuple(e["prev_sig"]),
+                tuple(e["new_sig"]),
+                # tuple(r) verbatim: JSON round-trips bool/int/None
+                # exactly, and coercing (e.g. bool(None)) would diverge
+                # from what a fresh decode of the same file yields
+                {p: tuple(r) for p, r in e["upserts"].items()},
+                list(e["deletes"]),
+            )
+            for fname, e in raw.get("entries", {}).items()
+        }
+        with self._lock:
+            self._delta_cache[f] = (sig, entries)
+            while len(self._delta_cache) > 4:
+                self._delta_cache.pop(next(iter(self._delta_cache)))
+        return entries
+
+    def _patch_hit(
+        self, state_dir: str, fname: str, sig,
+    ) -> tuple[dict, dict] | None:
+        """Apply one fold's net delta to a stale resident bucket. The
+        patch is copy-on-write (fresh rows dict, fresh lists for the
+        touched kids entries) so readers still iterating the PREVIOUS
+        snapshot's dicts never see a mutation; est accounting mirrors
+        ``_entry_bytes`` exactly (+/- 300 + 2*len(path) per net
+        insert/delete). A straddling reader that decodes the previous
+        state file afterwards re-caches the OLD version — the next
+        new-snapshot access just patches it forward again (the sidecar
+        stays on disk), so the regression self-heals."""
+        delta = self._load_delta(state_dir)
+        ent = None if delta is None else delta.get(fname)
+        if ent is None or ent[1] != sig:
+            return None
+        prev_sig, _new_sig, ups, dels = ent
+        with self._lock:
+            cur = self._cache.get(fname)
+            if cur is None:
+                return None
+            if cur[0] == sig:  # raced with another patcher: done
+                self._cache.move_to_end(fname)
+                return cur[1], cur[2]
+            if cur[0] != prev_sig:
+                return None  # >1 fold behind (or ahead): full reload
+            rows = dict(cur[1])
+            kids = dict(cur[2])
+            est = cur[3]
+            copied: set = set()
+
+            def plist(parent: str) -> list:
+                if parent not in copied:
+                    kids[parent] = list(kids.get(parent, ()))
+                    copied.add(parent)
+                return kids[parent]
+
+            for p in dels:
+                if rows.pop(p, None) is None:
+                    continue
+                est -= 300 + 2 * len(p)
+                if p != "/":
+                    parent, _, name = p.rpartition("/")
+                    lst = plist(parent or "/")
+                    for i, (n, _r) in enumerate(lst):
+                        if n == name:
+                            del lst[i]
+                            break
+            for p, row in ups.items():
+                old = rows.get(p)
+                rows[p] = row
+                if old is None:
+                    est += 300 + 2 * len(p)
+                if p != "/":
+                    parent, _, name = p.rpartition("/")
+                    lst = plist(parent or "/")
+                    for i, (n, _r) in enumerate(lst):
+                        if n == name:
+                            lst[i] = (name, row)
+                            break
+                    else:
+                        lst.append((name, row))
+            self._cache[fname] = (sig, rows, kids, est)
+            self._cache.move_to_end(fname)
+            self._cache_bytes += est - cur[3]
+            # a growing patch can push past the cap: evict LRU entries
+            # (never the just-patched one — it was moved to the end)
+            while (
+                self._cache_bytes > self.max_cache_bytes
+                and len(self._cache) > 1
+            ):
+                _, ev = self._cache.popitem(last=False)
+                self._cache_bytes -= ev[3]
+            return rows, kids
 
     def _admit_threshold(self, est: int) -> int:
         """Point reads a bucket must accrue before its decode is worth
@@ -494,7 +631,7 @@ class MirrorStore:
             if not _os.path.isdir(state_dir):
                 raise FileNotFoundError(state_dir)  # pruned: retryable
             return None  # empty bucket has no file
-        hit = self._cache_hit(fname, sig)
+        hit = self._cache_hit(fname, sig, state_dir)
         if hit is not None:
             return hit[0].get(path)
         if force_point or sig[2] > self.point_read_bytes:
@@ -533,7 +670,7 @@ class MirrorStore:
             if not _os.path.isdir(state_dir):
                 raise FileNotFoundError(state_dir)
             return []
-        hit = self._cache_hit(fname, sig)
+        hit = self._cache_hit(fname, sig, state_dir)
         if hit is not None:
             return list(hit[1].get(parent, ()))
         if force_point or sig[2] > self.point_read_bytes:
@@ -596,7 +733,7 @@ class MirrorStore:
                 if not _os.path.isdir(state_dir):
                     raise FileNotFoundError(state_dir)
                 continue
-            hit = self._cache_hit(fname, sig)
+            hit = self._cache_hit(fname, sig, state_dir)
             if hit is not None:
                 out.extend(hit[1].get(parent, ()))
                 continue

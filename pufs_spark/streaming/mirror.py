@@ -73,6 +73,24 @@ META_FILE = "mirror_meta.json"
 # the root listing and shard the sidecar by bucket (the per-bucket
 # dict layout below already supports partial rewrites).
 ROOTDIR_FILE = "_rootdir.json"
+# Net per-bucket row changes of ONE fold (previous state -> this
+# state), stored inside the new state dir (underscore-prefixed for the
+# same Spark-skips-it reason as the rootdir sidecar). The serving
+# layer uses it to PATCH resident decoded buckets in place — O(batch)
+# dict upserts/deletes — instead of invalidating them: at the 10M/64-
+# bucket shape a fold otherwise costs every hot bucket a fresh
+# ~190-point-read admission re-earn plus a ~2 s decode, which is why
+# serving under live folds measured ~26 qps vs 940 quiescent (r10
+# bench, BASELINE.md). Only the plain O(changed) delta arm emits it
+# (the diff needs the previous rows, already in hand there); rebuilds,
+# root wipes, migrations and re-buckets publish without one, and
+# serving falls back to the ordinary invalidate-and-reload. Buckets
+# whose net change exceeds DELTA_MAX_ROWS_PER_BUCKET are omitted —
+# patching a delta that big approaches the decode it is meant to
+# avoid — as is everything past DELTA_MAX_TOTAL_ROWS per fold.
+DELTA_FILE = "_delta.json"
+DELTA_MAX_ROWS_PER_BUCKET = 16384
+DELTA_MAX_TOTAL_ROWS = 65536
 N_BUCKETS = 64
 # Bucket key depth: paths bucket by md5 of their first BUCKET_DEPTH
 # components, so even a catalog that keeps EVERYTHING under one top
@@ -359,10 +377,19 @@ def _save_state(
     prev_dir: str,
     summary: dict[int, int],
     keep_all: bool = False,
+    deltas: dict[int, tuple[dict, list]] | None = None,
 ) -> None:
     """Publish a new state dir: fresh parquet for the touched buckets,
     hard links (fallback: copies) to the previous state's files for the
     rest, then the atomic meta swing (see ``_publish_state``).
+
+    ``deltas`` (bucket -> (upserts, deleted paths), the NET row changes
+    vs the previous state) adds a ``DELTA_FILE`` sidecar keyed by the
+    previous and new bucket-file signatures, which lets a serving
+    cache patch its resident decoded buckets forward in O(batch)
+    instead of re-reading them (see the DELTA_FILE comment). Best
+    effort: buckets with no previous file (nothing can be cached), an
+    empty new file, or an over-cap net change are simply omitted.
 
     Also maintains the O(changed) serving aggregates: per-bucket
     (nodes, dirs, files, bytes) totals in the meta and the root
@@ -423,6 +450,34 @@ def _save_state(
     for b, items in touched.items():
         _write_bucket(tmp_dir, b, items)
     _write_rootdir(tmp_dir, root_by_bucket)
+    if deltas:
+        # Signatures are (inode, mtime_ns, size) — the same triple the
+        # serving cache keys on. Stat'ing the NEW file inside tmp_dir
+        # is valid post-publish: os.replace renames the parent dir,
+        # which changes none of the three.
+        entries: dict[str, dict] = {}
+        total = 0
+        for b, (ups, dels) in sorted(deltas.items()):
+            n = len(ups) + len(dels)
+            if n == 0 or n > DELTA_MAX_ROWS_PER_BUCKET:
+                continue
+            if total + n > DELTA_MAX_TOTAL_ROWS:
+                continue
+            try:
+                pst = os.stat(_bucket_file(prev_dir, b))
+                nst = os.stat(_bucket_file(tmp_dir, b))
+            except (FileNotFoundError, NotADirectoryError):
+                continue  # bucket was empty before or is empty now
+            total += n
+            entries[f"bucket-{b:04d}.parquet"] = {
+                "prev_sig": [pst.st_ino, pst.st_mtime_ns, pst.st_size],
+                "new_sig": [nst.st_ino, nst.st_mtime_ns, nst.st_size],
+                "upserts": {p: list(row) for p, row in ups.items()},
+                "deletes": dels,
+            }
+        if entries:
+            with open(os.path.join(tmp_dir, DELTA_FILE), "w") as f:
+                json.dump({"version": version, "entries": entries}, f)
     _publish_state(
         mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir,
         keep_all=keep_all, totals=totals,
@@ -772,6 +827,7 @@ def _fold_rows(
         ),
         default=None,
     )
+    prev_state: dict | None = None  # pre-fold rows, for the delta sidecar
     if root_wipe is not None and not (has_rebuild or depth_migration):
         wiped_last = max(max(by_version), prev_version)
         by_version = {v: rs for v, rs in by_version.items() if v > root_wipe}
@@ -798,6 +854,10 @@ def _fold_rows(
             if prev_version >= 0
             else {}
         )
+        if not (has_rebuild or depth_migration):
+            # one shallow copy (values are immutable tuples): the
+            # "before" side of the delta sidecar's net diff
+            prev_state = dict(state)
         last = prev_version
     for v in sorted(by_version):
         batch = by_version[v]
@@ -842,8 +902,27 @@ def _fold_rows(
             summary[b] = bits
         else:
             summary.pop(b, None)
+    deltas = None
+    if prev_state is not None:
+        # Net diff vs the pre-fold rows, organized per bucket. Upserts
+        # reuse the bucket assignment `touched` already paid for; only
+        # DELETED paths (typically batch-sized) re-hash their bucket.
+        deltas = {
+            b: (
+                {p: row for p, row in items.items()
+                 if prev_state.get(p) != row},
+                [],
+            )
+            for b, items in touched.items()
+        }
+        for p in prev_state:
+            if p not in state:
+                b = _bucket(p, n_buckets)
+                if b in deltas:
+                    deltas[b][1].append(p)
     _save_state(
-        mirror_dir, touched, last, n_buckets, prev_dir, summary, keep_all
+        mirror_dir, touched, last, n_buckets, prev_dir, summary, keep_all,
+        deltas=deltas,
     )
 
 

@@ -189,9 +189,10 @@ def test_rebucket_migration_then_o_changed_at_new_count(spark, tmp_path):
     fresh = [
         f
         for f in os.listdir(sd3)
-        if os.stat(os.path.join(sd3, f)).st_ino != prev_inodes.get(f)
+        if f.startswith("bucket-")  # sidecars are rewritten per fold
+        and os.stat(os.path.join(sd3, f)).st_ino != prev_inodes.get(f)
     ]
-    assert len(fresh) <= 3, fresh
+    assert len(fresh) <= 2, fresh
     paths = {r["path"] for r in M.read_mirror(spark, mdir).collect()}
     assert "/top0/post_migration" in paths
     assert len(paths) == 1 + 16 + 16 * 24 + 1

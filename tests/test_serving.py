@@ -3,6 +3,8 @@
 real TCP sockets — entries carry the proto field names, errors ride
 in-band in ``errorMsg``."""
 
+import json
+import os
 import threading
 
 import pytest
@@ -993,3 +995,237 @@ def test_fleet_survives_live_rebucket_and_folds(spark, tmp_path):
     finally:
         fleet.stop()
     assert M._resolve_state(mdir)[2] == 16
+
+
+def _cdc_row_factory():
+    from pufs_spark.sources.datasource import CDC_SCHEMA
+
+    fields = [c.split()[0] for c in CDC_SCHEMA.split(", ")]
+
+    def row(version, change, path, is_dir=None, size=None, bid=None):
+        return dict(zip(fields, (version, 0.0, "t", "delta", change, path,
+                                 is_dir, size, bid)))
+
+    return row
+
+
+def _no_parquet_reads(monkeypatch):
+    """Make ANY parquet decode or filtered read explode — proves an
+    answer came purely from the patched in-memory cache."""
+    import pyarrow.parquet as pq
+
+    def boom(*a, **k):
+        raise AssertionError("parquet read on a patch-served request")
+
+    monkeypatch.setattr(pq, "read_table", boom)
+
+
+def test_fold_delta_patches_resident_buckets(spark, tmp_path, monkeypatch):
+    """ROADMAP r10 weak spot 6: a fold used to invalidate every
+    resident bucket it touched — at the 10M/64-bucket shape each hot
+    bucket then re-earned admission (~190 point reads) and re-decoded
+    (~2 s), collapsing serving to ~26 qps THROUGH folds. The fold now
+    publishes a delta sidecar (net upserts/deletes per touched bucket,
+    keyed by prev/new file signatures) and the serving cache patches
+    residents forward in place: post-fold answers must be correct and
+    byte-identical to a fresh decode, with ZERO parquet reads."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    for i in range(6):
+        batch.append(row(1, "upsert", f"/d{i}", True, 0, None))
+        for j in range(20):
+            batch.append(row(1, "upsert", f"/d{i}/f{j:02d}", False,
+                             i * 100 + j, f"b-{i}-{j}"))
+        batch.append(row(1, "upsert", f"/d{i}/sub", True, 0, None))
+        batch.append(row(1, "upsert", f"/d{i}/sub/leaf", False, i, None))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    store = serving.MirrorStore(mdir)
+    snap = store.snapshot()
+    # warm every bucket (small catalog: decode-and-cache path)
+    for i in range(6):
+        snap.lookup(f"/d{i}/f00")
+        snap.list_dir(f"/d{i}")
+    warmed = dict(store._cache)
+    assert warmed
+
+    # fold v2: change a size, add a file, delete a file, delete a
+    # whole subtree (dir + leaf), across several top dirs
+    fold2 = [
+        row(2, "upsert", "/d1/f03", False, 9999, "b-new"),
+        row(2, "upsert", "/d2/g77", False, 7, None),
+        row(2, "absent", "/d3/f05"),
+        row(2, "absent", "/d4/sub"),
+    ]
+    M._fold_rows(str(tmp_path / "cat"), mdir, fold2, spark=spark)
+    state_dir = M._resolve_state(mdir)[1]
+    assert os.path.exists(os.path.join(state_dir, M.DELTA_FILE))
+
+    # expected answers from a FRESH store (its own cache, real decodes)
+    fresh = serving.MirrorStore(mdir)
+    fsnap = fresh.snapshot()
+    expect = {
+        "/d1/f03": fsnap.lookup("/d1/f03"),
+        "/d2/g77": fsnap.lookup("/d2/g77"),
+        "/d0/f00": fsnap.lookup("/d0/f00"),
+    }
+    expect_ls = {p: fsnap.list_dir(p) for p in
+                 ("/d1", "/d2", "/d3", "/d4", "/d5")}
+    # fresh decodes of every warmed bucket, for the internals check
+    # below (computed now: parquet reads are blocked after this point)
+    fresh_entries = {fname: fresh._bucket_entry(state_dir, fname)
+                     for fname in store._cache}
+
+    # from here on, any parquet read is a failure: the warmed store
+    # must answer the NEW version purely by patching residents
+    _no_parquet_reads(monkeypatch)
+    snap2 = store.snapshot()
+    assert snap2.version == 2
+    for p, want in expect.items():
+        assert snap2.lookup(p) == want
+    for p, want in expect_ls.items():
+        assert snap2.list_dir(p) == want
+    from pufs_spark.catalog import errors as CE
+    with pytest.raises(CE.NotFoundError):
+        snap2.lookup("/d3/f05")
+    with pytest.raises(CE.NotFoundError):
+        snap2.lookup("/d4/sub/leaf")
+
+    # internals: patched entries equal a fresh decode exactly — rows
+    # dict identical, kids identical up to order, est accounting
+    # identical to _entry_bytes on the final rows
+    for fname, (sig, rows, kids, est) in store._cache.items():
+        frows, fkids = fresh_entries[fname]
+        assert rows == frows, fname
+        assert {k: sorted(v) for k, v in kids.items() if v} == \
+               {k: sorted(v) for k, v in fkids.items() if v}, fname
+        assert est == serving.MirrorStore._entry_bytes(rows), fname
+    assert store._cache_bytes == sum(e[3] for e in store._cache.values())
+
+    # untouched buckets were never invalidated either (hard links):
+    # every warmed fname is still resident
+    assert set(warmed) <= set(store._cache)
+
+
+def test_fold_delta_patch_preserves_admission(spark, tmp_path, monkeypatch):
+    """Under point-read mode an admitted hot bucket must SURVIVE a fold
+    that touches it: the patch keeps it resident at the new version —
+    no admission re-earn, no decode, no filtered read (the exact
+    ~26 qps-under-folds mechanism, r10 bench)."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None)]
+    for i in range(4):
+        batch.append(row(1, "upsert", f"/d{i}", True, 0, None))
+        for j in range(30):
+            batch.append(row(1, "upsert", f"/d{i}/f{j:02d}", False,
+                             i * 100 + j, f"b-{i}-{j}"))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    store = serving.MirrorStore(mdir, point_read_bytes=0)
+    store.POINT_ADMIT_AFTER = 2
+    snap = store.snapshot()
+    for _ in range(2):  # second point read admits
+        assert snap.lookup("/d1/f07") == (False, 107, "b-1-7")
+    assert store.cached_bytes() > 0
+
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(2, "upsert", "/d1/f07", False, 42, "b-v2")],
+                 spark=spark)
+
+    _no_parquet_reads(monkeypatch)
+    snap2 = store.snapshot()
+    assert snap2.lookup("/d1/f07") == (False, 42, "b-v2")
+    # still resident, still exactly one entry, counters untouched —
+    # and the patched kids index carries the new row (a depth-1
+    # list_dir("/d1") would also touch its UNCACHED sibling buckets,
+    # so inspect the resident entry directly)
+    assert len(store._cache) == 1
+    (_, rows, kids, _), = store._cache.values()
+    assert ("f07", (False, 42, "b-v2")) in kids["/d1"]
+    assert store._point_freq.get(next(iter(store._cache)), 0) == 0
+
+
+def test_fold_delta_fallbacks(spark, tmp_path):
+    """Patch misses must degrade to the ordinary reload paths, never
+    to a wrong answer: (a) a resident TWO folds behind (sidecar chains
+    only one step), (b) a bucket omitted from the sidecar by the
+    per-bucket row cap, (c) a torn/garbage sidecar, (d) wholesale
+    publishes (root wipe) emit no sidecar at all."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None),
+             row(1, "upsert", "/a", True, 0, None),
+             row(1, "upsert", "/b", True, 0, None)]
+    for j in range(8):
+        batch.append(row(1, "upsert", f"/a/f{j}", False, j, None))
+        batch.append(row(1, "upsert", f"/b/f{j}", False, j, None))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    store = serving.MirrorStore(mdir)
+    store.snapshot().lookup("/a/f1")  # warm /a's bucket
+
+    # (a) two folds touching the same path: resident is 2 behind
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(2, "upsert", "/a/f1", False, 21, None)], spark=spark)
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(3, "upsert", "/a/f1", False, 31, None)], spark=spark)
+    assert store.snapshot().lookup("/a/f1") == (False, 31, None)
+
+    # (b) per-bucket cap: a fold with more net rows than the cap in
+    # ONE bucket (paths sharing the BUCKET_DEPTH key prefix) omits
+    # that bucket from the sidecar; the resident falls back to decode
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(4, "upsert", "/b/sub", True, 0, None),
+                  row(4, "upsert", "/b/sub/f1", False, 1, None)],
+                 spark=spark)
+    store.snapshot().lookup("/b/sub/f1")  # warm the subtree's bucket
+    monkeypatch_cap = M.DELTA_MAX_ROWS_PER_BUCKET
+    try:
+        M.DELTA_MAX_ROWS_PER_BUCKET = 1
+        M._fold_rows(str(tmp_path / "cat"), mdir,
+                     [row(5, "upsert", "/b/sub/f1", False, 41, None),
+                      row(5, "upsert", "/b/sub/f2", False, 42, None)],
+                     spark=spark)
+    finally:
+        M.DELTA_MAX_ROWS_PER_BUCKET = monkeypatch_cap
+    sd = M._resolve_state(mdir)[1]
+    delta = json.loads(open(os.path.join(sd, M.DELTA_FILE)).read()) \
+        if os.path.exists(os.path.join(sd, M.DELTA_FILE)) else {"entries": {}}
+    nb = M._resolve_state(mdir)[2]
+    bfname = f"bucket-{M._bucket('/b/sub/f1', nb):04d}.parquet"
+    assert M._bucket('/b/sub/f2', nb) == M._bucket('/b/sub/f1', nb)
+    assert bfname not in delta["entries"]
+    assert store.snapshot().lookup("/b/sub/f1") == (False, 41, None)
+    assert store.snapshot().lookup("/b/sub/f2") == (False, 42, None)
+
+    # (c) garbage sidecar: patching is skipped, answers still right
+    store.snapshot().lookup("/a/f1")
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(6, "upsert", "/a/f1", False, 51, None)], spark=spark)
+    sd = M._resolve_state(mdir)[1]
+    with open(os.path.join(sd, M.DELTA_FILE), "w") as f:
+        f.write("{not json")
+    assert store.snapshot().lookup("/a/f1") == (False, 51, None)
+
+    # (d) a root wipe publishes WITHOUT a sidecar (prev rows not in
+    # hand for a diff) — and the post-wipe state is served correctly
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(7, "absent", "/"),
+                  row(8, "upsert", "/", True, 0, None),
+                  row(8, "upsert", "/c", True, 0, None),
+                  row(8, "upsert", "/c/only", False, 1, None)],
+                 spark=spark)
+    sd = M._resolve_state(mdir)[1]
+    assert not os.path.exists(os.path.join(sd, M.DELTA_FILE))
+    assert store.snapshot().lookup("/c/only") == (False, 1, None)
+    from pufs_spark.catalog import errors as CE
+    with pytest.raises(CE.NotFoundError):
+        store.snapshot().lookup("/a/f1")
