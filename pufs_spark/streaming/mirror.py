@@ -458,8 +458,13 @@ def _save_state(
         entries: dict[str, dict] = {}
         total = 0
         for b, (ups, dels) in sorted(deltas.items()):
+            # n == 0 entries are kept deliberately: a bucket rewritten
+            # with IDENTICAL content (e.g. the top-group summary's
+            # superset false positives on a depth-1 absent) still gets
+            # a fresh signature, and a zero-row entry lets the serving
+            # cache re-stamp its resident instead of reloading it.
             n = len(ups) + len(dels)
-            if n == 0 or n > DELTA_MAX_ROWS_PER_BUCKET:
+            if n > DELTA_MAX_ROWS_PER_BUCKET:
                 continue
             if total + n > DELTA_MAX_TOTAL_ROWS:
                 continue

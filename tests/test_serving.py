@@ -1229,3 +1229,37 @@ def test_fold_delta_fallbacks(spark, tmp_path):
     from pufs_spark.catalog import errors as CE
     with pytest.raises(CE.NotFoundError):
         store.snapshot().lookup("/a/f1")
+
+
+def test_fold_delta_zero_change_restamps_resident(spark, tmp_path,
+                                                  monkeypatch):
+    """A touched bucket whose FINAL content is unchanged (identical
+    re-upsert; same shape as a depth-1 absent's summary-superset false
+    positives) still gets a fresh file signature — the sidecar keeps a
+    zero-row entry for it so the serving cache just re-stamps its
+    resident instead of reloading the whole bucket."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = str(tmp_path / "mirror")
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(1, "upsert", "/", True, 0, None),
+                  row(1, "upsert", "/a", True, 0, None),
+                  row(1, "upsert", "/a/f1", False, 11, "bid-1")],
+                 spark=spark)
+    store = serving.MirrorStore(mdir)
+    assert store.snapshot().lookup("/a/f1") == (False, 11, "bid-1")
+    (old_sig,) = [e[0] for e in store._cache.values()]
+
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(2, "upsert", "/a/f1", False, 11, "bid-1")],
+                 spark=spark)
+    sd = M._resolve_state(mdir)[1]
+    delta = json.loads(open(os.path.join(sd, M.DELTA_FILE)).read())
+    (ent,) = delta["entries"].values()
+    assert ent["upserts"] == {} and ent["deletes"] == []
+
+    _no_parquet_reads(monkeypatch)
+    assert store.snapshot().lookup("/a/f1") == (False, 11, "bid-1")
+    (new_sig,) = [e[0] for e in store._cache.values()]
+    assert new_sig != old_sig  # re-stamped to the new file's signature

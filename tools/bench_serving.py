@@ -208,16 +208,17 @@ def main() -> None:
         samples, _ = run_phase(port, paths, dirs, SECONDS)
         out["quiescent"] = summarize(samples, [], SECONDS)
 
+        wseq = iter(range(1 << 30))  # shared across phases: unique names
+
         def writer(stop: threading.Event, timeline: list) -> None:
-            i = 0
             while not stop.is_set():
+                i = next(wseq)
                 d = w.resolve_path(f"/dir{i % n_top:05d}")
                 w.add_immutable_bytes(d, f"live{i:06d}", b"y" * 16)
                 log.commit(w)
                 qq = M.start_catalog_mirror(spark, root, mdir, ckpt)
                 qq.awaitTermination(120)
                 timeline.append((time.monotonic(), log.current_version()))
-                i += 1
 
         samples, timeline = run_phase(port, paths, dirs, SECONDS, writer)
         out["live"] = summarize(samples, timeline, SECONDS)
@@ -310,6 +311,27 @@ def main() -> None:
             round(out["skew"]["admission"]["qps"] / pq_qps, 2)
             if pq_qps else None
         )
+
+        # zipf-skewed getattr UNDER LIVE FOLDS (r10 delta-sidecar cache
+        # patch): pre-patch, every fold bumped the touched buckets'
+        # signatures, knocking admitted hot buckets out of the cache —
+        # each then re-earned admission (~break-even point reads) and
+        # re-decoded (~2 s at 150k rows), dragging skewed qps toward
+        # the all-point-reads floor whenever folds landed. Post-patch,
+        # hot residents are patched forward in O(batch) and the phase
+        # should hold near the quiescent admission number.
+        st = serving.MirrorStore(mdir)
+        srv = serving.PufsServer(serving.MirrorService(st), "127.0.0.1", 0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        sport = srv.server_address[1]
+        samples, timeline = run_phase(
+            sport, zpaths, dirs, skew_secs, writer, p_getattr=1.0
+        )
+        out["skew"]["admission_live_folds"] = {
+            **summarize(samples, timeline, skew_secs),
+            "cached_bytes": st.cached_bytes(),
+        }
+        srv.shutdown()
 
         # fleet scaling (r7 verdict task 6): same catalog, quiescent,
         # N SO_REUSEPORT processes. Long-lived connections stick to one
