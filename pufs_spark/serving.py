@@ -523,25 +523,21 @@ class MirrorStore:
             rows = dict(cur[1])
             kids = dict(cur[2])
             est = cur[3]
-            copied: set = set()
-
-            def plist(parent: str) -> list:
-                if parent not in copied:
-                    kids[parent] = list(kids.get(parent, ()))
-                    copied.add(parent)
-                return kids[parent]
-
+            # Group ops by parent, then rebuild each touched parent's
+            # kids list in ONE pass (copy-on-write: the old list stays
+            # intact for previous-snapshot readers). Per-op linear
+            # scans would make a delete-heavy delta on a large parent
+            # O(ops × children) — a 16k-row delete under a 150k-child
+            # dir is minutes of lock hold; this is O(children + ops).
+            del_names: dict[str, set] = {}
+            up_names: dict[str, dict] = {}
             for p in dels:
                 if rows.pop(p, None) is None:
                     continue
                 est -= 300 + 2 * len(p)
                 if p != "/":
                     parent, _, name = p.rpartition("/")
-                    lst = plist(parent or "/")
-                    for i, (n, _r) in enumerate(lst):
-                        if n == name:
-                            del lst[i]
-                            break
+                    del_names.setdefault(parent or "/", set()).add(name)
             for p, row in ups.items():
                 old = rows.get(p)
                 rows[p] = row
@@ -549,13 +545,16 @@ class MirrorStore:
                     est += 300 + 2 * len(p)
                 if p != "/":
                     parent, _, name = p.rpartition("/")
-                    lst = plist(parent or "/")
-                    for i, (n, _r) in enumerate(lst):
-                        if n == name:
-                            lst[i] = (name, row)
-                            break
-                    else:
-                        lst.append((name, row))
+                    up_names.setdefault(parent or "/", {})[name] = row
+            for parent in set(del_names) | set(up_names):
+                dn = del_names.get(parent, ())
+                un = up_names.get(parent, {})
+                lst = [
+                    kv for kv in kids.get(parent, ())
+                    if kv[0] not in dn and kv[0] not in un
+                ]
+                lst.extend(un.items())
+                kids[parent] = lst
             self._cache[fname] = (sig, rows, kids, est)
             self._cache.move_to_end(fname)
             self._cache_bytes += est - cur[3]
