@@ -270,6 +270,10 @@ class MirrorStore:
     # POINT_READ_COST_MS (both measured, 10M bench r10)
     DECODE_US_PER_ROW = 13.0
     POINT_READ_COST_MS = 10.0
+    # Escape hatch (and the bench's A/B switch): False disables the
+    # delta-sidecar cache patch, reverting folds to invalidate-and-
+    # reload for the buckets they touch.
+    DELTA_PATCH_ENABLED = True
 
     def __init__(self, mirror_dir: str, max_cache_bytes: int | None = None,
                  point_read_bytes: int | None = None):
@@ -506,6 +510,8 @@ class MirrorStore:
         state file afterwards re-caches the OLD version — the next
         new-snapshot access just patches it forward again (the sidecar
         stays on disk), so the regression self-heals."""
+        if not self.DELTA_PATCH_ENABLED:
+            return None
         delta = self._load_delta(state_dir)
         ent = None if delta is None else delta.get(fname)
         if ent is None or ent[1] != sig:

@@ -312,26 +312,52 @@ def main() -> None:
             if pq_qps else None
         )
 
-        # zipf-skewed getattr UNDER LIVE FOLDS (r10 delta-sidecar cache
-        # patch): pre-patch, every fold bumped the touched buckets'
-        # signatures, knocking admitted hot buckets out of the cache —
-        # each then re-earned admission (~break-even point reads) and
-        # re-decoded (~2 s at 150k rows), dragging skewed qps toward
-        # the all-point-reads floor whenever folds landed. Post-patch,
-        # hot residents are patched forward in O(batch) and the phase
-        # should hold near the quiescent admission number.
-        st = serving.MirrorStore(mdir)
-        srv = serving.PufsServer(serving.MirrorService(st), "127.0.0.1", 0)
-        threading.Thread(target=srv.serve_forever, daemon=True).start()
-        sport = srv.server_address[1]
-        samples, timeline = run_phase(
-            sport, zpaths, dirs, skew_secs, writer, p_getattr=1.0
-        )
-        out["skew"]["admission_live_folds"] = {
-            **summarize(samples, timeline, skew_secs),
-            "cached_bytes": st.cached_bytes(),
-        }
-        srv.shutdown()
+        # zipf-skewed getattr UNDER LIVE FOLDS, A/B over the r10
+        # delta-sidecar cache patch. The writer here mutates the HOT
+        # paths themselves (remove + re-add in one commit = a net size
+        # change), so every fold touches an admitted resident bucket —
+        # the exact case the patch targets. Without the patch each such
+        # fold knocks the hot bucket out of the cache (fresh file
+        # signature): it re-earns admission (~break-even point reads)
+        # and re-decodes (~2 s at 156k rows) per fold. With it the
+        # resident is patched forward in O(batch). Both modes pay the
+        # same co-located fold cost (driver-side decode/rewrite of the
+        # touched buckets holds the GIL in this single-process bench),
+        # so the A/B isolates the cache effect.
+        import collections
+
+        hot = [p for p, _ in collections.Counter(zpaths).most_common(50)]
+
+        def hot_writer(stop: threading.Event, timeline: list) -> None:
+            while not stop.is_set():
+                i = next(wseq)
+                p = hot[i % len(hot)]
+                parent, _, name = p.rpartition("/")
+                d = w.resolve_path(parent)
+                w.remove(d, name)
+                w.add_immutable_bytes(d, name, b"z" * (8 + i % 8))
+                log.commit(w)
+                qq = M.start_catalog_mirror(spark, root, mdir, ckpt)
+                qq.awaitTermination(120)
+                timeline.append((time.monotonic(), log.current_version()))
+
+        for mode in ("patch", "no_patch"):
+            st = serving.MirrorStore(mdir)
+            if mode == "no_patch":
+                st.DELTA_PATCH_ENABLED = False  # instance attr A/B
+            srv = serving.PufsServer(
+                serving.MirrorService(st), "127.0.0.1", 0
+            )
+            threading.Thread(target=srv.serve_forever, daemon=True).start()
+            sport = srv.server_address[1]
+            samples, timeline = run_phase(
+                sport, zpaths, dirs, skew_secs, hot_writer, p_getattr=1.0
+            )
+            out["skew"][f"hot_folds_{mode}"] = {
+                **summarize(samples, timeline, skew_secs),
+                "cached_bytes": st.cached_bytes(),
+            }
+            srv.shutdown()
 
         # fleet scaling (r7 verdict task 6): same catalog, quiescent,
         # N SO_REUSEPORT processes. Long-lived connections stick to one
