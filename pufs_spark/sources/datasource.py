@@ -316,14 +316,21 @@ class PufsCommitsStreamReader(SimpleDataSourceStreamReader):
             yield (*head, "absent", p, None, None, None)
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        # Returns a LIST, not a generator: Spark's prefetch cache
-        # copy.copy()s the iterator it stores, and generators are not
-        # copyable (TypeError at planPartitions).
+        # MUST return an Iterator, not a list: this method runs on an
+        # EXECUTOR when a restarted query replays a batch that is no
+        # longer in the driver's prefetch cache (an uncommitted batch
+        # from a query killed mid-fold), and pyspark's
+        # plan_data_source_read validates isinstance(_, Iterator) —
+        # a list raises DATA_SOURCE_INVALID_RETURN_TYPE, failing every
+        # task retry and wedging the restart (surfaced by the 10M
+        # serving bench, whose per-fold query restarts replay
+        # constantly). Only ``read``'s prefetch result must be a list
+        # (the cache copy.copy()s it); this path is never cached.
         log = self._log()
         rows = []
         for v in range(start["version"], end["version"]):
             rows.extend(self._rows_for(log.read_record(v)))
-        return rows
+        return iter(rows)
 
     def read(self, start: dict):
         # current_version() counts CLAIMED records, but a writer can

@@ -613,3 +613,42 @@ def test_mirror_bucket_depth_migration(spark, tmp_path):
     assert rows["/data/late"] == (False, 4)
     assert len(rows) == 2 + 8 + 1               # /, /data, 8 files, late
     assert _json.load(open(meta_path))["bucket_depth"] == M.BUCKET_DEPTH
+
+
+def test_cdc_replay_path_returns_iterator(tmp_path):
+    """Restart replay runs readBetweenOffsets on an EXECUTOR, where
+    pyspark's plan_data_source_read validates isinstance(_, Iterator):
+    a list raises DATA_SOURCE_INVALID_RETURN_TYPE on every task retry,
+    wedging any query restarted with an uncommitted batch (surfaced by
+    the 10M serving bench's per-fold query restarts). ``read``'s
+    prefetch result must stay a LIST (the driver cache copy.copy()s
+    it); both contracts pinned here."""
+    from collections.abc import Iterator
+
+    from pufs_spark.catalog import commitlog as CL
+    from pufs_spark.sources.datasource import PufsCommitsStreamReader
+
+    root = str(tmp_path / "cat")
+    w, log = CL.open_log(root)
+    d = w.mkdir(ROOT_INODE, "data")
+    log.commit(w)                                   # v0
+    w.add_immutable_bytes(d, "f1", b"one")
+    log.commit(w)                                   # v1
+    reader = PufsCommitsStreamReader({"root": root})
+
+    replay = reader.readBetweenOffsets({"version": 0}, {"version": 2})
+    assert isinstance(replay, Iterator) and not isinstance(replay, list)
+    rows = list(replay)
+    assert {r[0] for r in rows} == {0, 1}           # both versions present
+    assert any(r[4] == "upsert" and r[5] == "/data/f1" for r in rows)
+
+    # the prefetch side: non-empty progress is a copyable LIST...
+    prefetched, end = reader.read({"version": 0})
+    assert isinstance(prefetched, list) and end == {"version": 2}
+    import copy as _copy
+    assert list(_copy.copy(iter(prefetched))) == prefetched
+    # ...and a no-progress tick is a real iterator (next() probeable)
+    idle, end2 = reader.read(end)
+    assert end2 == end
+    with pytest.raises(StopIteration):
+        next(idle)

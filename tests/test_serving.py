@@ -1263,3 +1263,26 @@ def test_fold_delta_zero_change_restamps_resident(spark, tmp_path,
     assert store.snapshot().lookup("/a/f1") == (False, 11, "bid-1")
     (new_sig,) = [e[0] for e in store._cache.values()]
     assert new_sig != old_sig  # re-stamped to the new file's signature
+
+
+def test_fold_delta_patch_disable_knob(spark, tmp_path):
+    """DELTA_PATCH_ENABLED=False (operational escape hatch, the bench's
+    A/B switch) reverts folds to invalidate-and-reload: answers stay
+    correct, and the resident is re-decoded rather than patched."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = str(tmp_path / "mirror")
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(1, "upsert", "/", True, 0, None),
+                  row(1, "upsert", "/a", True, 0, None),
+                  row(1, "upsert", "/a/f1", False, 11, None)],
+                 spark=spark)
+    store = serving.MirrorStore(mdir)
+    store.DELTA_PATCH_ENABLED = False  # instance attr
+    assert store.snapshot().lookup("/a/f1") == (False, 11, None)
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(2, "upsert", "/a/f1", False, 22, None)], spark=spark)
+    sd = M._resolve_state(mdir)[1]
+    assert os.path.exists(os.path.join(sd, M.DELTA_FILE))  # sidecar IS there
+    assert store.snapshot().lookup("/a/f1") == (False, 22, None)  # reload

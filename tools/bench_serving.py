@@ -210,12 +210,19 @@ def main() -> None:
 
         wseq = iter(range(1 << 30))  # shared across phases: unique names
 
+        # checkpoint_every is disabled for the bench writers: at 10M a
+        # period-16 checkpoint triggers a ~2 min distributed rebuild
+        # MID-PHASE (the cumulative fold count crosses it), stalling
+        # the writer and polluting the phase with rebuild GIL time —
+        # the wholesale arm has its own bench (bench_mirror_rebuild).
+        NO_CKPT = 1 << 30
+
         def writer(stop: threading.Event, timeline: list) -> None:
             while not stop.is_set():
                 i = next(wseq)
                 d = w.resolve_path(f"/dir{i % n_top:05d}")
                 w.add_immutable_bytes(d, f"live{i:06d}", b"y" * 16)
-                log.commit(w)
+                log.commit(w, checkpoint_every=NO_CKPT)
                 qq = M.start_catalog_mirror(spark, root, mdir, ckpt)
                 qq.awaitTermination(120)
                 timeline.append((time.monotonic(), log.current_version()))
@@ -336,7 +343,7 @@ def main() -> None:
                 d = w.resolve_path(parent)
                 w.remove(d, name)
                 w.add_immutable_bytes(d, name, b"z" * (8 + i % 8))
-                log.commit(w)
+                log.commit(w, checkpoint_every=NO_CKPT)
                 qq = M.start_catalog_mirror(spark, root, mdir, ckpt)
                 qq.awaitTermination(120)
                 timeline.append((time.monotonic(), log.current_version()))
@@ -358,6 +365,25 @@ def main() -> None:
                 "cached_bytes": st.cached_bytes(),
             }
             srv.shutdown()
+
+        # the PRODUCTION shape of the same workload: a 4-process fleet
+        # serves (each worker patches its own cache independently)
+        # while the writer folds — the workers don't share the
+        # driver's GIL, so this should hold near fleet-quiescent qps
+        # instead of paying the co-located fold cost above.
+        if os.environ.get("BENCH_HOT_FLEET", "1") == "1":
+            fleet, fport = serving.serve_mirror_fleet(mdir, n_procs=4)
+            try:
+                samples, timeline = run_phase(
+                    fport, zpaths, dirs, skew_secs, hot_writer,
+                    n_clients=16, p_getattr=1.0,
+                )
+                out["skew"]["hot_folds_fleet4"] = {
+                    "clients": 16,
+                    **summarize(samples, timeline, skew_secs),
+                }
+            finally:
+                fleet.stop()
 
         # fleet scaling (r7 verdict task 6): same catalog, quiescent,
         # N SO_REUSEPORT processes. Long-lived connections stick to one
