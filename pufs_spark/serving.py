@@ -316,7 +316,24 @@ class MirrorStore:
         # buckets), a few hundred KB worst case.
         self._point_freq: dict[str, int] = {}
         self._point_accesses = 0
+        # Monotonic op counters (read via ``stats`` / the service's
+        # cache_stats op): hits = warm-dict answers, patches = stale
+        # residents moved forward by a fold's delta sidecar, decodes =
+        # full bucket parquet decodes (admissions are the no_evict
+        # subset), point_reads = filtered/batched parquet reads that
+        # bypassed the cache, evictions = LRU entries dropped for
+        # space. The hit/patch/decode/point-read mix is how an
+        # operator tells "cache working" from "cache thrashing or
+        # folds outpacing the patch" without a profiler.
+        self._stats = {
+            "hits": 0, "patches": 0, "decodes": 0, "admissions": 0,
+            "point_reads": 0, "evictions": 0,
+        }
         self._lock = threading.Lock()
+
+    def stats(self) -> dict:
+        with self._lock:
+            return dict(self._stats)
 
     @staticmethod
     def _entry_bytes(rows: dict) -> int:
@@ -360,6 +377,7 @@ class MirrorStore:
             while self._cache and self._cache_bytes + est > self.max_cache_bytes:
                 _, evicted = self._cache.popitem(last=False)
                 self._cache_bytes -= evicted[3]
+                self._stats["evictions"] += 1
             self._cache[fname] = (sig, rows, kids, est)
             self._cache_bytes += est
             return True
@@ -419,6 +437,8 @@ class MirrorStore:
             if p != "/":
                 parent, _, name = p.rpartition("/")
                 kids.setdefault(parent or "/", []).append((name, row))
+        with self._lock:
+            self._stats["decodes"] += 1
         self._cache_put(fname, sig, rows, kids, no_evict=no_evict)
         return rows, kids
 
@@ -452,6 +472,7 @@ class MirrorStore:
             hit = self._cache.get(fname)
             if hit is not None and hit[0] == sig:
                 self._cache.move_to_end(fname)
+                self._stats["hits"] += 1
                 return hit[1], hit[2]
         if hit is None or state_dir is None:
             return None
@@ -523,6 +544,7 @@ class MirrorStore:
                 return None
             if cur[0] == sig:  # raced with another patcher: done
                 self._cache.move_to_end(fname)
+                self._stats["hits"] += 1
                 return cur[1], cur[2]
             if cur[0] != prev_sig:
                 return None  # >1 fold behind (or ahead): full reload
@@ -564,6 +586,7 @@ class MirrorStore:
             self._cache[fname] = (sig, rows, kids, est)
             self._cache.move_to_end(fname)
             self._cache_bytes += est - cur[3]
+            self._stats["patches"] += 1
             # a growing patch can push past the cap: evict LRU entries
             # (never the just-patched one — it was moved to the end)
             while (
@@ -572,6 +595,7 @@ class MirrorStore:
             ):
                 _, ev = self._cache.popitem(last=False)
                 self._cache_bytes -= ev[3]
+                self._stats["evictions"] += 1
             return rows, kids
 
     def _admit_threshold(self, est: int) -> int:
@@ -608,6 +632,7 @@ class MirrorStore:
             if self._cache_bytes + est > self.max_cache_bytes:
                 return False  # admission must never evict
             del self._point_freq[fname]
+            self._stats["admissions"] += 1
             return True
 
     def _point_lookup(
@@ -645,6 +670,8 @@ class MirrorStore:
                 return self._bucket_entry(
                     state_dir, fname, no_evict=True
                 )[0].get(path)
+            with self._lock:
+                self._stats["point_reads"] += 1
             t = pq.read_table(f, filters=[("path", "==", path)])
             if t.num_rows == 0:
                 return None
@@ -688,6 +715,8 @@ class MirrorStore:
                 )
             lo = "/" if parent == "/" else parent + "/"
             hi = "0" if parent == "/" else parent + "0"
+            with self._lock:
+                self._stats["point_reads"] += 1
             t = pq.read_table(
                 f, filters=[("path", ">=", lo), ("path", "<", hi)]
             )
@@ -751,6 +780,8 @@ class MirrorStore:
         if batch:
             lo = "/" if parent == "/" else parent + "/"
             hi = "0" if parent == "/" else parent + "0"
+            with self._lock:
+                self._stats["point_reads"] += len(batch)
             t = _ds.dataset(batch, format="parquet").to_table(
                 filter=(_ds.field("path") >= lo) & (_ds.field("path") < hi)
             )
@@ -1055,6 +1086,19 @@ class MirrorService:
         if op == "stat":
             return {
                 **snap.stat_totals(),
+                "errorMsg": "",
+                "mirrorVersion": v,
+            }
+        if op == "cache_stats":
+            # Mirror-only observability op (the store-backed service
+            # has no cache): the hit/patch/decode/point-read mix tells
+            # an operator whether the cache is working, thrashing, or
+            # being outpaced by folds — per process; a fleet client
+            # polls each worker (connections stick by 4-tuple hash).
+            return {
+                **self.store.stats(),
+                "cachedBytes": self.store.cached_bytes(),
+                "capBytes": self.store.max_cache_bytes,
                 "errorMsg": "",
                 "mirrorVersion": v,
             }

@@ -1286,3 +1286,48 @@ def test_fold_delta_patch_disable_knob(spark, tmp_path):
     sd = M._resolve_state(mdir)[1]
     assert os.path.exists(os.path.join(sd, M.DELTA_FILE))  # sidecar IS there
     assert store.snapshot().lookup("/a/f1") == (False, 22, None)  # reload
+
+
+def test_cache_stats_observability(spark, tmp_path):
+    """The mirror-only ``cache_stats`` op: the counters must separate
+    warm-dict hits, fold patches, full decodes, filtered point reads
+    and admissions — the mix an operator reads to tell "cache working"
+    from "thrashing" or "folds outpacing the patch"."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = str(tmp_path / "mirror")
+    batch = [row(1, "upsert", "/", True, 0, None),
+             row(1, "upsert", "/a", True, 0, None)]
+    for j in range(10):
+        batch.append(row(1, "upsert", f"/a/f{j}", False, j, None))
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    store = serving.MirrorStore(mdir)
+    svc = serving.MirrorService(store)
+    snap = store.snapshot()
+    snap.lookup("/a/f1")                       # decode
+    snap.lookup("/a/f1")                       # hit
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(2, "upsert", "/a/f1", False, 21, None)], spark=spark)
+    assert store.snapshot().lookup("/a/f1") == (False, 21, None)  # patch
+    st = store.stats()
+    assert st["decodes"] == 1 and st["hits"] == 1 and st["patches"] == 1
+    assert st["point_reads"] == 0 and st["admissions"] == 0
+
+    # point-read mode: filtered reads count; the K'th admits
+    pr = serving.MirrorStore(mdir, point_read_bytes=0)
+    pr.POINT_ADMIT_AFTER = 3
+    psnap = pr.snapshot()
+    for _ in range(3):
+        assert psnap.lookup("/a/f2") == (False, 2, None)
+    st = pr.stats()
+    assert st["point_reads"] == 2       # third access admitted instead
+    assert st["admissions"] == 1 and st["decodes"] == 1
+
+    # the op surface (same handler the TCP server dispatches to)
+    resp = svc.handle({"op": "cache_stats"})
+    assert resp["errorMsg"] == ""
+    assert resp["patches"] == 1 and resp["capBytes"] == store.max_cache_bytes
+    assert resp["cachedBytes"] == store.cached_bytes() > 0
+    assert resp["mirrorVersion"] == 2
