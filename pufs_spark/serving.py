@@ -415,6 +415,7 @@ class MirrorStore:
         except FileNotFoundError:
             if not _os.path.isdir(state_dir):
                 raise  # state dir pruned mid-request: retryable, not empty
+            self._drop_cached(fname)
             return {}, {}  # empty buckets have no file
         sig = (st.st_ino, st.st_mtime_ns, st.st_size)
         hit = self._cache_hit(fname, sig, state_dir)
@@ -453,6 +454,22 @@ class MirrorStore:
         except FileNotFoundError:
             return None
         return (st.st_ino, st.st_mtime_ns, st.st_size)
+
+    def _drop_cached(self, fname: str) -> None:
+        """Evict a resident whose bucket FILE is gone at the caller's
+        snapshot (the fold emptied the bucket, so no file was written).
+        The entry is unreachable there — its signature can never match
+        a missing file — but left resident it would occupy cap that
+        the never-evict admission rule cannot reclaim, letting
+        emptied-out buckets starve future admissions. An in-flight
+        reader of the PREVIOUS state (where the file may still exist)
+        at worst re-decodes — evicting is always safe."""
+        with self._lock:
+            old = self._cache.pop(fname, None)
+            if old is not None:
+                self._cache_bytes -= old[3]
+                self._stats["evictions"] += 1
+
 
     def _cache_hit(
         self, fname: str, sig, state_dir: str | None = None,
@@ -660,6 +677,7 @@ class MirrorStore:
         if sig is None:
             if not _os.path.isdir(state_dir):
                 raise FileNotFoundError(state_dir)  # pruned: retryable
+            self._drop_cached(fname)
             return None  # empty bucket has no file
         hit = self._cache_hit(fname, sig, state_dir)
         if hit is not None:
@@ -701,6 +719,7 @@ class MirrorStore:
         if sig is None:
             if not _os.path.isdir(state_dir):
                 raise FileNotFoundError(state_dir)
+            self._drop_cached(fname)
             return []
         hit = self._cache_hit(fname, sig, state_dir)
         if hit is not None:
@@ -766,6 +785,7 @@ class MirrorStore:
             if sig is None:
                 if not _os.path.isdir(state_dir):
                     raise FileNotFoundError(state_dir)
+                self._drop_cached(fname)
                 continue
             hit = self._cache_hit(fname, sig, state_dir)
             if hit is not None:
