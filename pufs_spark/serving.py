@@ -495,9 +495,10 @@ class MirrorStore:
             return None
         return self._patch_hit(state_dir, fname, sig)
 
-    def _load_delta(self, state_dir: str) -> dict | None:
-        """Parsed delta sidecar for ``state_dir`` (None when absent),
-        cached by the sidecar file's signature. Parsing happens outside
+    def _load_delta(self, state_dir: str) -> tuple | None:
+        """Parsed delta sidecar for ``state_dir`` as
+        (prev_state_dirname | None, entries) — None when absent.
+        Cached by the sidecar file's signature. Parsing happens outside
         the lock — a racing double-parse is harmless."""
         import os as _os
 
@@ -530,11 +531,12 @@ class MirrorStore:
             )
             for fname, e in raw.get("entries", {}).items()
         }
+        parsed = (raw.get("prev_state_dirname"), entries)
         with self._lock:
-            self._delta_cache[f] = (sig, entries)
+            self._delta_cache[f] = (sig, parsed)
             while len(self._delta_cache) > 4:
                 self._delta_cache.pop(next(iter(self._delta_cache)))
-        return entries
+        return parsed
 
     def _patch_hit(
         self, state_dir: str, fname: str, sig,
@@ -550,11 +552,32 @@ class MirrorStore:
         stays on disk), so the regression self-heals."""
         if not self.DELTA_PATCH_ENABLED:
             return None
-        delta = self._load_delta(state_dir)
-        ent = None if delta is None else delta.get(fname)
+        import os as _os
+
+        loaded = self._load_delta(state_dir)
+        ent = None if loaded is None else loaded[1].get(fname)
         if ent is None or ent[1] != sig:
             return None
-        prev_sig, _new_sig, ups, dels = ent
+        steps = [ent]
+        with self._lock:
+            cur = self._cache.get(fname)
+            cached_sig = None if cur is None else cur[0]
+        if cur is None:
+            return None
+        if cached_sig not in (sig, ent[0]) and loaded[0]:
+            # Exactly TWO folds behind: the previous state dir (kept
+            # for in-flight readers until the NEXT fold prunes it)
+            # still carries its own sidecar — chain it in front. Three
+            # or more behind means that dir is pruned and the chain
+            # can't resolve: full reload. Resolved OUTSIDE the lock
+            # (sidecar I/O); the signatures are re-verified under the
+            # lock before anything is applied.
+            prev_loaded = self._load_delta(
+                _os.path.join(_os.path.dirname(state_dir), loaded[0])
+            )
+            pent = None if prev_loaded is None else prev_loaded[1].get(fname)
+            if pent is not None and pent[1] == ent[0]:
+                steps = [pent, ent]
         with self._lock:
             cur = self._cache.get(fname)
             if cur is None:
@@ -563,43 +586,13 @@ class MirrorStore:
                 self._cache.move_to_end(fname)
                 self._stats["hits"] += 1
                 return cur[1], cur[2]
-            if cur[0] != prev_sig:
-                return None  # >1 fold behind (or ahead): full reload
+            if cur[0] != steps[0][0]:
+                return None  # chain doesn't reach the resident: reload
             rows = dict(cur[1])
             kids = dict(cur[2])
             est = cur[3]
-            # Group ops by parent, then rebuild each touched parent's
-            # kids list in ONE pass (copy-on-write: the old list stays
-            # intact for previous-snapshot readers). Per-op linear
-            # scans would make a delete-heavy delta on a large parent
-            # O(ops × children) — a 16k-row delete under a 150k-child
-            # dir is minutes of lock hold; this is O(children + ops).
-            del_names: dict[str, set] = {}
-            up_names: dict[str, dict] = {}
-            for p in dels:
-                if rows.pop(p, None) is None:
-                    continue
-                est -= 300 + 2 * len(p)
-                if p != "/":
-                    parent, _, name = p.rpartition("/")
-                    del_names.setdefault(parent or "/", set()).add(name)
-            for p, row in ups.items():
-                old = rows.get(p)
-                rows[p] = row
-                if old is None:
-                    est += 300 + 2 * len(p)
-                if p != "/":
-                    parent, _, name = p.rpartition("/")
-                    up_names.setdefault(parent or "/", {})[name] = row
-            for parent in set(del_names) | set(up_names):
-                dn = del_names.get(parent, ())
-                un = up_names.get(parent, {})
-                lst = [
-                    kv for kv in kids.get(parent, ())
-                    if kv[0] not in dn and kv[0] not in un
-                ]
-                lst.extend(un.items())
-                kids[parent] = lst
+            for _psig, _nsig, ups, dels in steps:
+                est = self._apply_delta(rows, kids, est, ups, dels)
             self._cache[fname] = (sig, rows, kids, est)
             self._cache.move_to_end(fname)
             self._cache_bytes += est - cur[3]
@@ -614,6 +607,45 @@ class MirrorStore:
                 self._cache_bytes -= ev[3]
                 self._stats["evictions"] += 1
             return rows, kids
+
+    @staticmethod
+    def _apply_delta(rows: dict, kids: dict, est: int,
+                     ups: dict, dels: list) -> int:
+        """Apply one step's net upserts/deletes to (rows, kids) in
+        place, returning the adjusted est. Group ops by parent, then
+        rebuild each touched parent's kids list in ONE pass
+        (copy-on-write: the old list stays intact for previous-
+        snapshot readers). Per-op linear scans would make a
+        delete-heavy delta on a large parent O(ops × children) — a
+        16k-row delete under a 150k-child dir is minutes of lock
+        hold; this is O(children + ops)."""
+        del_names: dict[str, set] = {}
+        up_names: dict[str, dict] = {}
+        for p in dels:
+            if rows.pop(p, None) is None:
+                continue
+            est -= 300 + 2 * len(p)
+            if p != "/":
+                parent, _, name = p.rpartition("/")
+                del_names.setdefault(parent or "/", set()).add(name)
+        for p, row in ups.items():
+            old = rows.get(p)
+            rows[p] = row
+            if old is None:
+                est += 300 + 2 * len(p)
+            if p != "/":
+                parent, _, name = p.rpartition("/")
+                up_names.setdefault(parent or "/", {})[name] = row
+        for parent in set(del_names) | set(up_names):
+            dn = del_names.get(parent, ())
+            un = up_names.get(parent, {})
+            lst = [
+                kv for kv in kids.get(parent, ())
+                if kv[0] not in dn and kv[0] not in un
+            ]
+            lst.extend(un.items())
+            kids[parent] = lst
+        return est
 
     def _admit_threshold(self, est: int) -> int:
         """Point reads a bucket must accrue before its decode is worth

@@ -482,7 +482,17 @@ def _save_state(
             }
         if entries:
             with open(os.path.join(tmp_dir, DELTA_FILE), "w") as f:
-                json.dump({"version": version, "entries": entries}, f)
+                json.dump(
+                    {
+                        "version": version,
+                        # lets serving chain the PREVIOUS dir's sidecar
+                        # in front for residents exactly two folds
+                        # behind (the dir survives until the next fold)
+                        "prev_state_dirname": os.path.basename(prev_dir),
+                        "entries": entries,
+                    },
+                    f,
+                )
     _publish_state(
         mirror_dir, tmp_dir, new_dir, version, n_buckets, summary, prev_dir,
         keep_all=keep_all, totals=totals,

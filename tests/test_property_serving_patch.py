@@ -9,8 +9,11 @@ Covers the state space the example tests can't: upserts/absents mixed
 in one version, subtree absents, depth-1 absents resolved through the
 top-group summary superset (zero-change bucket rewrites → sidecar
 re-stamp entries), re-upserts of identical rows, paths colliding into
-shared buckets, and multi-fold sequences where every resident is
-exactly one fold behind."""
+shared buckets, and multi-fold sequences where residents are one OR
+two folds behind (Hypothesis also chooses, per fold, whether the
+warmed store observes it — skipped folds exercise the two-step
+sidecar chain; runs of 2+ skipped folds exercise the reload
+fallback)."""
 
 from __future__ import annotations
 
@@ -49,7 +52,11 @@ _ops = st.lists(
     max_size=6,
 )
 
-_folds = st.lists(_ops, min_size=1, max_size=5)
+_folds = st.lists(
+    st.tuples(_ops, st.booleans()),  # (ops, observe this fold?)
+    min_size=1,
+    max_size=5,
+)
 
 
 def _rows_for(version: int, ops) -> list[dict]:
@@ -85,8 +92,10 @@ def test_patched_store_equals_fresh_decode(tmp_path_factory, folds):
     tmp = tmp_path_factory.mktemp("pmirror")
     mdir = str(tmp / "mirror")
     warmed = serving.MirrorStore(mdir)
-    for v, ops in enumerate(folds, start=1):
+    for v, (ops, observe) in enumerate(folds, start=1):
         M._fold_rows(str(tmp / "cat"), mdir, _rows_for(v, ops))
+        if not observe and v < len(folds):
+            continue  # leave residents >=2 folds behind
         fresh = serving.MirrorStore(mdir)
         fsnap, wsnap = fresh.snapshot(), warmed.snapshot()
         assert wsnap.version == v

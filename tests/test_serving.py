@@ -1153,10 +1153,13 @@ def test_fold_delta_patch_preserves_admission(spark, tmp_path, monkeypatch):
 
 def test_fold_delta_fallbacks(spark, tmp_path):
     """Patch misses must degrade to the ordinary reload paths, never
-    to a wrong answer: (a) a resident TWO folds behind (sidecar chains
-    only one step), (b) a bucket omitted from the sidecar by the
-    per-bucket row cap, (c) a torn/garbage sidecar, (d) wholesale
-    publishes (root wipe) emit no sidecar at all."""
+    to a wrong answer: (a) a resident THREE folds behind (the chain
+    resolves at most two steps — the previous state dir is the oldest
+    kept), (b) a bucket omitted from the sidecar by the per-bucket row
+    cap, (c) a torn/garbage sidecar, (d) wholesale publishes (root
+    wipe) emit no sidecar at all. And a resident exactly TWO folds
+    behind must patch via the chained previous-dir sidecar — zero
+    parquet reads."""
     from pufs_spark.streaming import mirror as M
 
     row = _cdc_row_factory()
@@ -1172,27 +1175,46 @@ def test_fold_delta_fallbacks(spark, tmp_path):
     store = serving.MirrorStore(mdir)
     store.snapshot().lookup("/a/f1")  # warm /a's bucket
 
-    # (a) two folds touching the same path: resident is 2 behind
+    # (a) two folds touching the same path: the resident is 2 behind
+    # and must be patched through BOTH sidecars (current + previous
+    # state dir) without touching parquet
     M._fold_rows(str(tmp_path / "cat"), mdir,
                  [row(2, "upsert", "/a/f1", False, 21, None)], spark=spark)
     M._fold_rows(str(tmp_path / "cat"), mdir,
                  [row(3, "upsert", "/a/f1", False, 31, None)], spark=spark)
-    assert store.snapshot().lookup("/a/f1") == (False, 31, None)
+    import pyarrow.parquet as _pq
+    real_read = _pq.read_table
+    try:
+        _pq.read_table = lambda *a, **k: (_ for _ in ()).throw(
+            AssertionError("2-behind resident must chain, not reload"))
+        assert store.snapshot().lookup("/a/f1") == (False, 31, None)
+    finally:
+        _pq.read_table = real_read
+    # ...but THREE behind (oldest dir pruned) falls back to decode
+    M._fold_rows(str(tmp_path / "cat"), mdir,
+                 [row(4, "upsert", "/a/f2", False, 90, None)], spark=spark)
+    store2 = serving.MirrorStore(mdir)
+    store2.snapshot().lookup("/a/f1")           # warm at v4
+    for v in (5, 6, 7):
+        M._fold_rows(str(tmp_path / "cat"), mdir,
+                     [row(v, "upsert", "/a/f1", False, v, None)],
+                     spark=spark)
+    assert store2.snapshot().lookup("/a/f1") == (False, 7, None)
 
     # (b) per-bucket cap: a fold with more net rows than the cap in
     # ONE bucket (paths sharing the BUCKET_DEPTH key prefix) omits
     # that bucket from the sidecar; the resident falls back to decode
     M._fold_rows(str(tmp_path / "cat"), mdir,
-                 [row(4, "upsert", "/b/sub", True, 0, None),
-                  row(4, "upsert", "/b/sub/f1", False, 1, None)],
+                 [row(8, "upsert", "/b/sub", True, 0, None),
+                  row(8, "upsert", "/b/sub/f1", False, 1, None)],
                  spark=spark)
     store.snapshot().lookup("/b/sub/f1")  # warm the subtree's bucket
     monkeypatch_cap = M.DELTA_MAX_ROWS_PER_BUCKET
     try:
         M.DELTA_MAX_ROWS_PER_BUCKET = 1
         M._fold_rows(str(tmp_path / "cat"), mdir,
-                     [row(5, "upsert", "/b/sub/f1", False, 41, None),
-                      row(5, "upsert", "/b/sub/f2", False, 42, None)],
+                     [row(9, "upsert", "/b/sub/f1", False, 41, None),
+                      row(9, "upsert", "/b/sub/f2", False, 42, None)],
                      spark=spark)
     finally:
         M.DELTA_MAX_ROWS_PER_BUCKET = monkeypatch_cap
@@ -1209,7 +1231,7 @@ def test_fold_delta_fallbacks(spark, tmp_path):
     # (c) garbage sidecar: patching is skipped, answers still right
     store.snapshot().lookup("/a/f1")
     M._fold_rows(str(tmp_path / "cat"), mdir,
-                 [row(6, "upsert", "/a/f1", False, 51, None)], spark=spark)
+                 [row(10, "upsert", "/a/f1", False, 51, None)], spark=spark)
     sd = M._resolve_state(mdir)[1]
     with open(os.path.join(sd, M.DELTA_FILE), "w") as f:
         f.write("{not json")
@@ -1218,10 +1240,10 @@ def test_fold_delta_fallbacks(spark, tmp_path):
     # (d) a root wipe publishes WITHOUT a sidecar (prev rows not in
     # hand for a diff) — and the post-wipe state is served correctly
     M._fold_rows(str(tmp_path / "cat"), mdir,
-                 [row(7, "absent", "/"),
-                  row(8, "upsert", "/", True, 0, None),
-                  row(8, "upsert", "/c", True, 0, None),
-                  row(8, "upsert", "/c/only", False, 1, None)],
+                 [row(11, "absent", "/"),
+                  row(12, "upsert", "/", True, 0, None),
+                  row(12, "upsert", "/c", True, 0, None),
+                  row(12, "upsert", "/c/only", False, 1, None)],
                  spark=spark)
     sd = M._resolve_state(mdir)[1]
     assert not os.path.exists(os.path.join(sd, M.DELTA_FILE))
