@@ -58,6 +58,36 @@ def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# --- bench protocol (round 11) -------------------------------------
+# Round 10's suite number drifted +18% on byte-identical query code and
+# no one could tell regression from box noise.  The protocol makes the
+# instrument self-describing:
+#   1. loadavg gate: a busy box (1-min loadavg over LOAD_GATE) taints
+#      every number; we WARN loudly and stamp `"load_gate": "FAIL"` so
+#      a cross-round reader discounts the run (refusing outright would
+#      zero a driver round, which is worse than a flagged number).
+#   2. n>=5 median per query (env SPARK_GRAFT_BENCH_N, floor 5): the
+#      round-7/round-10 drifts sat inside 3-sample min/max spreads;
+#      5 samples make the median resistant to two bad draws.
+#   3. recorded box state: loadavg before/after, CPU count, and
+#      whether the Derby metastore / spark-warehouse dirs pre-existed
+#      (a warm metastore changes first-query wall).
+LOAD_GATE = 8.0  # 32-CPU box; >8 means real concurrent work
+
+
+def box_state() -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    la1, la5, la15 = os.getloadavg()
+    return {
+        "loadavg": [round(la1, 2), round(la5, 2), round(la15, 2)],
+        "cpus_online": os.cpu_count(),
+        "derby_preexisting": os.path.isdir(os.path.join(repo, "metastore_db")),
+        "warehouse_preexisting": os.path.isdir(
+            os.path.join(repo, "spark-warehouse")
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # extract the trailing sf<number> from any dir name ("sf0.1",
@@ -65,6 +95,15 @@ def main() -> None:
     base = os.path.basename(sf_dir.rstrip("/"))
     m = __import__("re").search(r"sf([\d.]+)$", base)
     sf = m.group(1) if m else base
+    pre_state = box_state()
+    load_ok = pre_state["loadavg"][0] <= LOAD_GATE
+    if not load_ok:
+        print(
+            f"bench: WARNING 1-min loadavg {pre_state['loadavg'][0]} exceeds "
+            f"gate {LOAD_GATE}; numbers below are tainted by concurrent work",
+            file=sys.stderr,
+        )
+    n_runs = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
     spark = get_spark(app_name="pufs_spark_bench")
     qs = entrymod.queries()
 
@@ -79,7 +118,7 @@ def main() -> None:
     # an analysis error in E1 crashed the harness and cost the round its
     # perf evidence). Failures report as null timings + an errors entry;
     # the JSON line always parses.
-    # Median-of-3 (was best-of-2): round-7 showed +10% suite drift on
+    # Median-of-n (n>=5, was 3): round-10 showed +18% suite drift on
     # UNCHANGED code — machine state, not plans. The median damps both
     # a slow outlier (GC pause) and a lucky cache hit; min/max spread
     # is recorded per query so cross-round readers can tell a real
@@ -90,12 +129,12 @@ def main() -> None:
     for name in HEADLINE:
         runs: list[float] = []
         try:
-            for _ in range(3):
+            for _ in range(n_runs):
                 t0 = time.monotonic()
                 force(qs[name](spark, sf_dir))
                 runs.append(time.monotonic() - t0)
             runs.sort()
-            timings[name] = round(runs[1], 3)
+            timings[name] = round(runs[len(runs) // 2], 3)
             spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
         except Exception as exc:  # noqa: BLE001
             timings[name] = None
@@ -116,6 +155,12 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "sf": float(sf) if sf else None,
+        "protocol": {
+            "n_runs": n_runs,
+            "load_gate": "ok" if load_ok else "FAIL",
+            "box_before": pre_state,
+            "box_after": box_state(),
+        },
     }
     if errors:
         out["errors"] = errors

@@ -270,6 +270,16 @@ class MirrorStore:
     # POINT_READ_COST_MS (both measured, 10M bench r10)
     DECODE_US_PER_ROW = 13.0
     POINT_READ_COST_MS = 10.0
+    # Lower bound on decoded-bytes / parquet-bytes: path-sorted bucket
+    # files compress 20-25x (r9 bench); even hostile content stays
+    # above ~4x. The admission pre-check takes max(fold-maintained
+    # estimate, parquet_size x this) so a stale or corrupted tiny
+    # estimate on a giant file can't pass the headroom check and stall
+    # the request thread on a multi-second decode whose insert is then
+    # dropped anyway (the decode itself runs BEFORE the _cache_put
+    # actual-size check — bounding the estimate is the only way to
+    # avoid paying it).
+    EST_MIN_DECODE_RATIO = 4.0
     # Escape hatch (and the bench's A/B switch): False disables the
     # delta-sidecar cache patch, reverting folds to invalidate-and-
     # reload for the buckets they touch.
@@ -329,6 +339,15 @@ class MirrorStore:
             "hits": 0, "patches": 0, "decodes": 0, "admissions": 0,
             "point_reads": 0, "evictions": 0,
         }
+        # Newest (version, state dir) any snapshot of THIS store has
+        # resolved — the guard _drop_cached needs to tell "the bucket
+        # is empty at the current state" (drop the resident) from "the
+        # caller is pinned to a PREVIOUS state where the bucket was
+        # empty but the current state repopulated it" (keep it: under
+        # never-evict admission a wrong drop costs a full re-earn plus
+        # a multi-second decode, not just a re-decode).
+        self._latest_version = -1
+        self._latest_state_dir: str | None = None
         self._lock = threading.Lock()
 
     def stats(self) -> dict:
@@ -400,6 +419,10 @@ class MirrorStore:
         )
         if v < 0:
             raise E.NotFoundError(f"no mirror state in {self.mirror_dir}")
+        with self._lock:
+            if v >= self._latest_version:
+                self._latest_version = v
+                self._latest_state_dir = state_dir
         return MirrorSnapshot(self, v, state_dir, n_buckets, summary, totals)
 
     def _bucket_entry(
@@ -415,7 +438,7 @@ class MirrorStore:
         except FileNotFoundError:
             if not _os.path.isdir(state_dir):
                 raise  # state dir pruned mid-request: retryable, not empty
-            self._drop_cached(fname)
+            self._drop_cached(fname, state_dir)
             return {}, {}  # empty buckets have no file
         sig = (st.st_ino, st.st_mtime_ns, st.st_size)
         hit = self._cache_hit(fname, sig, state_dir)
@@ -440,7 +463,20 @@ class MirrorStore:
                 kids.setdefault(parent or "/", []).append((name, row))
         with self._lock:
             self._stats["decodes"] += 1
-        self._cache_put(fname, sig, rows, kids, no_evict=no_evict)
+        if not self._cache_put(fname, sig, rows, kids, no_evict=no_evict) \
+                and no_evict:
+            # Admission passed the ESTIMATE-based headroom pre-check
+            # but the ACTUAL decoded size didn't fit: _note_point_read
+            # already consumed the bucket's earned frequency counter,
+            # so without this restore a still-hot bucket restarts
+            # earning from zero (up to POINT_ADMIT_CEIL more filtered
+            # reads). Restore it clamped AT the actual-size threshold:
+            # the bucket re-admits on its first access after real
+            # headroom appears.
+            with self._lock:
+                self._point_freq[fname] = self._admit_threshold(
+                    self._entry_bytes(rows)
+                )
         return rows, kids
 
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
@@ -455,16 +491,30 @@ class MirrorStore:
             return None
         return (st.st_ino, st.st_mtime_ns, st.st_size)
 
-    def _drop_cached(self, fname: str) -> None:
+    def _drop_cached(self, fname: str, state_dir: str | None = None) -> None:
         """Evict a resident whose bucket FILE is gone at the caller's
         snapshot (the fold emptied the bucket, so no file was written).
         The entry is unreachable there — its signature can never match
         a missing file — but left resident it would occupy cap that
         the never-evict admission rule cannot reclaim, letting
-        emptied-out buckets starve future admissions. An in-flight
-        reader of the PREVIOUS state (where the file may still exist)
-        at worst re-decodes — evicting is always safe."""
+        emptied-out buckets starve future admissions.
+
+        Only honored when the caller's ``state_dir`` is the NEWEST
+        state any snapshot of this store has resolved: a reader pinned
+        to the PREVIOUS state may see the bucket empty while the
+        current state repopulated it, and dropping the valid current
+        resident would cost a full admission re-earn (up to
+        POINT_ADMIT_CEIL point reads) plus a multi-second decode — not
+        the "at worst re-decodes" a plain eviction costs. A skipped
+        drop is a bounded leak: the next current-state reader of the
+        genuinely-empty bucket performs it."""
         with self._lock:
+            if (
+                state_dir is not None
+                and self._latest_state_dir is not None
+                and state_dir != self._latest_state_dir
+            ):
+                return
             old = self._cache.pop(fname, None)
             if old is not None:
                 self._cache_bytes -= old[3]
@@ -517,21 +567,27 @@ class MirrorStore:
         try:
             with open(f) as fh:
                 raw = json.load(fh)
-        except (OSError, ValueError):
-            return None  # pruned or torn mid-read: patching is optional
-        entries = {
-            fname: (
-                tuple(e["prev_sig"]),
-                tuple(e["new_sig"]),
-                # tuple(r) verbatim: JSON round-trips bool/int/None
-                # exactly, and coercing (e.g. bool(None)) would diverge
-                # from what a fresh decode of the same file yields
-                {p: tuple(r) for p, r in e["upserts"].items()},
-                list(e["deletes"]),
-            )
-            for fname, e in raw.get("entries", {}).items()
-        }
-        parsed = (raw.get("prev_state_dirname"), entries)
+            entries = {
+                fname: (
+                    tuple(e["prev_sig"]),
+                    tuple(e["new_sig"]),
+                    # tuple(r) verbatim: JSON round-trips bool/int/None
+                    # exactly, and coercing (e.g. bool(None)) would
+                    # diverge from what a fresh decode of the same
+                    # file yields
+                    {p: tuple(r) for p, r in e["upserts"].items()},
+                    list(e["deletes"]),
+                )
+                for fname, e in raw.get("entries", {}).items()
+            }
+            parsed = (raw.get("prev_state_dirname"), entries)
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
+            # Pruned/torn mid-read, valid-JSON corruption, or a sidecar
+            # written by a newer/older writer with a changed entry
+            # schema: patching is OPTIONAL — treat exactly like an
+            # absent sidecar (callers fall back to reload) instead of
+            # raising in the request path.
+            return None
         with self._lock:
             self._delta_cache[f] = (sig, parsed)
             while len(self._delta_cache) > 4:
@@ -709,13 +765,14 @@ class MirrorStore:
         if sig is None:
             if not _os.path.isdir(state_dir):
                 raise FileNotFoundError(state_dir)  # pruned: retryable
-            self._drop_cached(fname)
+            self._drop_cached(fname, state_dir)
             return None  # empty bucket has no file
         hit = self._cache_hit(fname, sig, state_dir)
         if hit is not None:
             return hit[0].get(path)
         if force_point or sig[2] > self.point_read_bytes:
             est = admit_est if admit_est is not None else sig[2] * 25
+            est = max(est, int(sig[2] * self.EST_MIN_DECODE_RATIO))
             if self._note_point_read(fname, est):
                 return self._bucket_entry(
                     state_dir, fname, no_evict=True
@@ -751,13 +808,14 @@ class MirrorStore:
         if sig is None:
             if not _os.path.isdir(state_dir):
                 raise FileNotFoundError(state_dir)
-            self._drop_cached(fname)
+            self._drop_cached(fname, state_dir)
             return []
         hit = self._cache_hit(fname, sig, state_dir)
         if hit is not None:
             return list(hit[1].get(parent, ()))
         if force_point or sig[2] > self.point_read_bytes:
             est = admit_est if admit_est is not None else sig[2] * 25
+            est = max(est, int(sig[2] * self.EST_MIN_DECODE_RATIO))
             if self._note_point_read(fname, est):
                 return list(
                     self._bucket_entry(
@@ -817,7 +875,7 @@ class MirrorStore:
             if sig is None:
                 if not _os.path.isdir(state_dir):
                     raise FileNotFoundError(state_dir)
-                self._drop_cached(fname)
+                self._drop_cached(fname, state_dir)
                 continue
             hit = self._cache_hit(fname, sig, state_dir)
             if hit is not None:

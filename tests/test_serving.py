@@ -692,6 +692,11 @@ def test_admission_insert_never_evicts_on_underestimate(spark, tmp_path):
     store = serving.MirrorStore(mdir, point_read_bytes=0)
     store.POINT_ADMIT_AFTER = 1  # instance attr: admit on first read
     store.EST_DECODED_BYTES_PER_ROW = 0  # pre-check always sees room
+    # also defeat the r11 parquet-size floor (EST_MIN_DECODE_RATIO):
+    # this test injects exactly the "estimate passed, actual didn't"
+    # failure the floor exists to prevent, to pin the LAST line of
+    # defense (_cache_put's actual-size re-check)
+    store.EST_MIN_DECODE_RATIO = 0
     snap = store.snapshot()
 
     # admit one bucket legitimately, then shrink the cap around it so
@@ -715,6 +720,176 @@ def test_admission_insert_never_evicts_on_underestimate(spark, tmp_path):
     assert snap.lookup("/d3/f07") == (False, 307, "b-3-7")
     assert store.cached_bytes() > resident
     assert len(store._cache) == 2
+
+
+def _mini_mirror(spark, tmp_path, tops=("a", "b"), version=1, per=6):
+    """Fold a tiny catalog: '/' plus ``per`` files under each top dir."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    batch = [row(version, "upsert", "/", True, 0, None)]
+    for t in tops:
+        batch.append(row(version, "upsert", f"/{t}", True, 0, None))
+        for j in range(per):
+            batch.append(row(version, "upsert", f"/{t}/f{j}", False,
+                             10 + j, f"b-{t}-{j}"))
+    mdir = str(tmp_path / "mirror")
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+    return mdir
+
+
+def test_previous_state_reader_cannot_evict_current_resident(
+        spark, tmp_path):
+    """ADVICE r11: _drop_cached fired whenever the CALLER's snapshot
+    had no file for the bucket — including readers pinned to the
+    PREVIOUS state. A bucket empty at v1 but populated (and resident)
+    at v2 had its valid entry evicted by a straggling v1 reader; under
+    never-evict admission the re-earn costs up to POINT_ADMIT_CEIL
+    point reads plus a full decode. The drop must only honor callers
+    at the newest state the store has resolved."""
+    from pufs_spark.catalog import errors as CE
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = _mini_mirror(spark, tmp_path, tops=("a",))  # /b absent at v1
+    store = serving.MirrorStore(mdir)
+    s1 = store.snapshot()
+
+    # fold v2 populates /b; a v2 reader decodes its bucket resident
+    fold2 = [row(2, "upsert", "/b", True, 0, None),
+             row(2, "upsert", "/b/f0", False, 77, "b-b-0")]
+    M._fold_rows(str(tmp_path / "cat"), mdir, fold2, spark=spark)
+    s2 = store.snapshot()
+    assert s2.lookup("/b/f0") == (False, 77, "b-b-0")
+    resident = store.cached_bytes()
+    assert resident > 0
+
+    # the straggling v1 reader sees /b's bucket file absent at ITS
+    # state dir (still on disk: current+previous are kept) — NotFound
+    # is correct, evicting the v2 resident is not
+    with pytest.raises(CE.NotFoundError):
+        s1.lookup("/b/f0")
+    assert store.cached_bytes() == resident
+    assert store.stats()["evictions"] == 0
+    # and the resident still answers warm at v2
+    hits_before = store.stats()["hits"]
+    assert s2.lookup("/b/f0") == (False, 77, "b-b-0")
+    assert store.stats()["hits"] == hits_before + 1
+
+    # the OTHER side must survive too (the r10 emptied-bucket leak):
+    # a fold that genuinely empties the bucket, observed from the
+    # LATEST state, still reclaims the resident
+    fold3 = [row(3, "absent", "/b/f0"), row(3, "absent", "/b")]
+    M._fold_rows(str(tmp_path / "cat"), mdir, fold3, spark=spark)
+    s3 = store.snapshot()
+    with pytest.raises(CE.NotFoundError):
+        s3.lookup("/b/f0")
+    assert store.stats()["evictions"] == 1
+    assert store.cached_bytes() < resident
+
+
+def test_failed_admission_insert_restores_counter(spark, tmp_path):
+    """ADVICE r11: _note_point_read consumed the bucket's earned
+    frequency counter BEFORE the decode/insert; when _cache_put
+    (no_evict) dropped the insert for lack of real headroom, a
+    still-hot bucket restarted earning from zero. The counter must be
+    restored (clamped at the threshold) so the bucket re-admits on its
+    FIRST access after headroom appears."""
+    mdir = _mini_mirror(spark, tmp_path, per=20)
+    store = serving.MirrorStore(mdir, point_read_bytes=0,
+                                max_cache_bytes=10)
+    store.POINT_ADMIT_AFTER = 3
+    store.EST_DECODED_BYTES_PER_ROW = 0  # pre-check est = 0: always room
+    store.EST_MIN_DECODE_RATIO = 0      # defeat the r11 floor too
+    snap = store.snapshot()
+    fname = snap._fname_for("/a/f0")
+
+    # two sub-threshold point reads, then the 3rd admits -> decode ->
+    # actual size exceeds the 10-byte cap -> insert dropped
+    for _ in range(3):
+        assert snap.lookup("/a/f0") == (False, 10, "b-a-0")
+    assert store.cached_bytes() == 0
+    # the earned counter survived the failed insert, clamped at the
+    # ACTUAL-size threshold (was: deleted — re-earn from zero)
+    assert store._point_freq.get(fname, 0) >= store.POINT_ADMIT_AFTER
+
+    # first access after real headroom appears admits immediately
+    store.max_cache_bytes = serving.MirrorStore.DEFAULT_CACHE_BYTES
+    assert snap.lookup("/a/f0") == (False, 10, "b-a-0")
+    assert store.cached_bytes() > 0
+
+
+def test_hopeless_admission_never_attempts_decode(spark, tmp_path):
+    """ADVICE r11: the inline decode ran on the request thread BEFORE
+    the insert decision — a giant bucket under a mis-estimated tiny
+    admit_est paid the multi-second decode even though the insert was
+    then dropped. The parquet-size floor (EST_MIN_DECODE_RATIO x file
+    bytes) bounds the estimate so hopeless buckets fail the headroom
+    pre-check and never decode at all."""
+    mdir = _mini_mirror(spark, tmp_path, per=40)
+    store = serving.MirrorStore(mdir, point_read_bytes=0,
+                                max_cache_bytes=1)
+    store.POINT_ADMIT_AFTER = 1
+    store.POINT_ADMIT_CEIL = 2  # reach the headroom check quickly —
+    # the floor must reject there even once the bucket is "hot enough"
+    store.EST_DECODED_BYTES_PER_ROW = 0  # the "corrupted tiny estimate"
+    snap = store.snapshot()
+
+    for _ in range(5):
+        assert snap.lookup("/a/f3") == (False, 13, "b-a-3")
+    st = store.stats()
+    assert st["decodes"] == 0, "hopeless bucket must not attempt decode"
+    assert st["point_reads"] == 5
+    assert store.cached_bytes() == 0
+
+    # defeating the floor reproduces the old behavior: the decode runs
+    # and its insert is dropped — proving the floor is what prevents it
+    store.EST_MIN_DECODE_RATIO = 0
+    assert snap.lookup("/a/f3") == (False, 13, "b-a-3")
+    assert store.stats()["decodes"] == 1
+    assert store.cached_bytes() == 0
+
+
+def test_corrupt_delta_sidecar_falls_back_to_reload(spark, tmp_path):
+    """ADVICE r11: _load_delta guarded json.load but not the per-entry
+    parse — a sidecar from a newer/older writer (changed entry schema)
+    or valid-JSON corruption raised KeyError/TypeError in the REQUEST
+    path. Any unparseable sidecar must behave like an absent one:
+    residents reload, answers stay correct."""
+    import json as _json
+
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    mdir = _mini_mirror(spark, tmp_path)
+    store = serving.MirrorStore(mdir)
+    snap = store.snapshot()
+    assert snap.lookup("/a/f0") == (False, 10, "b-a-0")  # warm /a
+
+    fold2 = [row(2, "upsert", "/a/f0", False, 999, "b-new")]
+    M._fold_rows(str(tmp_path / "cat"), mdir, fold2, spark=spark)
+    state_dir = M._resolve_state(mdir)[1]
+    sidecar = os.path.join(state_dir, M.DELTA_FILE)
+
+    for corrupt in (
+        # valid JSON, future-writer entry schema (renamed keys)
+        {"prev_state_dirname": None,
+         "entries": {"bucket-0000.parquet": {"sig_before": [1, 2, 3]}}},
+        # valid JSON, right keys, wrong value shapes
+        {"entries": {"bucket-0000.parquet": {
+            "prev_sig": None, "new_sig": None,
+            "upserts": "nope", "deletes": 0}}},
+        # entries not even a dict
+        {"entries": [1, 2, 3]},
+    ):
+        with open(sidecar, "w") as fh:
+            _json.dump(corrupt, fh)
+        store._delta_cache.clear()
+        assert store._load_delta(state_dir) is None
+        # request path: the stale resident falls back to a reload and
+        # still answers the new version correctly
+        s2 = store.snapshot()
+        assert s2.lookup("/a/f0") == (False, 999, "b-new")
 
 
 def test_pre_aggregate_state_falls_back_then_backfills(spark, tmp_path):
