@@ -10,7 +10,9 @@ Usage:
           .option("cas", "/path/to/freezer/chunks")        # CAS dir
           .option("path", "/subtree")                      # optional filter
           .load())
-    # → (path, inode, size, bid, content binary), one partition per file
+    # → (path, inode, size, bid), one partition per file batch —
+    # METADATA ONLY by default; add .option("content", "true") for a
+    # fifth `content binary` column read from the CAS.
 
 The catalog is the parquet file written by
 ``catalog.datastore.export_catalog`` (full path per node precomputed —
@@ -22,9 +24,19 @@ the driver touching a single data byte. With ``.option("pushdown",
 planning (``PufsPushdownReader``, Spark 4.1 Python DS API): point
 lookups and path prefixes prune files before any partition exists, so
 their CAS blocks are never opened (opt-in — see PufsPushdownReader's
-docstring for the two Spark-side sharp edges). Column pruning has no
-Python DS hook yet, so metadata-only scans still skip CAS reads
-explicitly via ``.option("content", "false")``.
+docstring for the two Spark-side sharp edges).
+
+Content is OPT-IN (``.option("content", "true")``), not opt-out: the
+Python DS API hands ``reader()`` the full schema regardless of the
+query's projection (verified on this build — there is no
+column-pruning hook), so a default-on content column would make
+``SELECT path, size`` silently read every CAS block of the tree. At
+100 TB that is the single most expensive wrong default the surface
+could have. This is the reference's lazy-data-fetch contract
+(core/freezer.go:125-183 — metadata commits eagerly, block bytes
+fetch only when a reader asks) applied to the engine's own front
+door: the scan's SCHEMA tells the truth about what it reads, and a
+query that wants bytes says so at load time.
 
 Service surface (S12) mapping — the reference exposes a gRPC API
 (api/api.proto:4-28, served from pufs/cmd/mount.go:114-141); here each
@@ -56,7 +68,8 @@ from pyspark.sql.datasource import (
     StringStartsWith,
 )
 
-SCHEMA = "path string, inode long, size long, bid string, content binary"
+META_SCHEMA = "path string, inode long, size long, bid string"
+SCHEMA = META_SCHEMA + ", content binary"
 
 # Metadata columns a filter can be evaluated on DRIVER-SIDE during
 # partition planning (everything but `content`, which only exists after
@@ -70,14 +83,18 @@ class PufsFilePartition(InputPartition):
 
 
 class PufsDataSource(DataSource):
-    """One row per frozen file under the requested path."""
+    """One row per frozen file under the requested path. Metadata-only
+    by default; ``content=true`` adds the CAS-backed binary column
+    (and is the only way any data byte is read)."""
 
     @classmethod
     def name(cls) -> str:
         return "pufs"
 
     def schema(self) -> str:
-        return SCHEMA
+        if self.options.get("content", "false").lower() == "true":
+            return SCHEMA
+        return META_SCHEMA
 
     def reader(self, schema):
         if self.options.get("pushdown", "false").lower() == "true":
@@ -88,14 +105,21 @@ class PufsDataSource(DataSource):
 class PufsReader(DataSourceReader):
     def __init__(self, options, schema):
         self.catalog = options["catalog"]
-        self.cas = options["cas"]
+        # CAS dir only required when bytes actually come back — a
+        # metadata-only scan over an exported catalog needs no CAS at
+        # all (e.g. auditing a tree you can't or won't fetch).
+        self.cas = options.get("cas")
         self.prefix = options.get("path", "/").rstrip("/") or "/"
-        # The Python DS API hands the reader the full schema (no column
-        # pruning pushdown yet), so metadata-only scans opt out of CAS
-        # reads explicitly with .option("content", "false").
-        self.want_content = options.get("content", "true").lower() != "false" and any(
-            f.name == "content" for f in schema.fields
-        )
+        # The schema is the single source of truth: it carries the
+        # content column exactly when the load said content=true
+        # (PufsDataSource.schema), so the reader opens CAS blocks iff
+        # the scan's schema says bytes come back. A metadata scan
+        # cannot read data even by accident — the column doesn't exist.
+        self.want_content = any(f.name == "content" for f in schema.fields)
+        if self.want_content and not self.cas:
+            raise ValueError(
+                "pufs: content=true requires .option('cas', <chunks dir>)"
+            )
         self.files_per_partition = int(options.get("filesperpartition", 64))
         self._pushed: list = []
 
@@ -151,12 +175,12 @@ class PufsReader(DataSourceReader):
         ] or [PufsFilePartition([])]
 
     def read(self, partition: PufsFilePartition):
-        for path, inode, size, bid in partition.rows:
-            content = None
-            if self.want_content:
+        if self.want_content:
+            for path, inode, size, bid in partition.rows:
                 with open(os.path.join(self.cas, bid), "rb") as f:
-                    content = f.read()
-            yield (path, inode, size, bid, content)
+                    yield (path, inode, size, bid, f.read())
+        else:
+            yield from partition.rows
 
 
 class PufsPushdownReader(PufsReader):
