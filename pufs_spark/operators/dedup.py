@@ -89,6 +89,31 @@ def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFram
     return df.withColumn("shingles", shingle_col(text_col, k))
 
 
+def _spread_for_compute(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Round-robin ``df`` (projected to ``cols``) across the cluster
+    when it arrives in fewer partitions than there are cores.
+
+    Spark sizes scan partitions by BYTES (maxPartitionBytes=128MB), but
+    shingling is compute-dense: ~300 chars of text cost ~300 substring+
+    xxhash64 evaluations, so a 15MB documents file that fits one input
+    split runs the whole signature build on ONE core of 32 (measured:
+    the r10 sf1.0 D1 wall was 21.5s with the 50k-doc corpus arriving as
+    2 partitions — the explode alone took 17.4s at ~1.2us/shingle,
+    which is codegen speed on a single thread, not a slow plan). The
+    repartition ships only the projected (id, text) columns — trivial
+    bytes relative to the compute it unlocks.
+
+    Scale behavior: a real 100TB corpus arrives in >>cores partitions
+    and this is a no-op (the gate never reduces partitioning); the
+    repartition fires exactly in the small-bytes/high-compute regime
+    where it is free."""
+    sc = df.sparkSession.sparkContext
+    slim = df.select(*cols)
+    if slim.rdd.getNumPartitions() < sc.defaultParallelism:
+        return slim.repartition(sc.defaultParallelism)
+    return slim
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -127,7 +152,7 @@ def minhash_signatures(
             f" i -> pmod(xxhash64(substring({text_col}, i, {k})), {MERSENNE31}))"
         )
     )
-    hashed = df.select(
+    hashed = _spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.explode_outer(hashed_shingles).alias("_x")
     )
     aggs = [
@@ -205,20 +230,25 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard for given (a, b) pairs. ``right`` resolves
     the ``b`` side from a different corpus (cross-corpus dedup);
-    default is the self-join case."""
-    sh = with_shingles(df, text_col, k).select(
-        F.col(id_col), F.col("shingles")
-    )
-    sh_b = (
-        sh
-        if right is None
-        else with_shingles(right, text_col, k).select(
-            F.col(id_col), F.col("shingles")
-        )
+    default is the self-join case.
+
+    The shingle arrays are computed AFTER the pair join, from the text
+    columns the join carries: Catalyst does not delay expensive
+    projections across joins, so computing shingles on the corpus
+    frames first materialized the full O(len) distinct-shingle array
+    for EVERY document on BOTH sides — ~19 s of the r10 sf1.0 D1 wall
+    — when only the pairs' survivors (typically a few thousand rows)
+    need them. Joining raw text (~300 B/doc) and shingling the joined
+    rows makes the shingle cost O(pairs), not O(corpus)."""
+    ta = df.select(F.col(id_col).alias("a"), F.col(text_col).alias("_text_a"))
+    tb = (df if right is None else right).select(
+        F.col(id_col).alias("b"), F.col(text_col).alias("_text_b")
     )
     return (
-        pairs.join(sh.withColumnRenamed(id_col, "a").withColumnRenamed("shingles", "sh_a"), "a")
-        .join(sh_b.withColumnRenamed(id_col, "b").withColumnRenamed("shingles", "sh_b"), "b")
+        pairs.join(ta, "a")
+        .join(tb, "b")
+        .withColumn("sh_a", shingle_col("_text_a", k))
+        .withColumn("sh_b", shingle_col("_text_b", k))
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
