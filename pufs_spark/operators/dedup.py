@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from pufs_spark.operators.text import normalize_text
+from pufs_spark.operators.util import spread_for_compute as _spread_for_compute
 
 MERSENNE31 = (1 << 31) - 1
 
@@ -87,31 +88,6 @@ def shingle_col(text_col: str = "text", k: int = 5):
 
 def with_shingles(df: DataFrame, text_col: str = "text", k: int = 5) -> DataFrame:
     return df.withColumn("shingles", shingle_col(text_col, k))
-
-
-def _spread_for_compute(df: DataFrame, cols: list[str]) -> DataFrame:
-    """Round-robin ``df`` (projected to ``cols``) across the cluster
-    when it arrives in fewer partitions than there are cores.
-
-    Spark sizes scan partitions by BYTES (maxPartitionBytes=128MB), but
-    shingling is compute-dense: ~300 chars of text cost ~300 substring+
-    xxhash64 evaluations, so a 15MB documents file that fits one input
-    split runs the whole signature build on ONE core of 32 (measured:
-    the r10 sf1.0 D1 wall was 21.5s with the 50k-doc corpus arriving as
-    2 partitions — the explode alone took 17.4s at ~1.2us/shingle,
-    which is codegen speed on a single thread, not a slow plan). The
-    repartition ships only the projected (id, text) columns — trivial
-    bytes relative to the compute it unlocks.
-
-    Scale behavior: a real 100TB corpus arrives in >>cores partitions
-    and this is a no-op (the gate never reduces partitioning); the
-    repartition fires exactly in the small-bytes/high-compute regime
-    where it is free."""
-    sc = df.sparkSession.sparkContext
-    slim = df.select(*cols)
-    if slim.rdd.getNumPartitions() < sc.defaultParallelism:
-        return slim.repartition(sc.defaultParallelism)
-    return slim
 
 
 def minhash_signatures(

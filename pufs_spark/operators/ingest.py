@@ -431,6 +431,25 @@ class MaintenanceResult:
     drift_threshold: float | None = None
     drift_window: list | None = None
     ann_ring: list | None = None
+    # threshold / calibration-plateau ratio (r10 verdict What's-wrong
+    # #3): the pre-shift soak lineage sat at 4-25x (threshold 0.1258
+    # over a 0.005-0.03 plateau) but the POST-retrain lineage
+    # recalibrated to only 1.5x (0.3562 over ~0.24) — a second, milder
+    # drift could sit under that threshold indefinitely. The ratio is
+    # recorded on every run with enough calibration rows, and a ratio
+    # below DRIFT_MARGIN_RATIO_WARN also emits a UserWarning +
+    # drift_margin_warning so the operator sees the thin margin in the
+    # maintenance event, not in a post-mortem.
+    drift_plateau: float | None = None
+    drift_margin_ratio: float | None = None
+    drift_margin_warning: str | None = None
+
+
+#: warn when the drift threshold is under this multiple of the
+#: calibration plateau — a drift smaller than (ratio x plateau) is
+#: invisible to the retrain trigger, and below ~2x that blind spot
+#: covers realistic second drifts (measured in the r10 soak).
+DRIFT_MARGIN_RATIO_WARN = 2.0
 
 
 def run_maintenance(
@@ -536,6 +555,27 @@ def run_maintenance(
             max(r["mean_drop"] for r in rows[:calibrate_on]) + drift_margin
         )
     res.drift_threshold = threshold
+    # Margin observability: how far the threshold sits above the
+    # lineage's own calibration plateau. Computed for explicit
+    # thresholds too — an operator-pinned threshold can be just as
+    # thin as a recalibrated one.
+    if len(rows) >= calibrate_on:
+        plateau = max(r["mean_drop"] for r in rows[:calibrate_on])
+        res.drift_plateau = plateau
+        if plateau > 0:
+            ratio = threshold / plateau
+            res.drift_margin_ratio = ratio
+            if ratio < DRIFT_MARGIN_RATIO_WARN:
+                res.drift_margin_warning = (
+                    f"drift threshold {threshold:.4f} is only "
+                    f"{ratio:.2f}x the calibration plateau "
+                    f"{plateau:.4f} (< {DRIFT_MARGIN_RATIO_WARN}x): a "
+                    "drift milder than the threshold/plateau gap will "
+                    "never trigger a retrain on this lineage"
+                )
+                import warnings
+
+                warnings.warn(res.drift_margin_warning, stacklevel=2)
     window = rows[-drift_patience:]
     res.drift_window = [(r["batch_id"], r["mean_drop"]) for r in window]
     if len(window) < need or not all(

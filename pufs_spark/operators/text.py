@@ -48,7 +48,15 @@ def token_count_bpe(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality-scoring signals: length, alpha/space/punct ratios,
-    mean token length, stopword ratio (English list)."""
+    mean token length, stopword ratio (English list).
+
+    Spread before the expression pipeline: five regexp passes + two
+    array folds per row are compute-dense, and a small-bytes corpus
+    otherwise runs them on one core (see util.spread_for_compute —
+    sf1.0 T1 measured 4.7s on 2 of 32 cores)."""
+    from pufs_spark.operators.util import spread_for_compute
+
+    df = spread_for_compute(df)
     toks = tokens_col(text_col)
     length = F.length(F.col(text_col))
     nz = F.when(length == 0, F.lit(1)).otherwise(length)  # div-by-zero guard
@@ -91,7 +99,15 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID. Argmax over per-language hit counts,
     ties broken by language code ascending — the same deterministic rule
-    the oracle implements."""
+    the oracle implements.
+
+    Spread first: one array_contains filter PER LANGUAGE per row makes
+    this the most compute-dense expression pipeline in text.py (sf1.0
+    T2 measured 6.6s on 2 of 32 cores — the suite's slowest query
+    after the r11 D1 fix)."""
+    from pufs_spark.operators.util import spread_for_compute
+
+    df = spread_for_compute(df)
     toks = F.transform(tokens_col(text_col), F.lower)
 
     def hits(words):

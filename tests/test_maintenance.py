@@ -216,3 +216,70 @@ def test_bloom_arm_rebuilds_saturated_sidecar(spark, tmp_path_factory):
         assert not res2.bloom_rebuilt
     finally:
         _drop(spark, "mt_nd", "mt_nd_meta")
+
+
+def test_thin_drift_margin_is_recorded_and_warned(
+    spark, emb, tmp_path_factory
+):
+    """r10 verdict What's-wrong #3: the post-retrain soak lineage
+    recalibrated to a threshold only 1.5x its plateau — a second,
+    milder drift would never trigger. Every maintenance run with
+    enough calibration rows must record threshold/plateau, and a ratio
+    under DRIFT_MARGIN_RATIO_WARN must surface as a UserWarning plus a
+    drift_margin_warning field in the event. Drift rows are synthetic
+    (controlled mean_sim) so the ratio is exact, not corpus-dependent."""
+    wh = tmp_path_factory.mktemp("maint_margin")
+    _drop(spark, "mt_mg", "mt_mg_centroids", "mt_mg_meta", "mt_mg_drift")
+    seed = emb.where(F.col("doc_id") % 4 == 0).select("doc_id", LO())
+    similarity.build_ann_index(
+        seed, "mt_mg", str(wh / "idx"), n_centroids=8,
+        id_col="doc_id", buckets=8,
+    )
+    try:
+        base = {
+            r["batch_id"]: r["mean_sim"]
+            for r in spark.table("mt_mg_drift").collect()
+        }["__build__"]
+        # plateau drop 0.10 on the calibration rows; later rows a bit
+        # higher but under every threshold used below
+        for bid, drop in (("b0", 0.10), ("b1", 0.10),
+                          ("b2", 0.12), ("b3", 0.12)):
+            similarity._append_drift_row(
+                spark, "mt_mg", bid,
+                {"n": 10, "mean_sim": base - drop, "p10_sim": base - drop},
+            )
+
+        # thin explicit threshold: 0.15 over a 0.10 plateau = 1.5x
+        with pytest.warns(UserWarning, match=r"only 1\.50x"):
+            res = ingest.run_maintenance(
+                spark, ann_table="mt_mg", corpus_df=seed, id_col="doc_id",
+                drift_threshold=0.15, calibrate_on=2, drift_patience=2,
+            )
+        assert not res.ann_retrained
+        assert res.drift_plateau == pytest.approx(0.10)
+        assert res.drift_margin_ratio == pytest.approx(1.5)
+        assert "never trigger a retrain" in res.drift_margin_warning
+
+        # auto-calibrated threshold = plateau + margin: 0.15 -> same
+        # thin ratio, same warning (the r10 soak's exact shape)
+        with pytest.warns(UserWarning, match="calibration plateau"):
+            res_auto = ingest.run_maintenance(
+                spark, ann_table="mt_mg", corpus_df=seed, id_col="doc_id",
+                calibrate_on=2, drift_patience=2, drift_margin=0.05,
+            )
+        assert res_auto.drift_margin_ratio == pytest.approx(1.5)
+
+        # comfortable margin: no warning, ratio still recorded
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            res_ok = ingest.run_maintenance(
+                spark, ann_table="mt_mg", corpus_df=seed, id_col="doc_id",
+                drift_threshold=0.5, calibrate_on=2, drift_patience=2,
+            )
+        assert res_ok.drift_margin_ratio == pytest.approx(5.0)
+        assert res_ok.drift_margin_warning is None
+    finally:
+        _drop(spark, "mt_mg", "mt_mg_centroids", "mt_mg_meta",
+              "mt_mg_drift")

@@ -311,6 +311,7 @@ def main() -> None:
                 **summarize(samples, [], skew_secs),
                 "point_reads_mode": st.snapshot().point_reads,
                 "cached_bytes": st.cached_bytes(),
+                "cache_stats": st.stats(),
             }
             srv.shutdown()
         pq_qps = out["skew"]["point_reads_only"]["qps"]
@@ -363,8 +364,47 @@ def main() -> None:
             out["skew"][f"hot_folds_{mode}"] = {
                 **summarize(samples, timeline, skew_secs),
                 "cached_bytes": st.cached_bytes(),
+                # patches vs decodes is the fold-cadence-vs-patch-rate
+                # number the r10 verdict asked for: a healthy patched
+                # phase shows patches ~ folds x hot-buckets and decodes
+                # near the warmup count; decodes growing with folds
+                # means residents are falling back to reload
+                "cache_stats": st.stats(),
             }
             srv.shutdown()
+
+        # writer-ISOLATED single-process serving (r10 verdict task:
+        # the co-located hot_folds rows above are confounded by the
+        # writer's fold holding the bench process's GIL — driver-side
+        # parquet decode/rewrite of every touched bucket). A 1-process
+        # fleet is exactly "one serving process without the writer's
+        # GIL": same store code, same patched cache, writer + clients
+        # stay in the bench process. Compare against hot_folds_patch
+        # (co-located) and skew.admission (quiescent ceiling).
+        if os.environ.get("BENCH_HOT_ISOLATED", "1") == "1":
+            fleet, fport = serving.serve_mirror_fleet(mdir, n_procs=1)
+            try:
+                samples, timeline = run_phase(
+                    fport, zpaths, dirs, skew_secs, hot_writer,
+                    p_getattr=1.0,
+                )
+                row = {
+                    **summarize(samples, timeline, skew_secs),
+                }
+                try:
+                    c = serving.PufsClient(
+                        "127.0.0.1", fport, timeout=TIMEOUT_S
+                    )
+                    row["cache_stats"] = {
+                        k: v for k, v in c.call(op="cache_stats").items()
+                        if k not in ("errorMsg", "mirrorVersion")
+                    }
+                    c.close()
+                except (OSError, TimeoutError):
+                    row["cache_stats"] = None
+                out["skew"]["hot_folds_isolated1"] = row
+            finally:
+                fleet.stop()
 
         # the PRODUCTION shape of the same workload: a 4-process fleet
         # serves (each worker patches its own cache independently)

@@ -170,6 +170,15 @@ def main() -> None:
                     [(b, round(d, 4)) for b, d in mr.drift_window]
                     if mr.drift_window else None
                 ),
+                "drift_plateau": (
+                    round(mr.drift_plateau, 4)
+                    if mr.drift_plateau is not None else None
+                ),
+                "drift_margin_ratio": (
+                    round(mr.drift_margin_ratio, 2)
+                    if mr.drift_margin_ratio is not None else None
+                ),
+                "drift_margin_warning": mr.drift_margin_warning,
             })
             print(f"maintenance after batch {i}: {maint[-1]}", flush=True)
     drift = None
