@@ -83,22 +83,70 @@ def _manifest_line():
 
 def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
     """Dir bids for a catalog whose DIR METADATA fits one task: the
-    file lines (the catalog-sized part) are aggregated per-dir by ONE
-    distributed groupBy, then dirs and their line arrays flow — via a
-    tagged union, no join, no broadcast — into a single-partition
-    mapInPandas that hashes the dir DAG bottom-up in memory. One
-    shuffle + one Arrow-batched task; the whole freeze is one job.
+    LEAF tier (dirs with no dir children — in a real FS tree nearly
+    all dirs, holding nearly all file lines) is hashed DISTRIBUTED by
+    a pure sha2-over-sorted-lines expression; the interior DAG — one
+    branching factor smaller per level — flows, together with the
+    leaf bids as pre-memoized rows and the interior dirs' own file
+    lines, into a single-partition mapInPandas that finishes the
+    bottom-up hash in memory. Two shuffles + one Arrow-batched task.
+
+    The leaf tier was the serial bottleneck: at the sf1.0 tile
+    (1.65M nodes, 150k leaf dirs over 1.5M file lines) the previous
+    all-in-one-task plan spent ~7 s single-threaded in the Python DAG
+    loop; hashing the leaves JVM-side cuts the task's input to the
+    interior dir count and makes the catalog-sized work whole-stage
+    codegen.
 
     Matches encode_dir_manifest exactly: lines sorted codepoint-wise
-    (Python ``sort`` == Spark ``array_sort`` on strings), null fields
-    skipped (``concat_ws`` semantics), empty dirs hash the empty
-    manifest."""
-    file_lines = (
+    (Python ``sort`` == Spark ``array_sort`` == UTF8String binary
+    order on strings), null fields skipped (``concat_ws`` semantics),
+    empty dirs hash the empty manifest (sha256(""))."""
+    # Both frames feed MULTIPLE union branches below, and Spark
+    # re-executes a subplan per branch (no cross-branch CSE): without
+    # the lazy localCheckpoints the collect_list aggregation ran twice
+    # and the interior-ids distinct three times (~4.5 s of the 7 s
+    # sf1.0 wall). Checkpointed, each materializes once on first use.
+    # Sizes are bounded by the single-task precondition (catalog fits
+    # one task), so executor-resident blocks are safe here.
+    file_lines_all = (
         leveled.where(~F.col("is_dir"))
         .withColumn("_line", _manifest_line())
         .groupBy(F.col("parent").alias("inode"))
         .agg(F.collect_list("_line").alias("_flines"))
+        .localCheckpoint(eager=False)
+    )
+    d_all = leveled.where(F.col("is_dir"))
+    # dirs having at least one DIR child (root's self-loop excluded)
+    interior_ids = (
+        d_all.where(F.col("parent") != F.col("inode"))
+        .select(F.col("parent").alias("inode"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    lines = F.coalesce(F.col("_flines"), F.array().cast("array<string>"))
+    manifest = F.when(F.size(lines) == 0, F.lit("")).otherwise(
+        F.concat(F.array_join(F.array_sort(lines), "\n"), F.lit("\n"))
+    )
+    computed = F.sha2(manifest, 256)
+    leaf_bid = F.coalesce(F.col("bid"), computed) if memoized else computed
+    leaf_dirs = (
+        d_all.join(interior_ids, "inode", "left_anti")
+        .join(file_lines_all, "inode", "left")
         .select(
+            "inode",
+            F.col("parent").cast("long").alias("parent"),
+            "name",
+            F.col("size").cast("long").alias("size"),
+            "depth",
+            leaf_bid.alias("bid"),  # enters the task pre-memoized
+            F.lit(None).cast("array<string>").alias("_flines"),
+        )
+    )
+
+    file_lines = (
+        file_lines_all.join(interior_ids, "inode", "left_semi").select(
             "inode",
             F.lit(None).cast("long").alias("parent"),
             F.lit(None).cast("string").alias("name"),
@@ -108,14 +156,17 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
             "_flines",
         )
     )
-    dirs = leveled.where(F.col("is_dir")).select(
-        "inode",
-        F.col("parent").cast("long").alias("parent"),
-        "name",
-        F.col("size").cast("long").alias("size"),
-        "depth",
-        "bid" if memoized else F.lit(None).cast("string").alias("bid"),
-        F.lit(None).cast("array<string>").alias("_flines"),
+    dirs = (
+        d_all.join(interior_ids, "inode", "left_semi").select(
+            "inode",
+            F.col("parent").cast("long").alias("parent"),
+            "name",
+            F.col("size").cast("long").alias("size"),
+            "depth",
+            "bid" if memoized else F.lit(None).cast("string").alias("bid"),
+            F.lit(None).cast("array<string>").alias("_flines"),
+        )
+        .unionByName(leaf_dirs)
     )
 
     def hash_part(pdfs):
@@ -166,7 +217,15 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
 
     return (
         dirs.unionByName(file_lines)
-        .coalesce(1)
+        # repartition(1), NOT coalesce(1): coalesce is not a shuffle
+        # boundary, so it collapsed the whole upstream reduce side —
+        # the collect_list aggregation, the leaf joins, and the sha2
+        # leaf hashing — into the same single task (measured: 9.2 s at
+        # sf1.0 with the leaf tier "distributed" but coalesced serial).
+        # A repartition exchange keeps everything above it parallel and
+        # single-tasks only the interior-DAG hash below, on the
+        # dir-count-sized rows that survive.
+        .repartition(1)
         .mapInPandas(hash_part, "inode long, bid string")
     )
 
