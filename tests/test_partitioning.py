@@ -47,3 +47,36 @@ def test_sorted_layout_pushes_range_filter(spark, tmp_path):
     plan = _formatted(back)
     assert "GreaterThan(value,99" in plan  # row-group-stat pushdown
     assert back.count() == ev.where(F.col("value") > 99.0).count()
+
+
+def test_spread_for_compute_gate(spark):
+    """r11: compute-dense operators spread small-bytes inputs across
+    the cluster (Spark sizes scan splits by BYTES, so a 15MB documents
+    file ran the sf1.0 MinHash build on 2 of 32 cores). Contract: a
+    below-parallelism input is repartitioned up to defaultParallelism
+    with identical rows; an at-or-above-parallelism input is returned
+    UNTOUCHED (never reduce a real corpus's partitioning); a streaming
+    plan passes through without a .rdd call (which would raise)."""
+    from pufs_spark.operators.util import spread_for_compute
+
+    par = spark.sparkContext.defaultParallelism
+
+    narrow = spark.range(100).coalesce(1).withColumn(
+        "text", F.concat(F.lit("doc"), F.col("id"))
+    )
+    assert narrow.rdd.getNumPartitions() < par
+    out = spread_for_compute(narrow, ["id", "text"])
+    assert out.rdd.getNumPartitions() == par
+    assert out.columns == ["id", "text"]
+    assert sorted(r["id"] for r in out.collect()) == list(range(100))
+
+    wide = spark.range(1000).repartition(par + 3)
+    out2 = spread_for_compute(wide)
+    assert out2.rdd.getNumPartitions() == par + 3  # untouched
+    assert out2 is wide
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    out3 = spread_for_compute(stream, ["value"])
+    assert out3.isStreaming and out3.columns == ["value"]
