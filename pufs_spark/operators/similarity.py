@@ -179,7 +179,13 @@ def lsh_topk(
     buckets = _bucket_udf(tables, dim)
 
     def bucketed(df, id_alias):
-        out = df.select(
+        # spread first: the Arrow-batched hyperplane matmul is
+        # compute-dense and embeddings tables are small-bytes (a 50k x
+        # 64-float corpus is one 128MB scan split — the whole bucketing
+        # ran on 1-2 of 32 cores at sf1.0; see util.spread_for_compute)
+        from pufs_spark.operators.util import spread_for_compute
+
+        out = spread_for_compute(df, [id_col, vec_col]).select(
             F.col(id_col).alias(id_alias),
             F.col(vec_col).alias(f"_{id_alias}_v"),
             F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
@@ -719,7 +725,9 @@ def embedding_near_dup_pairs_lsh(
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
     ]
     buckets = _bucket_udf(tables, dim)
-    banded = df.select(
+    from pufs_spark.operators.util import spread_for_compute
+
+    banded = spread_for_compute(df, [id_col, vec_col]).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
