@@ -1203,12 +1203,18 @@ class MirrorService:
             # Mirror-only observability op (the store-backed service
             # has no cache): the hit/patch/decode/point-read mix tells
             # an operator whether the cache is working, thrashing, or
-            # being outpaced by folds — per process; a fleet client
-            # polls each worker (connections stick by 4-tuple hash).
+            # being outpaced by folds — per process. ``pid`` identifies
+            # WHICH fleet worker answered: connections stick to one
+            # worker by SO_REUSEPORT 4-tuple hash, so a fleet client
+            # polls fresh connections and de-duplicates by pid until it
+            # has seen every worker (bench_serving does exactly this).
+            import os as _os
+
             return {
                 **self.store.stats(),
                 "cachedBytes": self.store.cached_bytes(),
                 "capBytes": self.store.max_cache_bytes,
+                "pid": _os.getpid(),
                 "errorMsg": "",
                 "mirrorVersion": v,
             }

@@ -1528,3 +1528,8 @@ def test_cache_stats_observability(spark, tmp_path):
     assert resp["patches"] == 1 and resp["capBytes"] == store.max_cache_bytes
     assert resp["cachedBytes"] == store.cached_bytes() > 0
     assert resp["mirrorVersion"] == 2
+    # pid identifies WHICH fleet worker answered (r11: fleet clients
+    # poll fresh connections and de-dup by pid for per-worker stats)
+    import os as _os
+
+    assert resp["pid"] == _os.getpid()

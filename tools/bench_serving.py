@@ -111,6 +111,32 @@ def client_worker(port: int, seed: int, seconds: float, paths: list[str],
         q.put(out)
 
 
+def _fleet_cache_stats(port: int, n_workers: int,
+                       max_tries: int = 64) -> dict:
+    """Per-worker cache counters from a SO_REUSEPORT fleet: each fresh
+    connection lands on one worker by 4-tuple hash, so open
+    connections until ``n_workers`` distinct pids answered the
+    cache_stats op (or the try budget runs out — the dict then simply
+    carries the workers that were reachable)."""
+    seen: dict = {}
+    for _ in range(max_tries):
+        if len(seen) >= n_workers:
+            break
+        try:
+            c = serving.PufsClient("127.0.0.1", port, timeout=TIMEOUT_S)
+            resp = c.call(op="cache_stats")
+            c.close()
+        except (OSError, TimeoutError):
+            continue
+        pid = resp.get("pid")
+        if pid is not None and pid not in seen:
+            seen[pid] = {
+                k: v for k, v in resp.items()
+                if k not in ("errorMsg", "mirrorVersion", "pid")
+            }
+    return {str(p): s for p, s in seen.items()}
+
+
 def run_phase(port: int, paths, dirs, seconds: float,
               writer=None, n_clients: int | None = None,
               p_getattr: float = 0.8) -> tuple[list, list]:
@@ -421,6 +447,7 @@ def main() -> None:
                 out["skew"]["hot_folds_fleet4"] = {
                     "clients": 16,
                     **summarize(samples, timeline, skew_secs),
+                    "cache_stats_by_worker": _fleet_cache_stats(fport, 4),
                 }
             finally:
                 fleet.stop()
