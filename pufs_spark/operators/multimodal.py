@@ -78,7 +78,16 @@ def _decode_stub(content: bytes, kind: str) -> np.ndarray:
 
 def extract_features(media: DataFrame, kind: str = "image") -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, small feature
-    rows out. The expensive decode happens executor-side per batch."""
+    rows out. The expensive decode happens executor-side per batch.
+
+    Spread first: decode is compute-dense per byte (a real codec far
+    more so than the stub), and media blobs small enough to fit one
+    byte-sized scan split would otherwise decode on 1-2 cores — the
+    r11 pattern (util.spread_for_compute; no-op on a real many-split
+    media lake)."""
+    from pufs_spark.operators.util import spread_for_compute
+
+    media = spread_for_compute(media)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
