@@ -558,8 +558,17 @@ def run_maintenance(
     # Margin observability: how far the threshold sits above the
     # lineage's own calibration plateau. Computed for explicit
     # thresholds too — an operator-pinned threshold can be just as
-    # thin as a recalibrated one.
-    if len(rows) >= calibrate_on:
+    # thin as a recalibrated one. Guarded by the same DRIFT_KEEP_FIRST
+    # retention bound as auto-calibration (ADVICE r11): compaction
+    # preserves exactly that many oldest rows, so a wider window would
+    # silently slide onto post-drift batches once the log wraps and
+    # misreport the plateau (spurious warning, or worse, a masked thin
+    # margin). Auto-calibration already raised above; this only gates
+    # the explicit-threshold path, where plateau is best-effort.
+    if (
+        len(rows) >= calibrate_on
+        and calibrate_on <= similarity.DRIFT_KEEP_FIRST
+    ):
         plateau = max(r["mean_drop"] for r in rows[:calibrate_on])
         res.drift_plateau = plateau
         if plateau > 0:

@@ -84,10 +84,18 @@ def extract_features(media: DataFrame, kind: str = "image") -> DataFrame:
     more so than the stub), and media blobs small enough to fit one
     byte-sized scan split would otherwise decode on 1-2 cores — the
     r11 pattern (util.spread_for_compute; no-op on a real many-split
-    media lake)."""
+    media lake). Projected to the two consumed columns and
+    hash-partitioned on media_id (ADVICE r11): a round-robin
+    repartition would locally sort every row on ALL columns — the
+    binary payloads included — before the exchange
+    (sortBeforeRepartition), costing IO/CPU proportional to total
+    media bytes; hashing a cheap near-unique key ships each blob once
+    with no sort."""
     from pufs_spark.operators.util import spread_for_compute
 
-    media = spread_for_compute(media)
+    media = spread_for_compute(
+        media, cols=["media_id", "content"], by="media_id"
+    )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -5,7 +5,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def spread_for_compute(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def spread_for_compute(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    by: str | None = None,
+) -> DataFrame:
     """Round-robin ``df`` (optionally projected to ``cols``) across the
     cluster when it arrives in fewer partitions than there are cores.
 
@@ -24,7 +28,19 @@ def spread_for_compute(df: DataFrame, cols: list[str] | None = None) -> DataFram
     and this is a no-op (the gate never REDUCES partitioning); the
     repartition fires exactly in the small-bytes/high-compute regime
     where its shuffle is free. Row-transform semantics are unaffected —
-    only placement changes."""
+    only placement changes.
+
+    ``by``: hash-repartition on this column instead of round-robin.
+    Round-robin (``repartition(n)``) is the right default for narrow
+    rows — it balances perfectly — but Spark's
+    ``sortBeforeRepartition`` (on by default, for deterministic task
+    retries) LOCALLY SORTS every row on ALL columns first, so a frame
+    carrying wide binary payloads (media blobs) pays a comparison sort
+    over the payload bytes before the exchange (ADVICE r11). Hash
+    partitioning on a cheap distinct-ish key skips that sort entirely
+    (it is already deterministic per row) and still ships each row
+    once; balance is multinomial rather than exact — fine when the key
+    is near-unique."""
     slim = df.select(*cols) if cols else df
     if df.isStreaming:
         # no .rdd on streaming plans; micro-batch parallelism is the
@@ -32,5 +48,7 @@ def spread_for_compute(df: DataFrame, cols: list[str] | None = None) -> DataFram
         return slim
     sc = df.sparkSession.sparkContext
     if slim.rdd.getNumPartitions() < sc.defaultParallelism:
+        if by is not None:
+            return slim.repartition(sc.defaultParallelism, by)
         return slim.repartition(sc.defaultParallelism)
     return slim

@@ -326,6 +326,18 @@ class MirrorStore:
         # buckets), a few hundred KB worst case.
         self._point_freq: dict[str, int] = {}
         self._point_accesses = 0
+        # bucket fname → (parquet bytes, actual decoded bytes) from the
+        # LAST full decode (recorded by _cache_put, even for dropped
+        # no_evict inserts). The admission estimate prefers this —
+        # scaled by the current/measured parquet-size ratio — over the
+        # fold-maintained per-row estimate and its EST_MIN_DECODE_RATIO
+        # floor: the floor protects a NEVER-decoded bucket from a
+        # hopeless multi-second decode, but for a bucket whose real
+        # ratio is below the floor (high-entropy path names compress
+        # poorly) the inflated estimate would permanently fail the
+        # headroom pre-check even though the bucket fits (ADVICE r11).
+        # Bounded like _point_freq by the 4096-bucket ceiling.
+        self._measured_bytes: dict[str, tuple[int, int]] = {}
         # Monotonic op counters (read via ``stats`` / the service's
         # cache_stats op): hits = warm-dict answers, patches = stale
         # residents moved forward by a fold's delta sidecar, decodes =
@@ -388,6 +400,11 @@ class MirrorStore:
         re-earns admission once headroom appears."""
         est = self._entry_bytes(rows)
         with self._lock:
+            # Every full decode measures the bucket's true decoded
+            # footprint — remember it (with the parquet size it was
+            # measured at) so future admission estimates can correct
+            # the EST_MIN_DECODE_RATIO floor downward (ADVICE r11).
+            self._measured_bytes[fname] = (sig[2], est)
             old = self._cache.pop(fname, None)
             if old is not None:
                 self._cache_bytes -= old[3]
@@ -427,6 +444,7 @@ class MirrorStore:
 
     def _bucket_entry(
         self, state_dir: str, fname: str, no_evict: bool = False,
+        admission_est: int | None = None,
     ) -> tuple[dict, dict]:
         import os as _os
 
@@ -463,20 +481,32 @@ class MirrorStore:
                 kids.setdefault(parent or "/", []).append((name, row))
         with self._lock:
             self._stats["decodes"] += 1
-        if not self._cache_put(fname, sig, rows, kids, no_evict=no_evict) \
-                and no_evict:
-            # Admission passed the ESTIMATE-based headroom pre-check
-            # but the ACTUAL decoded size didn't fit: _note_point_read
-            # already consumed the bucket's earned frequency counter,
-            # so without this restore a still-hot bucket restarts
-            # earning from zero (up to POINT_ADMIT_CEIL more filtered
-            # reads). Restore it clamped AT the actual-size threshold:
-            # the bucket re-admits on its first access after real
-            # headroom appears.
-            with self._lock:
-                self._point_freq[fname] = self._admit_threshold(
-                    self._entry_bytes(rows)
-                )
+        inserted = self._cache_put(fname, sig, rows, kids, no_evict=no_evict)
+        if no_evict:
+            if inserted:
+                # The admission is only real once the insert landed
+                # (ADVICE r11: counting it in _note_point_read let a
+                # dropped no_evict put skew the stats).
+                with self._lock:
+                    self._stats["admissions"] += 1
+            else:
+                # Admission passed the ESTIMATE-based headroom
+                # pre-check but the ACTUAL decoded size didn't fit:
+                # _note_point_read already consumed the bucket's earned
+                # frequency counter, so without this restore a
+                # still-hot bucket restarts earning from zero (up to
+                # POINT_ADMIT_CEIL more filtered reads). Restore it
+                # clamped at the LARGER of the actual-size threshold
+                # and the admission-time estimate's threshold — the
+                # next access recomputes `need` from whichever estimate
+                # it resolves (the decode just memoized the actual, but
+                # a raced fold can change it), and re-admit-on-first-
+                # access only holds if the restored counter covers it.
+                need = self._admit_threshold(self._entry_bytes(rows))
+                if admission_est is not None:
+                    need = max(need, self._admit_threshold(admission_est))
+                with self._lock:
+                    self._point_freq[fname] = need
         return rows, kids
 
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
@@ -715,6 +745,25 @@ class MirrorStore:
             min(self.POINT_ADMIT_CEIL, int(breakeven)),
         )
 
+    def _admission_est(self, fname: str, sig, admit_est: int | None) -> int:
+        """The decoded-size estimate admission checks against headroom.
+
+        Preference order (ADVICE r11): (1) the bucket's own measured
+        decoded footprint from its last full decode, scaled by the
+        current/measured parquet-size ratio — self-correcting in both
+        directions, so a bucket whose real decode ratio sits below the
+        EST_MIN_DECODE_RATIO floor is no longer permanently barred from
+        a cache it fits; (2) the fold-maintained per-row estimate
+        (``admit_est``) or, for legacy states, parquet size × 25 —
+        both floored at parquet size × EST_MIN_DECODE_RATIO so a stale
+        or corrupted tiny estimate on a never-measured giant bucket
+        can't stall the request thread on a hopeless decode."""
+        m = self._measured_bytes.get(fname)
+        if m is not None and m[0] > 0:
+            return max(1, int(m[1] * sig[2] / m[0]))
+        est = admit_est if admit_est is not None else sig[2] * 25
+        return max(est, int(sig[2] * self.EST_MIN_DECODE_RATIO))
+
     def _note_point_read(self, fname: str, est: int) -> bool:
         """Record one point read against ``fname``; True = admit the
         bucket into the LRU now (hot enough to amortize its own decode
@@ -736,8 +785,12 @@ class MirrorStore:
                 return False
             if self._cache_bytes + est > self.max_cache_bytes:
                 return False  # admission must never evict
+            # The admissions stat is NOT counted here: the insert can
+            # still be dropped by _cache_put's actual-size re-check
+            # (_bucket_entry counts it on the known outcome — ADVICE
+            # r11: a failed no_evict put must not skew the
+            # hit/decode/admission mix the bench records).
             del self._point_freq[fname]
-            self._stats["admissions"] += 1
             return True
 
     def _point_lookup(
@@ -771,11 +824,10 @@ class MirrorStore:
         if hit is not None:
             return hit[0].get(path)
         if force_point or sig[2] > self.point_read_bytes:
-            est = admit_est if admit_est is not None else sig[2] * 25
-            est = max(est, int(sig[2] * self.EST_MIN_DECODE_RATIO))
+            est = self._admission_est(fname, sig, admit_est)
             if self._note_point_read(fname, est):
                 return self._bucket_entry(
-                    state_dir, fname, no_evict=True
+                    state_dir, fname, no_evict=True, admission_est=est
                 )[0].get(path)
             with self._lock:
                 self._stats["point_reads"] += 1
@@ -814,12 +866,11 @@ class MirrorStore:
         if hit is not None:
             return list(hit[1].get(parent, ()))
         if force_point or sig[2] > self.point_read_bytes:
-            est = admit_est if admit_est is not None else sig[2] * 25
-            est = max(est, int(sig[2] * self.EST_MIN_DECODE_RATIO))
+            est = self._admission_est(fname, sig, admit_est)
             if self._note_point_read(fname, est):
                 return list(
                     self._bucket_entry(
-                        state_dir, fname, no_evict=True
+                        state_dir, fname, no_evict=True, admission_est=est
                     )[1].get(parent, ())
                 )
             lo = "/" if parent == "/" else parent + "/"

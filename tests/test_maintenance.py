@@ -283,3 +283,67 @@ def test_thin_drift_margin_is_recorded_and_warned(
     finally:
         _drop(spark, "mt_mg", "mt_mg_centroids", "mt_mg_meta",
               "mt_mg_drift")
+
+
+def test_plateau_skipped_when_window_exceeds_retention(
+    spark, emb, tmp_path_factory
+):
+    """ADVICE r12: the margin-observability block computed the plateau
+    over rows[:calibrate_on] for EXPLICIT thresholds without the
+    DRIFT_KEEP_FIRST retention check auto-calibration enforces — after
+    drift-log compaction only the DRIFT_KEEP_FIRST oldest rows are
+    guaranteed to be calibration-era, so a wider window slides onto
+    post-drift batches and misreports the plateau (here: a spurious
+    1.2x warning where the true margin is 6x). The plateau must be
+    skipped (None, no warning) when calibrate_on exceeds retention."""
+    import warnings as _w
+
+    wh = tmp_path_factory.mktemp("maint_ret")
+    _drop(spark, "mt_rt", "mt_rt_centroids", "mt_rt_meta", "mt_rt_drift")
+    seed = emb.where(F.col("doc_id") % 4 == 0).select("doc_id", LO())
+    similarity.build_ann_index(
+        seed, "mt_rt", str(wh / "idx"), n_centroids=8,
+        id_col="doc_id", buckets=8,
+    )
+    try:
+        base = {
+            r["batch_id"]: r["mean_sim"]
+            for r in spark.table("mt_rt_drift").collect()
+        }["__build__"]
+        # 8 calibration-era rows at drop 0.10 (exactly DRIFT_KEEP_FIRST
+        # survive compaction), then 2 post-drift rows at 0.50 that a
+        # 9-wide window would mistake for plateau
+        for i in range(similarity.DRIFT_KEEP_FIRST):
+            similarity._append_drift_row(
+                spark, "mt_rt", f"c{i}",
+                {"n": 10, "mean_sim": base - 0.10, "p10_sim": base - 0.10},
+            )
+        for i in range(2):
+            similarity._append_drift_row(
+                spark, "mt_rt", f"d{i}",
+                {"n": 10, "mean_sim": base - 0.50, "p10_sim": base - 0.50},
+            )
+        with _w.catch_warnings():
+            _w.simplefilter("error")  # a spurious margin warning fails
+            res = ingest.run_maintenance(
+                spark, ann_table="mt_rt", corpus_df=seed, id_col="doc_id",
+                drift_threshold=0.60,
+                calibrate_on=similarity.DRIFT_KEEP_FIRST + 1,
+                drift_patience=2,
+            )
+        assert not res.ann_retrained
+        assert res.drift_plateau is None
+        assert res.drift_margin_ratio is None
+        assert res.drift_margin_warning is None
+        # within retention the plateau is still reported as before
+        res2 = ingest.run_maintenance(
+            spark, ann_table="mt_rt", corpus_df=seed, id_col="doc_id",
+            drift_threshold=0.60,
+            calibrate_on=similarity.DRIFT_KEEP_FIRST,
+            drift_patience=2,
+        )
+        assert res2.drift_plateau == pytest.approx(0.10)
+        assert res2.drift_margin_ratio == pytest.approx(6.0)
+    finally:
+        _drop(spark, "mt_rt", "mt_rt_centroids", "mt_rt_meta",
+              "mt_rt_drift")

@@ -80,3 +80,32 @@ def test_spread_for_compute_gate(spark):
     )
     out3 = spread_for_compute(stream, ["value"])
     assert out3.isStreaming and out3.columns == ["value"]
+
+
+def test_spread_for_compute_by_key_skips_payload_sort(spark):
+    """ADVICE r12: round-robin repartition locally sorts every row on
+    ALL columns (sortBeforeRepartition) before the exchange — for a
+    media frame that is a comparison sort over the binary payloads.
+    ``by=<key>`` switches to hash partitioning: the plan must carry
+    hashpartitioning on the key (deterministic per row, no sort node
+    over the payload), spread to defaultParallelism, and preserve
+    rows exactly."""
+    from pufs_spark.operators.util import spread_for_compute
+
+    par = spark.sparkContext.defaultParallelism
+    media = (
+        spark.range(64)
+        .coalesce(1)
+        .select(
+            F.col("id").alias("media_id"),
+            F.encode(F.repeat(F.concat(F.lit("x"), F.col("id")), 200),
+                     "utf-8").alias("content"),
+        )
+    )
+    out = spread_for_compute(media, by="media_id")
+    assert out.rdd.getNumPartitions() == par
+    plan = _formatted(out)
+    assert "hashpartitioning(media_id" in plan, plan
+    assert "roundrobin" not in plan.lower(), plan
+    got = {r["media_id"]: bytes(r["content"]) for r in out.collect()}
+    assert len(got) == 64 and got[3] == b"x3" * 200

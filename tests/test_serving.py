@@ -812,11 +812,66 @@ def test_failed_admission_insert_restores_counter(spark, tmp_path):
     # the earned counter survived the failed insert, clamped at the
     # ACTUAL-size threshold (was: deleted — re-earn from zero)
     assert store._point_freq.get(fname, 0) >= store.POINT_ADMIT_AFTER
+    # ADVICE r12: the dropped insert is NOT an admission — the stat
+    # counts landed inserts only (it paid the decode, though)
+    assert store.stats()["admissions"] == 0
+    assert store.stats()["decodes"] == 1
 
     # first access after real headroom appears admits immediately
     store.max_cache_bytes = serving.MirrorStore.DEFAULT_CACHE_BYTES
     assert snap.lookup("/a/f0") == (False, 10, "b-a-0")
     assert store.cached_bytes() > 0
+    assert store.stats()["admissions"] == 1
+
+
+def test_measured_decode_corrects_floor_starvation(spark, tmp_path):
+    """ADVICE r12 (medium): the EST_MIN_DECODE_RATIO floor applied to
+    EVERY admission estimate — including fresh fold-maintained ones —
+    so a bucket whose REAL decode ratio sits below the floor
+    (high-entropy paths compress poorly) could permanently fail the
+    headroom pre-check for a cache it actually fits: never admitted,
+    every request a filtered point read, forever. Once a decode has
+    measured the bucket's true footprint, the admission estimate must
+    use it (scaled by parquet size) so the floor corrects downward."""
+    mdir = _mini_mirror(spark, tmp_path, per=20)
+    store = serving.MirrorStore(mdir, point_read_bytes=0)
+    store.POINT_ADMIT_AFTER = 1
+    store.POINT_ADMIT_CEIL = 1  # heat is instant: isolate the headroom
+    # check, the part the floor starves
+    # model a bucket whose floored estimate vastly overshoots reality
+    store.EST_MIN_DECODE_RATIO = 10_000.0
+    snap = store.snapshot()
+    fname = snap._fname_for("/a/f0")
+    f = os.path.join(snap.state_dir, fname)
+    actual_fits = 64 * 1024  # larger than any 20-row bucket's decode
+    floored = int(os.stat(f).st_size * store.EST_MIN_DECODE_RATIO)
+    assert floored > actual_fits  # the starvation precondition
+    store.max_cache_bytes = actual_fits
+
+    # un-measured bucket: the floor bars admission no matter how hot
+    for _ in range(5):
+        assert snap.lookup("/a/f0") == (False, 10, "b-a-0")
+    assert store.stats()["decodes"] == 0
+    assert store.stats()["point_reads"] == 5
+    assert store.cached_bytes() == 0
+
+    # one decode measures the true footprint (cap lifted momentarily —
+    # e.g. the bucket was admitted under lighter load, then evicted)
+    store.max_cache_bytes = serving.MirrorStore.DEFAULT_CACHE_BYTES
+    assert snap.lookup("/a/f0") == (False, 10, "b-a-0")
+    assert store.stats()["decodes"] == 1
+    measured = store.cached_bytes()
+    assert 0 < measured < actual_fits
+    # evict it and restore the tight cap the floor could never satisfy
+    store._cache.clear()
+    store._cache_bytes = 0
+    store.max_cache_bytes = actual_fits
+
+    # the measured estimate replaces the floored one: the bucket
+    # re-admits into the cache it genuinely fits (was: starved forever)
+    assert snap.lookup("/a/f0") == (False, 10, "b-a-0")
+    assert store.cached_bytes() == measured
+    assert store.stats()["decodes"] == 2
 
 
 def test_hopeless_admission_never_attempts_decode(spark, tmp_path):

@@ -124,17 +124,29 @@ def _fleet_cache_stats(port: int, n_workers: int,
             break
         try:
             c = serving.PufsClient("127.0.0.1", port, timeout=TIMEOUT_S)
-            resp = c.call(op="cache_stats")
-            c.close()
         except (OSError, TimeoutError):
             continue
+        try:  # close on EVERY exit — a raising call() must not leak
+            resp = c.call(op="cache_stats")
+        except (OSError, TimeoutError):
+            continue
+        finally:
+            try:
+                c.close()
+            except OSError:
+                pass
         pid = resp.get("pid")
         if pid is not None and pid not in seen:
             seen[pid] = {
                 k: v for k, v in resp.items()
                 if k not in ("errorMsg", "mirrorVersion", "pid")
             }
-    return {str(p): s for p, s in seen.items()}
+    out = {str(p): s for p, s in seen.items()}
+    # partial coverage is DATA, not an error — but it must be legible
+    # as partial (ADVICE r11: a reader mistook a short dict for full
+    # fleet coverage)
+    out["_coverage"] = {"expected_workers": n_workers, "seen": len(seen)}
+    return out
 
 
 def run_phase(port: int, paths, dirs, seconds: float,
