@@ -130,6 +130,186 @@ def test_content_scan_requires_cas_option(spark, tmp_path):
         df.count()
 
 
+def _write_big_catalog(path: str, n_files: int = 1_050_000,
+                       files_per_dir: int = 120_000) -> int:
+    """A ≥10⁶-file synthetic catalog parquet in export_catalog's shape
+    (DFS order: subtrees contiguous, so path min/max stats are tight),
+    with several row groups. Built directly with pyarrow — a DataStore
+    walk at this size is test-budget hostile."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n_dirs = (n_files + files_per_dir - 1) // files_per_dir
+    paths, inodes, parents, names, dirs, sizes, bids = (
+        [], [], [], [], [], [], []
+    )
+    paths.append("/"); inodes.append(1); parents.append(1)
+    names.append(""); dirs.append(True); sizes.append(0); bids.append(None)
+    ino = 2
+    for d in range(n_dirs):
+        top = f"/t{d:02d}"
+        paths.append(top); inodes.append(ino); parents.append(1)
+        names.append(top[1:]); dirs.append(True); sizes.append(0)
+        bids.append(None)
+        dino, ino = ino, ino + 1
+        for i in range(min(files_per_dir, n_files - d * files_per_dir)):
+            paths.append(f"{top}/f{i:07d}"); inodes.append(ino)
+            parents.append(dino); names.append(f"f{i:07d}")
+            dirs.append(False); sizes.append(i % 997)
+            bids.append(f"bid{d:02d}{i:07d}")
+            ino += 1
+    t = pa.table({
+        "path": paths,
+        "inode": pa.array(inodes, pa.int64()),
+        "parent": pa.array(parents, pa.int64()),
+        "name": names,
+        "is_dir": dirs,
+        "size": pa.array(sizes, pa.int64()),
+        "bid": bids,
+    })
+    pq.write_table(t, path, row_group_size=131_072)
+    return n_files
+
+
+@pytest.fixture(scope="module")
+def big_catalog(tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("bigcat") / "catalog.parquet")
+    n = _write_big_catalog(p)
+    return p, n
+
+
+def test_large_catalog_plans_bounded_rowgroup_ranges(spark, big_catalog):
+    """r11 verdict task 1: partitions() materialized the full file list
+    on the driver (~100 B/file — fine to 10⁷ files, wrong at 10⁸).
+    On a 10⁶-file catalog with the bound lowered to force the scale
+    path, planning must stay METADATA-ONLY: zero driver-side rows,
+    partitions are row-group ranges, and the scan still answers
+    exactly."""
+    from pyspark.sql.types import StructType
+
+    from pufs_spark.sources.datasource import (
+        META_SCHEMA,
+        PufsRangePartition,
+        PufsReader,
+    )
+
+    cat, n_files = big_catalog
+    schema = StructType.fromDDL(META_SCHEMA)
+
+    # white-box: the planner's own accounting
+    rd = PufsReader({"catalog": cat, "maxdriverrows": "100000"}, schema)
+    parts = rd.partitions()
+    assert rd.plan_stats["mode"] == "rowgroups"
+    assert rd.plan_stats["driver_rows"] == 0
+    assert all(isinstance(p, PufsRangePartition) for p in parts)
+    # metadata-only scans take whole row groups: one partition per
+    # surviving group, and the ranges cover every catalog row
+    assert len(parts) == rd.plan_stats["row_groups_kept"]
+    assert sum(p.count for p in parts) == rd.plan_stats["est_rows"]
+
+    # end-to-end: the range tasks read + filter their own slices
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("maxdriverrows", 100_000)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == len(parts)
+    assert df.count() == n_files
+    # a projected aggregate over the scale path stays exact
+    got = df.groupBy().sum("size").collect()[0][0]
+    assert got == sum(i % 997 for i in range(120_000)) * 8 \
+        + sum(i % 997 for i in range(90_000))
+
+
+def test_big_catalog_point_lookup_prunes_row_groups(spark, big_catalog):
+    """Pushdown on the 10⁶-file catalog must prune row GROUPS from
+    min/max stats before any data read: a point lookup plans from one
+    surviving group and materializes exactly one driver row."""
+    from pyspark.sql.datasource import EqualTo
+    from pyspark.sql.types import StructType
+
+    from pufs_spark.sources.datasource import (
+        META_SCHEMA,
+        PufsPushdownReader,
+    )
+
+    cat, _ = big_catalog
+    schema = StructType.fromDDL(META_SCHEMA)
+    rd = PufsPushdownReader({"catalog": cat}, schema)
+    unhandled = list(rd.pushFilters([EqualTo(("path",), "/t03/f0007777")]))
+    assert unhandled == []
+    parts = rd.partitions()
+    assert rd.plan_stats["mode"] == "rows"
+    assert rd.plan_stats["row_groups_kept"] < \
+        rd.plan_stats["row_groups_total"]
+    assert rd.plan_stats["driver_rows"] == 1
+    assert len(parts) == 1
+
+    # the subtree option prunes the same way (DFS order: contiguous)
+    rd2 = PufsPushdownReader({"catalog": cat, "path": "/t07"}, schema)
+    rd2.partitions()
+    assert rd2.plan_stats["mode"] == "rows"
+    assert rd2.plan_stats["row_groups_kept"] < \
+        rd2.plan_stats["row_groups_total"]
+    assert rd2.plan_stats["driver_rows"] == 120_000
+
+    # end-to-end result parity for the point lookup
+    df = (
+        spark.read.format("pufs")
+        .option("catalog", cat)
+        .option("pushdown", "true")
+        .load()
+        .where(F.col("path") == "/t03/f0007777")
+    )
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["bid"] == "bid030007777"
+
+
+def test_rowgroup_and_rows_modes_return_identical_rows(spark, tmp_path):
+    """The scale path (range partitions, executor-side filtering) must
+    return byte-identical results to driver-side materialization —
+    including content reads, subtree prefixes, and pushed filters."""
+    ds, contents = _build_store(tmp_path)
+    cat = str(tmp_path / "catalog.parquet")
+    ds.export_catalog(cat)
+
+    def scan(**opts):
+        r = spark.read.format("pufs").option("catalog", cat)
+        for k, v in opts.items():
+            r = r.option(k, v)
+        return r.load()
+
+    base = sorted(map(tuple, scan().collect()))
+    forced = scan(maxdriverrows=0)
+    assert sorted(map(tuple, forced.collect())) == base
+    assert forced.count() == len(contents)
+
+    # content mode sub-slices row groups (rowsperpartition) and still
+    # returns the exact bytes
+    full = scan(cas=ds.freezer.chunks_dir, content="true",
+                maxdriverrows=0, rowsperpartition=3)
+    got = {r["path"]: bytes(r["content"]) for r in full.collect()}
+    assert got == contents
+    assert full.rdd.getNumPartitions() > 1
+
+    # subtree prefix: executor-side re-filtering matches driver-side
+    sub = scan(path="/d2", maxdriverrows=0)
+    assert sorted(r["path"] for r in sub.collect()) == sorted(
+        p for p in contents if p.startswith("/d2/")
+    )
+
+    # pushed filters apply executor-side in range mode too
+    pd_rows = (
+        scan(pushdown="true", maxdriverrows=0)
+        .where(F.col("size") > 60)
+        .collect()
+    )
+    assert sorted(r["path"] for r in pd_rows) == sorted(
+        p for p, c in contents.items() if len(c) > 60
+    )
+
+
 def test_filter_pushdown_point_lookup_never_opens_other_blocks(spark, tmp_path):
     """A `WHERE path = X` scan must prune partition planning to the one
     matching file and never open any other CAS block — verified the
