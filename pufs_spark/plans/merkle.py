@@ -102,21 +102,38 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
     (Python ``sort`` == Spark ``array_sort`` == UTF8String binary
     order on strings), null fields skipped (``concat_ws`` semantics),
     empty dirs hash the empty manifest (sha256(""))."""
-    # Both frames feed MULTIPLE union branches below, and Spark
-    # re-executes a subplan per branch (no cross-branch CSE): without
-    # the lazy localCheckpoints the collect_list aggregation ran twice
-    # and the interior-ids distinct three times (~4.5 s of the 7 s
-    # sf1.0 wall). Checkpointed, each materializes once on first use.
-    # Sizes are bounded by the single-task precondition (catalog fits
-    # one task), so executor-resident blocks are safe here.
+    d_all = leveled.where(F.col("is_dir"))
+    files = leveled.where(~F.col("is_dir"))
+    if memoized:
+        # The reference's core incremental contract
+        # (core/datastore.go:1123-1125): a dir with a bid IS its
+        # unchanged subtree, so its file lines are never read — prune
+        # them BEFORE the catalog-sized groupBy, not after. Without
+        # this, a 0%-dirty freeze paid the same file-lines shuffle as
+        # a full one (measured 5.4 s vs 5.4 s at sf1.0, r12
+        # tools/profile_f1_stages.py); with it, the shuffle is
+        # O(dirty files). The dirty set is dir-count-bounded (≤ the
+        # single-task precondition) and broadcast, so the prune is a
+        # map-side hash filter — no extra exchange.
+        dirty_ids = (
+            d_all.where(F.col("bid").isNull())
+            .select(F.col("inode").alias("parent"))
+            .localCheckpoint(eager=False)
+        )
+        files = files.join(F.broadcast(dirty_ids), "parent", "left_semi")
+    # Frames feeding MULTIPLE union branches below: Spark re-executes a
+    # subplan per branch (no cross-branch CSE): without the lazy
+    # localCheckpoints the collect_list aggregation ran twice and the
+    # interior-ids distinct three times (~4.5 s of the 7 s sf1.0 wall).
+    # Checkpointed, each materializes once on first use. Sizes are
+    # bounded by the single-task precondition (catalog fits one task),
+    # so executor-resident blocks are safe here.
     file_lines_all = (
-        leveled.where(~F.col("is_dir"))
-        .withColumn("_line", _manifest_line())
+        files.withColumn("_line", _manifest_line())
         .groupBy(F.col("parent").alias("inode"))
         .agg(F.collect_list("_line").alias("_flines"))
         .localCheckpoint(eager=False)
     )
-    d_all = leveled.where(F.col("is_dir"))
     # dirs having at least one DIR child (root's self-loop excluded)
     interior_ids = (
         d_all.where(F.col("parent") != F.col("inode"))
@@ -125,15 +142,28 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    lines = F.coalesce(F.col("_flines"), F.array().cast("array<string>"))
-    manifest = F.when(F.size(lines) == 0, F.lit("")).otherwise(
-        F.concat(F.array_join(F.array_sort(lines), "\n"), F.lit("\n"))
+    manifest = F.concat(
+        F.array_join(F.array_sort(F.col("_flines")), "\n"), F.lit("\n")
     )
-    computed = F.sha2(manifest, 256)
+    # sha256("") — a leaf dir with no file lines hashes the empty
+    # manifest; kept as a literal so the hash happens BEFORE the join
+    EMPTY_MANIFEST_SHA = (
+        "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+    )
+    # Hash the leaf manifests ON the aggregation output, then join the
+    # 64-char bids — not the manifest arrays — to the dir rows. The
+    # previous shape joined _flines into d_all first and hashed after,
+    # shipping the whole catalog's manifest text through one more
+    # exchange (r12 profile: the leaf tier was 2.1 s of the 6.3 s
+    # sf1.0 wall, most of it that join).
+    leaf_hash = file_lines_all.select(
+        "inode", F.sha2(manifest, 256).alias("_fbid")
+    )
+    computed = F.coalesce(F.col("_fbid"), F.lit(EMPTY_MANIFEST_SHA))
     leaf_bid = F.coalesce(F.col("bid"), computed) if memoized else computed
     leaf_dirs = (
         d_all.join(interior_ids, "inode", "left_anti")
-        .join(file_lines_all, "inode", "left")
+        .join(leaf_hash, "inode", "left")
         .select(
             "inode",
             F.col("parent").cast("long").alias("parent"),
@@ -247,8 +277,21 @@ def _freeze_dirs_levelwise(
     an eager localCheckpoint of a dir-count-sized frame every k
     levels."""
     max_d = leveled.agg(F.max("depth")).collect()[0][0] or 0
+    lw_files = leveled.where(~F.col("is_dir"))
+    if memoized:
+        # Same dirty-prune as the single-task path: only null-bid dirs
+        # ever read their file lines, so filter files to dirty parents
+        # BEFORE the catalog-sized collect_list. Here the dirty set can
+        # exceed a broadcast (this path runs above 4M rows), so it is a
+        # plain semi-join — AQE downgrades it to broadcast exactly when
+        # the freeze is mostly clean, which is when the prune pays.
+        lw_dirty = (
+            leveled.where(F.col("is_dir") & F.col("bid").isNull())
+            .select(F.col("inode").alias("parent"))
+        )
+        lw_files = lw_files.join(lw_dirty, "parent", "left_semi")
     file_lines = (
-        leveled.where(~F.col("is_dir"))
+        lw_files
         .withColumn("_line", _manifest_line())
         .groupBy(F.col("parent").alias("_flp"))
         .agg(F.array_sort(F.collect_list("_line")).alias("_flines"))
@@ -337,7 +380,15 @@ def freeze_nodes_df(
     returned as-is and only null-bid (dirty) paths re-hash — safe
     because every mutation nulls bids up to the root (M8), so a set
     bid implies an unchanged subtree."""
-    leveled = with_depth(nodes, max_depth).persist()
+    leveled = with_depth(nodes, max_depth)
+    sl = leveled.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        # An incremental caller holds its catalog cached (the standing
+        # state a mutation loop folds into); re-persisting it here made
+        # EVERY freeze pay a catalog-sized second cache write — ~2 s of
+        # the sf1.0 memoized floor (r12 profile). Persist only when the
+        # input isn't already resident.
+        leveled = leveled.persist()
     single_task = leveled.count() <= single_task_max_rows
     if single_task:
         all_dir_bids = _freeze_dirs_single_task(leveled, memoized)
