@@ -286,7 +286,8 @@ class MirrorStore:
     DELTA_PATCH_ENABLED = True
 
     def __init__(self, mirror_dir: str, max_cache_bytes: int | None = None,
-                 point_read_bytes: int | None = None):
+                 point_read_bytes: int | None = None,
+                 calibrate: bool = False):
         self.mirror_dir = mirror_dir
         self.point_read_bytes = (
             self.POINT_READ_PARQUET_BYTES if point_read_bytes is None
@@ -360,11 +361,154 @@ class MirrorStore:
         # a multi-second decode, not just a re-decode).
         self._latest_version = -1
         self._latest_state_dir: str | None = None
+        # Measured admission costs (r11 verdict What's-wrong #3: the
+        # class constants are ONE box's numbers; on different storage
+        # the decode/point-read break-even moves and never-evict
+        # admission with a wrong threshold over- or under-admits).
+        # None until the first measurement; EWMA thereafter — every
+        # full bucket decode and every filtered point read this store
+        # actually performs feeds them, so the thresholds track the
+        # LIVE storage and interpreter, not the bench box the defaults
+        # came from. The class attrs stay as seeds/overrides.
+        self._cal_decode_us_per_row: float | None = None
+        self._cal_point_read_ms: float | None = None
         self._lock = threading.Lock()
+        if calibrate:
+            try:
+                self.calibrate()
+            except Exception:
+                pass  # no state yet / unreadable: passive EWMA covers it
 
     def stats(self) -> dict:
         with self._lock:
-            return dict(self._stats)
+            out = dict(self._stats)
+            out["decode_us_per_row"] = round(self.decode_us_per_row(), 3)
+            out["point_read_cost_ms"] = round(self.point_read_cost_ms(), 3)
+            out["calibrated"] = (
+                self._cal_decode_us_per_row is not None
+                and self._cal_point_read_ms is not None
+            )
+            return out
+
+    # -- admission-cost calibration -------------------------------
+    # EWMA weight for new measurements; heavy enough that a store
+    # moved to different storage converges within a few ops, light
+    # enough that one GC-pause outlier doesn't swing the threshold.
+    CAL_ALPHA = 0.3
+    # A decode below this many rows is dominated by fixed per-read
+    # overhead (file open, metadata, Arrow setup ~1 ms) — its µs/row
+    # would overstate the marginal cost, so it doesn't update the EWMA.
+    CAL_MIN_DECODE_ROWS = 1024
+
+    def _note_decode_cost(self, nrows: int, seconds: float) -> None:
+        if nrows < self.CAL_MIN_DECODE_ROWS or seconds <= 0:
+            return
+        us = min(1000.0, max(0.5, seconds * 1e6 / nrows))
+        with self._lock:
+            cur = self._cal_decode_us_per_row
+            self._cal_decode_us_per_row = (
+                us if cur is None else cur + self.CAL_ALPHA * (us - cur)
+            )
+
+    def _note_point_cost(self, seconds: float) -> None:
+        if seconds <= 0:
+            return
+        ms = min(10_000.0, max(0.05, seconds * 1e3))
+        with self._lock:
+            cur = self._cal_point_read_ms
+            self._cal_point_read_ms = (
+                ms if cur is None else cur + self.CAL_ALPHA * (ms - cur)
+            )
+
+    def decode_us_per_row(self) -> float:
+        return (
+            self._cal_decode_us_per_row
+            if self._cal_decode_us_per_row is not None
+            else self.DECODE_US_PER_ROW
+        )
+
+    def point_read_cost_ms(self) -> float:
+        return (
+            self._cal_point_read_ms
+            if self._cal_point_read_ms is not None
+            else self.POINT_READ_COST_MS
+        )
+
+    def calibrate(self) -> dict | None:
+        """One-shot active measurement of both admission costs against
+        the CURRENT state (~tens of ms on a healthy store, bounded by
+        one smallest-bucket decode + one filtered read): decode the
+        smallest bucket for µs/row, filtered-read one row of the
+        largest for ms/read. Seeds the same EWMAs the passive path
+        feeds, so a store that never organically decodes (every bucket
+        oversized, thresholds mis-seeded high) still starts from ITS
+        OWN storage's numbers instead of another box's constants.
+        Returns the measured dict, or None when no state exists."""
+        import os as _os
+        import time as _time
+
+        import pyarrow.parquet as pq
+
+        from pufs_spark.streaming import mirror as M
+
+        v, state_dir, _, _, _ = M._resolve_state_ex(self.mirror_dir)
+        if v < 0 or state_dir is None:
+            return None
+        buckets = [
+            (st.st_size, f)
+            for f in _os.listdir(state_dir)
+            if f.startswith("bucket-") and f.endswith(".parquet")
+            for st in (_os.stat(_os.path.join(state_dir, f)),)
+            if st.st_size > 0
+        ]
+        if not buckets:
+            return None
+        buckets.sort()
+        small = _os.path.join(state_dir, buckets[0][1])
+        large = _os.path.join(state_dir, buckets[-1][1])
+        t0 = _time.perf_counter()
+        t = pq.read_table(small)
+        # materialize like _bucket_entry does — the Python dict build
+        # IS most of the decode cost, not the Arrow read
+        rows = {
+            p: (d, s, b)
+            for p, d, s, b in zip(
+                t["path"].to_pylist(), t["is_dir"].to_pylist(),
+                t["size"].to_pylist(), t["bid"].to_pylist(),
+            )
+        }
+        dec_s = _time.perf_counter() - t0
+        # probe with a path that EXISTS in the large bucket so the
+        # timed read decodes a real matching row group, not a
+        # stats-pruned no-op (one row-group column read to find it —
+        # bounded, init-only)
+        pf = pq.ParquetFile(large)
+        probe = (
+            pf.read_row_group(0, columns=["path"])["path"][0].as_py()
+            if pf.num_row_groups else None
+        )
+        if probe is not None:
+            t0 = _time.perf_counter()
+            pq.read_table(large, filters=[("path", "==", probe)])
+            pr_s = _time.perf_counter() - t0
+            self._note_point_cost(pr_s)
+        else:
+            pr_s = None
+        # seed the decode EWMA even for a small bucket: a biased-high
+        # seed beats another box's constant, and real decodes correct it
+        if rows and dec_s > 0:
+            us = min(1000.0, max(0.5, dec_s * 1e6 / len(rows)))
+            with self._lock:
+                cur = self._cal_decode_us_per_row
+                self._cal_decode_us_per_row = (
+                    us if cur is None else cur + self.CAL_ALPHA * (us - cur)
+                )
+        return {
+            "decode_rows": len(rows), "decode_s": dec_s,
+            "point_read_s": pr_s,
+            "decode_us_per_row": self._cal_decode_us_per_row,
+            "point_read_cost_ms": self._cal_point_read_ms,
+        }
 
     @staticmethod
     def _entry_bytes(rows: dict) -> int:
@@ -465,6 +609,9 @@ class MirrorStore:
         # pq.read_table may still hit FileNotFoundError/OSError if the
         # dir is pruned between the stat and here — it propagates as
         # OSError and MirrorService retries against a fresh snapshot.
+        import time as _time
+
+        _t0 = _time.perf_counter()
         t = pq.read_table(f)
         rows: dict = {}
         kids: dict = {}
@@ -479,6 +626,7 @@ class MirrorStore:
             if p != "/":
                 parent, _, name = p.rpartition("/")
                 kids.setdefault(parent or "/", []).append((name, row))
+        self._note_decode_cost(len(rows), _time.perf_counter() - _t0)
         with self._lock:
             self._stats["decodes"] += 1
         inserted = self._cache_put(fname, sig, rows, kids, no_evict=no_evict)
@@ -495,18 +643,18 @@ class MirrorStore:
                 # _note_point_read already consumed the bucket's earned
                 # frequency counter, so without this restore a
                 # still-hot bucket restarts earning from zero (up to
-                # POINT_ADMIT_CEIL more filtered reads). Restore it
-                # clamped at the LARGER of the actual-size threshold
-                # and the admission-time estimate's threshold — the
-                # next access recomputes `need` from whichever estimate
-                # it resolves (the decode just memoized the actual, but
-                # a raced fold can change it), and re-admit-on-first-
-                # access only holds if the restored counter covers it.
-                need = self._admit_threshold(self._entry_bytes(rows))
-                if admission_est is not None:
-                    need = max(need, self._admit_threshold(admission_est))
+                # POINT_ADMIT_CEIL more filtered reads). Restore it at
+                # POINT_ADMIT_CEIL — the ceiling of every possible
+                # threshold — because the next access recomputes `need`
+                # from whichever estimate it resolves AND from the
+                # live-measured costs (the decode just memoized the
+                # actual size, a raced fold can change it, and the
+                # point-cost EWMA drifts between accesses): re-admit-
+                # on-first-access must hold under all of them, and the
+                # access-time `min(count, need)` clamp re-bounds the
+                # counter anyway.
                 with self._lock:
-                    self._point_freq[fname] = need
+                    self._point_freq[fname] = self.POINT_ADMIT_CEIL
         return rows, kids
 
     def _bucket_rows(self, state_dir: str, fname: str) -> dict:
@@ -736,10 +884,14 @@ class MirrorStore:
     def _admit_threshold(self, est: int) -> int:
         """Point reads a bucket must accrue before its decode is worth
         paying: estimated decode wall over one filtered-read wall,
-        clamped to [POINT_ADMIT_AFTER, POINT_ADMIT_CEIL]."""
+        clamped to [POINT_ADMIT_AFTER, POINT_ADMIT_CEIL]. Both costs
+        use the store's LIVE measurements when available (every real
+        decode / filtered read feeds an EWMA; ``calibrate()`` seeds
+        them at init) — the class constants are only the never-
+        measured fallback, so the break-even moves with the box."""
         rows = est / (self.EST_DECODED_BYTES_PER_ROW or 1)
-        breakeven = rows * self.DECODE_US_PER_ROW / 1000.0 \
-            / self.POINT_READ_COST_MS
+        breakeven = rows * self.decode_us_per_row() / 1000.0 \
+            / self.point_read_cost_ms()
         return max(
             self.POINT_ADMIT_AFTER,
             min(self.POINT_ADMIT_CEIL, int(breakeven)),
@@ -767,10 +919,15 @@ class MirrorStore:
     def _note_point_read(self, fname: str, est: int) -> bool:
         """Record one point read against ``fname``; True = admit the
         bucket into the LRU now (hot enough to amortize its own decode
-        AND it fits the current headroom). Counts are clamped at the
-        admission threshold (a hot-but-unadmittable bucket admits on
-        its first access after headroom appears, e.g. post-fold
-        shrink) and halve every POINT_FREQ_WINDOW accesses."""
+        AND it fits the current headroom). Counts are clamped at
+        POINT_ADMIT_CEIL — the ceiling of every possible threshold —
+        NOT at this access's ``need``: with live-measured costs the
+        threshold drifts between accesses (cheaper point reads push
+        the break-even up), and a down-clamp to a smaller earlier
+        ``need`` would erase earned credit and break the promise that
+        a hot-but-unadmittable bucket admits on its first access after
+        headroom appears (e.g. post-fold shrink). Counts halve every
+        POINT_FREQ_WINDOW accesses, so stale heat still decays."""
         need = self._admit_threshold(est)
         with self._lock:
             self._point_accesses += 1
@@ -779,7 +936,9 @@ class MirrorStore:
                 self._point_freq = {
                     k: v // 2 for k, v in self._point_freq.items() if v >= 2
                 }
-            c = min(self._point_freq.get(fname, 0) + 1, need)
+            c = min(
+                self._point_freq.get(fname, 0) + 1, self.POINT_ADMIT_CEIL
+            )
             self._point_freq[fname] = c
             if c < need:
                 return False
@@ -831,7 +990,11 @@ class MirrorStore:
                 )[0].get(path)
             with self._lock:
                 self._stats["point_reads"] += 1
+            import time as _time
+
+            _t0 = _time.perf_counter()
             t = pq.read_table(f, filters=[("path", "==", path)])
+            self._note_point_cost(_time.perf_counter() - _t0)
             if t.num_rows == 0:
                 return None
             return (
@@ -877,9 +1040,13 @@ class MirrorStore:
             hi = "0" if parent == "/" else parent + "0"
             with self._lock:
                 self._stats["point_reads"] += 1
+            import time as _time
+
+            _t0 = _time.perf_counter()
             t = pq.read_table(
                 f, filters=[("path", ">=", lo), ("path", "<", hi)]
             )
+            self._note_point_cost(_time.perf_counter() - _t0)
             out = []
             for p, d, s, b in zip(
                 t["path"].to_pylist(),

@@ -1588,3 +1588,94 @@ def test_cache_stats_observability(spark, tmp_path):
     import os as _os
 
     assert resp["pid"] == _os.getpid()
+
+
+def test_admission_threshold_tracks_measured_costs(spark, tmp_path):
+    """r11 verdict What's-wrong #3: DECODE_US_PER_ROW /
+    POINT_READ_COST_MS are ONE box's measurements — on storage with a
+    different decode/point-read break-even, a fixed threshold over- or
+    under-admits. The store must derive the threshold from its OWN
+    measured costs once it has them: slow decode + cheap point reads
+    push the break-even UP (decode must earn more); fast decode +
+    expensive point reads pull it DOWN to the floor."""
+    mdir = _mini_mirror(spark, tmp_path)
+    store = serving.MirrorStore(mdir)
+    est = 100_000 * store.EST_DECODED_BYTES_PER_ROW  # a 100k-row bucket
+
+    # unmeasured: the class constants stand in
+    default_need = store._admit_threshold(est)
+    assert default_need == min(
+        store.POINT_ADMIT_CEIL,
+        max(store.POINT_ADMIT_AFTER,
+            int(100_000 * store.DECODE_US_PER_ROW / 1000.0
+                / store.POINT_READ_COST_MS)))
+    assert store.stats()["calibrated"] is False
+
+    # synthetic SLOW decode (100 µs/row) + FAST point read (1 ms):
+    # break-even = 100k rows x 100 µs / 1 ms = 10000 -> ceiling
+    store._note_decode_cost(10_000, 1.0)       # 1 s / 10k rows
+    store._note_point_cost(0.001)
+    assert store.decode_us_per_row() == pytest.approx(100.0)
+    assert store.point_read_cost_ms() == pytest.approx(1.0)
+    assert store._admit_threshold(est) == store.POINT_ADMIT_CEIL
+    assert store._admit_threshold(est) > default_need
+
+    # fresh store, FAST decode (1 µs/row) + SLOW point read (100 ms):
+    # break-even = 100k x 1 µs / 100 ms = 1 -> floor (admit quickly)
+    fast = serving.MirrorStore(mdir)
+    fast._note_decode_cost(100_000, 0.1)
+    fast._note_point_cost(0.1)
+    assert fast._admit_threshold(est) == fast.POINT_ADMIT_AFTER
+    assert fast._admit_threshold(est) < default_need
+
+    # sub-CAL_MIN_DECODE_ROWS decodes must NOT update the EWMA (their
+    # µs/row is fixed-overhead noise, and tiny test buckets would
+    # otherwise perturb every threshold assertion in this suite)
+    noisy = serving.MirrorStore(mdir)
+    noisy._note_decode_cost(10, 1.0)
+    assert noisy._cal_decode_us_per_row is None
+
+
+def test_calibrate_seeds_measured_costs(spark, tmp_path):
+    """MirrorStore(calibrate=True) measures decode µs/row and filtered
+    point-read ms against the store's OWN state at init (one smallest-
+    bucket decode + one filtered read of the largest), so a store that
+    never organically decodes still derives its break-even from this
+    box, not the bench box the class constants came from."""
+    mdir = _mini_mirror(spark, tmp_path, per=40)
+    store = serving.MirrorStore(mdir, calibrate=True)
+    st = store.stats()
+    assert st["calibrated"] is True
+    assert 0 < store._cal_decode_us_per_row <= 1000.0
+    assert 0 < store._cal_point_read_ms <= 10_000.0
+    assert st["decode_us_per_row"] == pytest.approx(
+        store._cal_decode_us_per_row, abs=1e-3)
+
+    # calibrate() is also callable standalone and reports what it saw
+    out = store.calibrate()
+    assert out["decode_rows"] > 0 and out["decode_s"] > 0
+    assert out["point_read_s"] > 0
+
+    # no state yet -> None, and the opt-in constructor must not raise
+    empty = str(tmp_path / "empty-mirror")
+    os.makedirs(empty, exist_ok=True)
+    s2 = serving.MirrorStore(empty, calibrate=True)
+    assert s2.calibrate() is None
+    assert s2.stats()["calibrated"] is False
+
+
+def test_passive_point_cost_measured_from_real_reads(spark, tmp_path):
+    """Every filtered point read the store actually serves feeds the
+    point-cost EWMA — the threshold tracks live storage with no
+    explicit calibration step."""
+    mdir = _mini_mirror(spark, tmp_path)
+    store = serving.MirrorStore(mdir, point_read_bytes=0,
+                                max_cache_bytes=1)
+    store.EST_DECODED_BYTES_PER_ROW = 0  # floor threshold: never admit
+    snap = store.snapshot()
+    assert store._cal_point_read_ms is None
+    assert snap.lookup("/a/f1") == (False, 11, "b-a-1")
+    assert snap.lookup("/a/f1") == (False, 11, "b-a-1")
+    assert store.stats()["point_reads"] >= 2
+    assert store._cal_point_read_ms is not None
+    assert store._cal_point_read_ms > 0
