@@ -204,6 +204,7 @@ def stream_clean_corpus(
     min_alpha_ratio: float = 0.5,
     lang: str | None = "en",
     watermark: str = "10 minutes",
+    spread: int | None = None,
 ) -> DataFrame:
     """``clean_corpus`` for a STREAM — the ingest-time gate a
     continuously-arriving corpus needs: the same quality and language
@@ -218,15 +219,67 @@ def stream_clean_corpus(
     corpus-wide joins, which is batch work — run
     ``cross_near_dup_pairs(corpus_index=...)`` on the micro-batched
     output (foreachBatch) against the persisted index instead.
-    Returns the surviving stream rows (original columns + ``_fp``)."""
+    Returns the surviving stream rows (original columns + ``_fp``).
+
+    ``spread`` repartitions each micro-batch BEFORE the gates: Spark
+    sizes file-source splits by BYTES, so a compact columnar feed
+    (50k docs ≈ 5 MB) plans 1-2 input partitions and the gate
+    expressions — compute-dense even JVM-side — run on 1-2 of N cores,
+    the same trap ``spread_for_compute`` closes for batch (that helper
+    is a no-op on streaming plans: partition counts aren't inspectable
+    pre-execution). A bare ``repartition`` is NOT enough: Catalyst
+    pushes deterministic filters through exchanges
+    (PushDownPredicates), so the gate predicates — with the full
+    quality expressions inlined — land back at the scan and run at
+    source parallelism anyway (plan-asserted in
+    tests/test_streaming.py). The quality filter therefore carries an
+    always-false non-deterministic disjunct
+    (``spark_partition_id() < -1``: partition ids are non-negative, so
+    semantics are unchanged) which pins it, and every filter above it,
+    past the exchange. Measured (tools/bench_stream_spread.py, r12):
+    see BASELINE.md. Leave None for sources that already plan many
+    splits (real many-file feeds, Kafka with many partitions) — there
+    the shuffle is pure cost; the better fix for FILE feeds, when you
+    control the session, is lowering
+    ``spark.sql.files.maxPartitionBytes`` so the source itself plans
+    enough splits (no extra shuffle at all)."""
     from pufs_spark.streaming.monitor import stream_dedup
 
+    out = _gate_corpus(
+        stream, text_col, min_tokens, max_punct_ratio, min_alpha_ratio,
+        lang, spread,
+    )
+    return stream_dedup(
+        out, key_cols=("_fp",), ts_col=ts_col, watermark=watermark
+    )
+
+
+def _gate_corpus(
+    stream: DataFrame,
+    text_col: str,
+    min_tokens: int,
+    max_punct_ratio: float,
+    min_alpha_ratio: float,
+    lang: str | None,
+    spread: int | None,
+) -> DataFrame:
+    """The stateless gate stage of ``stream_clean_corpus`` (quality +
+    lang filters + ``_fp``), factored out so the spread plan shape is
+    testable on a batch frame (dropDuplicatesWithinWatermark refuses
+    batch input; the Catalyst rules that matter here are shared)."""
+    gate_guard = F.lit(False)
+    if spread:
+        stream = stream.repartition(spread)
+        gate_guard = F.spark_partition_id() < F.lit(-1)
     cols = stream.columns
     q = text.quality_stats(stream, text_col)
     out = q.where(
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("punct_ratio") <= max_punct_ratio)
-        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        (
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("punct_ratio") <= max_punct_ratio)
+            & (F.col("alpha_ratio") >= min_alpha_ratio)
+        )
+        | gate_guard
     ).select(*cols)
     if lang is not None:
         out = (
@@ -234,9 +287,6 @@ def stream_clean_corpus(
             .where(F.col("pred_lang") == lang)
             .select(*cols)
         )
-    out = out.withColumn(
+    return out.withColumn(
         "_fp", F.sha2(text.normalize_text(text_col), 256)
-    )
-    return stream_dedup(
-        out, key_cols=("_fp",), ts_col=ts_col, watermark=watermark
     )

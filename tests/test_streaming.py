@@ -378,3 +378,80 @@ def test_stream_clean_corpus_matches_batch_gates(spark, tmp_path):
     }
     assert quality_ids <= all_pass
     assert gate_ids <= all_pass
+
+
+def test_stream_clean_corpus_spread_pins_gates_past_exchange(
+        spark, tmp_path):
+    """``spread=N`` must actually parallelize the GATES, not just the
+    fingerprint hash: Catalyst pushes deterministic filters through
+    exchanges (PushDownPredicates), so a bare repartition leaves the
+    quality/lang predicates — full expressions inlined — back at the
+    byte-sized scan. The always-false non-deterministic disjunct
+    (spark_partition_id() < -1) pins the quality filter, and every
+    filter stacked above it, past the exchange. Plan-asserted on the
+    batch surrogate (same optimizer rules run for micro-batch plans),
+    plus output equivalence spread-vs-not on a real stream."""
+    import pandas as pd
+
+    from pufs_spark.operators import pipeline as P
+    from pufs_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+
+    # -- plan pin (batch surrogate: withWatermark/dropDuplicates
+    #    degrade to batch ops, the filter/exchange shape is identical)
+    plan = (
+        P._gate_corpus(docs, "text", 5, 0.2, 0.5, "en", spread=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    exch = plan.index("Exchange RoundRobinPartitioning")
+    gate = plan.lower().index("spark_partition_id")
+    assert gate < exch, (
+        "quality gate filter was pushed below the spread exchange — "
+        "gates would run at source parallelism:\n" + plan[:2000]
+    )
+    # the guard must also appear in the gate filter, not be folded away
+    assert "Filter" in plan[:exch]
+
+    # -- and without the guard, pushdown DOES defeat the repartition
+    #    (pins the failure mode this exists for: if Catalyst ever stops
+    #    pushing filters through exchanges, the guard can be dropped)
+    from pufs_spark.operators import text as T
+
+    naive = (
+        T.quality_stats(
+            docs.repartition(4), "text"
+        ).where(F.col("n_tokens") >= 5).select("doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert naive.index("Filter") > naive.index("Exchange")
+
+    # -- semantics: spread changes placement only
+    pdf = docs.limit(400).toPandas()
+    pdf["ts"] = pd.Timestamp("2026-01-01")
+    src = str(tmp_path / "src")
+    import os as _os
+
+    _os.makedirs(src)
+    pdf.to_parquet(f"{src}/part0.parquet", index=False,
+                   coerce_timestamps="us")
+    fps = {}
+    for name, spread in (("plain", None), ("spread", 4)):
+        stream = spark.readStream.schema(
+            "doc_id long, text string, ts timestamp"
+        ).parquet(src)
+        out = str(tmp_path / f"out_{name}")
+        q = (
+            P.stream_clean_corpus(stream, spread=spread)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ck_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        fps[name] = {
+            r["_fp"] for r in spark.read.parquet(out).select("_fp").collect()
+        }
+    assert fps["plain"] == fps["spread"] and fps["plain"]
