@@ -161,7 +161,14 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
     )
     computed = F.coalesce(F.col("_fbid"), F.lit(EMPTY_MANIFEST_SHA))
     leaf_bid = F.coalesce(F.col("bid"), computed) if memoized else computed
-    leaf_dirs = (
+    # Finished leaf bids — these NEVER enter the single task (r12: the
+    # task previously received every leaf dir as a pre-memoized row,
+    # so the repartition(1) exchange and the Python loop were both
+    # leaf-count-sized — 150k rows / ~2-3 s of the sf1.0 wall for work
+    # whose only remaining purpose was contributing ONE manifest line
+    # to the parent). Checkpointed: feeds the parent-lines branch and
+    # the final output union.
+    leaf_bids = (
         d_all.join(interior_ids, "inode", "left_anti")
         .join(leaf_hash, "inode", "left")
         .select(
@@ -169,14 +176,35 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
             F.col("parent").cast("long").alias("parent"),
             "name",
             F.col("size").cast("long").alias("size"),
-            "depth",
-            leaf_bid.alias("bid"),  # enters the task pre-memoized
-            F.lit(None).cast("array<string>").alias("_flines"),
+            leaf_bid.alias("bid"),
         )
+        .localCheckpoint(eager=False)
     )
+    # Each hashed leaf dir becomes one manifest line in its PARENT's
+    # group — JVM-side groupBy, so the task's input shrinks to the
+    # INTERIOR DAG: interior dir rows + line groups (their own file
+    # children + their leaf-dir children).
+    leaf_lines = (
+        leaf_bids.where(F.col("parent") != F.col("inode"))
+        .withColumn("is_dir", F.lit(True))
+        .withColumn("_line", _manifest_line())
+        .groupBy(F.col("parent").alias("inode"))
+        .agg(F.collect_list("_line").alias("_flines"))
+    )
+    if memoized:
+        # a clean interior parent short-circuits on its bid and never
+        # reads lines — don't ship its (leaf-count-sized) line groups
+        # through the single-task exchange
+        dirty_parents = (
+            d_all.where(F.col("bid").isNull())
+            .select(F.col("inode"))
+        )
+        leaf_lines = leaf_lines.join(
+            F.broadcast(dirty_parents), "inode", "left_semi"
+        )
 
-    file_lines = (
-        file_lines_all.join(interior_ids, "inode", "left_semi").select(
+    def _as_line_rows(grouped: DataFrame) -> DataFrame:
+        return grouped.select(
             "inode",
             F.lit(None).cast("long").alias("parent"),
             F.lit(None).cast("string").alias("name"),
@@ -185,18 +213,18 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
             F.lit(None).cast("string").alias("bid"),
             "_flines",
         )
-    )
-    dirs = (
-        d_all.join(interior_ids, "inode", "left_semi").select(
-            "inode",
-            F.col("parent").cast("long").alias("parent"),
-            "name",
-            F.col("size").cast("long").alias("size"),
-            "depth",
-            "bid" if memoized else F.lit(None).cast("string").alias("bid"),
-            F.lit(None).cast("array<string>").alias("_flines"),
-        )
-        .unionByName(leaf_dirs)
+
+    file_lines = _as_line_rows(
+        file_lines_all.join(interior_ids, "inode", "left_semi")
+    ).unionByName(_as_line_rows(leaf_lines))
+    dirs = d_all.join(interior_ids, "inode", "left_semi").select(
+        "inode",
+        F.col("parent").cast("long").alias("parent"),
+        "name",
+        F.col("size").cast("long").alias("size"),
+        "depth",
+        "bid" if memoized else F.lit(None).cast("string").alias("bid"),
+        F.lit(None).cast("array<string>").alias("_flines"),
     )
 
     def hash_part(pdfs):
@@ -209,12 +237,13 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
             return
         pdf = pd.concat(batches, ignore_index=True)
         is_dir_row = pdf["parent"].notna()  # file-line rows carry no parent
-        flines = {
-            int(i): list(arr)
-            for i, arr in zip(
-                pdf.loc[~is_dir_row, "inode"], pdf.loc[~is_dir_row, "_flines"]
-            )
-        }
+        # a dir can receive TWO line groups — its own file children and
+        # its hashed leaf-dir children — so merge, don't overwrite
+        flines: dict[int, list] = {}
+        for i, arr in zip(
+            pdf.loc[~is_dir_row, "inode"], pdf.loc[~is_dir_row, "_flines"]
+        ):
+            flines.setdefault(int(i), []).extend(arr)
         rows: dict[int, tuple] = {}
         kids: dict[int, list[int]] = {}
         d = pdf[is_dir_row]
@@ -245,7 +274,7 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
             {"inode": list(bids), "bid": [bids[k] for k in bids]}
         )
 
-    return (
+    interior_bids = (
         dirs.unionByName(file_lines)
         # repartition(1), NOT coalesce(1): coalesce is not a shuffle
         # boundary, so it collapsed the whole upstream reduce side —
@@ -254,10 +283,11 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
         # sf1.0 with the leaf tier "distributed" but coalesced serial).
         # A repartition exchange keeps everything above it parallel and
         # single-tasks only the interior-DAG hash below, on the
-        # dir-count-sized rows that survive.
+        # interior-dir-count-sized rows that survive.
         .repartition(1)
         .mapInPandas(hash_part, "inode long, bid string")
     )
+    return interior_bids.unionByName(leaf_bids.select("inode", "bid"))
 
 
 def _freeze_dirs_levelwise(
@@ -380,14 +410,22 @@ def freeze_nodes_df(
     returned as-is and only null-bid (dirty) paths re-hash — safe
     because every mutation nulls bids up to the root (M8), so a set
     bid implies an unchanged subtree."""
+    had_depth = "depth" in nodes.columns
     leveled = with_depth(nodes, max_depth)
     sl = leveled.storageLevel
-    if not (sl.useMemory or sl.useDisk):
-        # An incremental caller holds its catalog cached (the standing
-        # state a mutation loop folds into); re-persisting it here made
-        # EVERY freeze pay a catalog-sized second cache write — ~2 s of
-        # the sf1.0 memoized floor (r12 profile). Persist only when the
-        # input isn't already resident.
+    if not had_depth and not (sl.useMemory or sl.useDisk):
+        # The freeze scans ``leveled`` ~5 times (strategy count, dir
+        # and file branches, join-back). When depth came from the
+        # caller the lineage is a cheap columnar scan and re-executing
+        # it is FASTER than one catalog-sized cache write (sf1.0 A/B:
+        # persist-first e2e 2.6-3.4 s vs 2.4-2.7 s without — and the
+        # first persisted run pays a ~4 s write). When with_depth had
+        # to DERIVE depth (pointer-doubling self-joins), recomputing
+        # that per scan would dwarf the cache write — persist exactly
+        # then. Incremental callers holding their catalog cached (the
+        # standing mutation-loop state) are already resident and are
+        # never re-persisted (r12 profile: the redundant second cache
+        # write was ~2 s of the memoized floor).
         leveled = leveled.persist()
     single_task = leveled.count() <= single_task_max_rows
     if single_task:
