@@ -54,6 +54,13 @@ WITH_MAINT = os.environ.get("SOAK_MAINT", "0") == "1"
 WITH_ANN = WITH_MAINT or os.environ.get("SOAK_ANN", "0") == "1"
 WITH_BLOOM = WITH_MAINT or os.environ.get("SOAK_BLOOM", "0") == "1"
 MAINT_EVERY = int(os.environ.get("SOAK_MAINT_EVERY", "4"))
+# SECOND, MILD drift (r11 verdict task 6): from the last quarter of
+# the soak, this fraction of each batch's docs moves to a region the
+# RETRAINED lineage never saw — sized to sit ABOVE the post-retrain
+# calibration plateau but BELOW the recalibrated threshold, i.e. the
+# drift the retrain trigger is blind to and only the thin-margin
+# warning (drift_margin_warning, ratio < 2x) surfaces. 0 disables.
+DRIFT2_FRAC = float(os.environ.get("SOAK_DRIFT2_FRAC", "0"))
 
 
 def with_vec(df, dims=16, shifted=False):
@@ -77,6 +84,33 @@ def with_vec(df, dims=16, shifted=False):
         for i in range(dims)
     ]
     return df.withColumn("embedding", F.array(*base))
+
+
+def with_vec_mild(df, dims=16, frac=0.25):
+    """Phase-3 vectors: a deterministic ``frac`` of docs move to the
+    DIAGONAL (components in every dim) — a region neither half-space
+    lineage trained on, but geometrically CLOSE to both (cos ~0.7 to a
+    pure-half centroid instead of ~0): per-affected-doc drop is
+    modest, so the batch mean_drop lands above the post-retrain
+    plateau but under the recalibrated threshold — the drift the
+    patience trigger cannot see. The rest keep the phase-2 (shifted)
+    construction, which IS the retrained lineage's in-distribution
+    mass."""
+    half_d = dims // 2
+
+    def comp(i):
+        return (F.pmod(F.hash(F.col("doc_id") + F.lit(i)), F.lit(1000))
+                .cast("float") / 500.0 - 1.0)
+
+    is_mild = F.pmod(F.hash(F.col("doc_id") * 7919), F.lit(1000)) \
+        < F.lit(int(frac * 1000))
+    cols = [
+        F.when(is_mild, comp(i)).otherwise(
+            comp(i) if i >= half_d else F.lit(0.0).cast("float")
+        )
+        for i in range(dims)
+    ]
+    return df.withColumn("embedding", F.array(*cols))
 
 
 def main() -> None:
@@ -121,11 +155,16 @@ def main() -> None:
     maint: list[dict] = []
     for i in range(N_BATCHES):
         # drift-forcing shift: from the halfway batch on, embeddings
-        # move to a corner of the cube the frozen centroids never saw
-        src = (
-            with_vec(raw, shifted=True)
-            if WITH_MAINT and i >= half else docs
-        )
+        # move to a corner of the cube the frozen centroids never saw;
+        # from the last quarter (SOAK_DRIFT2_FRAC set), a SECOND, MILD
+        # drift the retrained lineage's trigger is blind to
+        d2_start = (3 * N_BATCHES) // 4 + 1
+        if WITH_MAINT and DRIFT2_FRAC > 0 and i >= d2_start:
+            src = with_vec_mild(raw, frac=DRIFT2_FRAC)
+        elif WITH_MAINT and i >= half:
+            src = with_vec(raw, shifted=True)
+        else:
+            src = docs
         batch = src.where(F.col("doc_id") % mod == i)
         t0 = time.time()
         r = ingest.ingest_corpus_batch(
@@ -188,12 +227,39 @@ def main() -> None:
             for r in similarity.ann_index_drift(spark, "soak_ann")
             .orderBy("batch_id").collect()
         ]
+    second_drift = None
+    if WITH_MAINT and DRIFT2_FRAC > 0 and maint:
+        # the claim under test (r11 verdict task 6): the mild drift is
+        # INVISIBLE to the patience trigger (no second retrain fires
+        # after it starts) and the thin-margin warning is what caught
+        # it — recorded per maintenance run above, summarized here
+        d2_start = (3 * N_BATCHES) // 4 + 1
+        post = [m for m in maint if m["after_batch"] >= d2_start]
+        retrain_batches = [
+            m["after_batch"] for m in maint if m["ann_retrained"]
+        ]
+        second_drift = {
+            "frac": DRIFT2_FRAC,
+            "starts_at_batch": d2_start,
+            "retrains_after_start": sum(
+                1 for b in retrain_batches if b >= d2_start
+            ),
+            "margin_warnings_after_start": [
+                {"after_batch": m["after_batch"],
+                 "ratio": m["drift_margin_ratio"],
+                 "plateau": m["drift_plateau"],
+                 "threshold": m["drift_threshold"],
+                 "window": m["drift_window"]}
+                for m in post if m["drift_margin_warning"]
+            ],
+        }
     print(json.dumps({
         "sf_dir": SF_DIR,
         "batches": N_BATCHES,
         "with_ann": WITH_ANN,
         "with_bloom": WITH_BLOOM,
         "with_maint": WITH_MAINT,
+        "second_drift": second_drift,
         "maintenance": maint or None,
         "retrains_total": sum(1 for m in maint if m["ann_retrained"]),
         "bloom_rebuilds_total": sum(1 for m in maint if m["bloom_rebuilt"]),
