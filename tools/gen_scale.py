@@ -56,11 +56,22 @@ def replica_select(table: str, cols: list[str], i: int) -> str:
         if c in shifts:
             out.append(f"{c} + {i * STRIDE} AS {c}")
         elif table == "documents" and c == "text" and i > 0:
-            src_l = "etaoinshrdlu"
-            dst_l = src_l[i % 12:] + src_l[: i % 12]
+            # TWO independent 12-letter rotations (disjoint sets) give
+            # 144 distinct transforms: a single rotation repeats every
+            # 12 replicas, so a 100-replica (sf10) tile made every doc
+            # an EXACT duplicate of ~8 others — LSH wall scales with
+            # sum(cluster^2), and D1 measured 403 s at sf10 purely on
+            # the generator's dup cliques (r12). Composed rotations
+            # keep replicas pairwise-decorrelated to factor 144.
+            s1 = "etaoinshrdlu"
+            s2 = "cmfwypbgkqvx"
+            r1, r2 = i % 12, (i // 12) % 12
+            d1 = s1[r1:] + s1[:r1]
+            d2 = s2[r2:] + s2[:r2]
+            src_l = s1 + s1.upper() + s2 + s2.upper()
+            dst_l = d1 + d1.upper() + d2 + d2.upper()
             out.append(
-                f"translate(text, '{src_l}{src_l.upper()}', "
-                f"'{dst_l}{dst_l.upper()}') AS text"
+                f"translate(text, '{src_l}', '{dst_l}') AS text"
             )
         elif table == "embeddings" and c == "embedding" and i > 0:
             out.append(

@@ -29,9 +29,9 @@ def main():
     spark = get_spark(app_name="profile_f1_memo")
     depth = (
         F.when(F.col("inode") == 1, 0)
-        .when(F.col("inode") < 10, 1)
-        .when(F.col("inode") < 100, 2)
-        .when(F.col("inode") < 100000, 3)
+        .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 10, 1)
+        .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 100, 2)
+        .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 100000, 3)
         .otherwise(4)
         .cast("int")
     )

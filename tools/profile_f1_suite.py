@@ -28,9 +28,9 @@ def main():
         return fstree.fs_nodes(spark, sf_dir).withColumn(
             "depth",
             F.when(F.col("inode") == 1, 0)
-            .when(F.col("inode") < 10, 1)
-            .when(F.col("inode") < 100, 2)
-            .when(F.col("inode") < 100000, 3)
+            .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 10, 1)
+            .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 100, 2)
+            .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 100000, 3)
             .otherwise(4)
             .cast("int"),
         )
