@@ -203,14 +203,25 @@ def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     and freeze_nodes_df skips the pointer-doubling depth derivation
     (the generic fallback for depth-less catalogs). At this catalog
     size freeze_nodes_df picks its single-task strategy: one
-    catalog-sized shuffle, then the dir DAG hashes in one Arrow task
-    (~1.8s at sf0.1 vs 5.8s for the r2 per-level-shuffle plan)."""
+    catalog-sized shuffle, then the interior dir DAG hashes in one
+    Arrow task (~1.8s at sf0.1 vs 5.8s for the r2 per-level-shuffle
+    plan).
+
+    The thresholds apply to the inode's offset WITHIN its key-stride
+    block (tools/gen_scale.py tiles scale factors by shifting every
+    key +replica*1e7, which shifts inodes identically): pmod is the
+    identity on the driver's un-tiled sf dirs, and on a tiled catalog
+    a bare `inode < 100000` would stamp every replica>0 customer DIR
+    at file depth — harmless to the single-task plan (its ordering is
+    structural) but silently wrong for the level-wise plan, which
+    pairs dirs at depth d with children at d+1."""
+    off = F.pmod(F.col("inode"), F.lit(10_000_000))
     nodes = _fs_nodes(spark, sf_dir).withColumn(
         "depth",
         F.when(F.col("inode") == 1, 0)
-        .when(F.col("inode") < 10, 1)
-        .when(F.col("inode") < 100, 2)
-        .when(F.col("inode") < 100000, 3)
+        .when(off < 10, 1)
+        .when(off < 100, 2)
+        .when(off < 100000, 3)
         .otherwise(4)
         .cast("int"),
     )

@@ -49,6 +49,14 @@ _ACTIVE_SIGS_BUDGET = 6
 # cap the semi-join plans without a hint (AQE may still pick broadcast
 # at runtime if the actual size allows).
 _SURVIVOR_BROADCAST_CAP = 1_000_000
+# Max docs whose minhash signature table may be broadcast-hinted in
+# near_dup_pairs' estimator joins: ~600 B/row (64 hashes + overhead),
+# so 600k ≈ 360 MB per side — comfortable under the 32 GB local JVM
+# (the unhinted sort-merge measured 4x slower at the 500k-doc sf10
+# tile: 107 s vs 25 s, r12); past the cap the plain shuffled join is
+# the scalable path — a 10^9-doc corpus must never ship its signature
+# table to every executor.
+_SIGS_BROADCAST_CAP = 600_000
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -333,11 +341,21 @@ def near_dup_pairs(
         while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
             _ACTIVE_SIGS.pop(0).unpersist()
     cand = lsh_candidate_pairs(sigs, id_col, bands, rows)
-    # broadcast_ok=True is THIS caller's privilege: sigs is persisted,
-    # bounded (one fixed-width row per doc of the corpus we are already
-    # materializing in full), and feeding a self-join — the
-    # corpus-index path in cross_near_dup_pairs must stay hint-free.
-    est = estimate_jaccard_pairs(sigs, cand, id_col, broadcast_ok=True)
+    # The broadcast hint on the estimator joins is worth +70% at
+    # sf0.1 (AQE has no stats for a persisted frame mid-plan and
+    # sort-merges without it) — but a signature row is ~600 B
+    # (64 hashes + overhead), so the hint grows WITH THE CORPUS and
+    # past ~10^5 docs it becomes the OOM it outran: at the sf10 tile
+    # (500k docs, ~300 MB x two sides) it killed the shared-session
+    # bench with "Not enough memory to build and broadcast" (r12).
+    # Gate on an actual count, like the survivor broadcast in
+    # cross_near_dup_pairs: the count materializes the persisted
+    # sigs the joins below reuse anyway, and an over-cap corpus
+    # falls back to a plain (shuffled, scalable) join.
+    est = estimate_jaccard_pairs(
+        sigs, cand, id_col,
+        broadcast_ok=sigs.count() <= _SIGS_BROADCAST_CAP,
+    )
     survivors = est.where(
         F.col("est_jaccard") >= threshold - est_margin
     ).select("a", "b")

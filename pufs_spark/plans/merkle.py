@@ -393,17 +393,22 @@ def freeze_nodes_df(
 
     Two physical strategies behind one result:
 
-    - **single-task** (catalog ≤ ``single_task_max_rows``): one
-      catalog-sized groupBy collects per-dir file manifest lines, then
-      the dir DAG — orders of magnitude smaller than the catalog —
-      is hashed bottom-up in a single Arrow-batched task. The whole
-      freeze is ONE job (sf0.1: ~1s vs ~4s for the level plan, vs
-      5.8s for the r2 per-level-shuffle plan).
+    - **single-task** (DIR count ≤ ``single_task_max_rows``): one
+      catalog-sized groupBy collects per-dir file manifest lines, the
+      LEAF dir tier hashes JVM-side, and only the interior DAG — a
+      branching factor smaller than the dir count — reaches a single
+      Arrow-batched task. The whole freeze is ONE job (sf0.1: ~1s vs
+      ~4s for the level plan, vs 5.8s for the r2 per-level-shuffle
+      plan; sf10 / 61.5M rows: ~17s, see BASELINE).
     - **level-wise** (larger): level-synchronous hashing where every
       per-level frame stays dir-count-sized and broadcast-joined;
       depth× small jobs, but no single task ever holds all dir
-      metadata. The threshold is rows ≈ manifest bytes: 4M rows ≈
-      400MB of lines in the one task — beyond that, go level-wise.
+      metadata. The threshold gates on DIRS, not catalog rows (r12:
+      since the leaf tier left the single task, FILE rows never reach
+      it — a 60M-file / 1.5M-dir catalog is fine single-task): 4M dirs
+      ≈ 400MB of leaf manifest lines through the one exchange and a
+      dir-count-sized broadcast for the join-back — beyond that, go
+      level-wise.
 
     ``memoized=True`` is the reference's dirty-bit pruning
     (core/datastore.go:1123-1125): dirs that already carry a bid are
@@ -427,7 +432,9 @@ def freeze_nodes_df(
         # never re-persisted (r12 profile: the redundant second cache
         # write was ~2 s of the memoized floor).
         leveled = leveled.persist()
-    single_task = leveled.count() <= single_task_max_rows
+    single_task = (
+        leveled.where(F.col("is_dir")).count() <= single_task_max_rows
+    )
     if single_task:
         all_dir_bids = _freeze_dirs_single_task(leveled, memoized)
         # the bid table provably fits one task → broadcast the join-back

@@ -1508,16 +1508,22 @@ def serve(
 
 def serve_mirror(
     mirror_dir: str, cas=None, host: str = "127.0.0.1", port: int = 0,
-    max_cache_bytes: int | None = None,
+    max_cache_bytes: int | None = None, calibrate: bool = True,
 ) -> tuple[PufsServer, int]:
     """Serve the S12 surface from a streaming catalog mirror — the
     read path decoupled from the single-writer driver (see
     MirrorService). ``cas`` (a sources.cas.Freezer) additionally
     enables ranged ``read`` of frozen blocks. ``max_cache_bytes``
     bounds the decoded-bucket LRU (default MirrorStore 1 GiB) so the
-    server's memory is O(cap), not O(catalog)."""
+    server's memory is O(cap), not O(catalog). ``calibrate`` (default
+    on for a long-lived server: one smallest-bucket decode + one
+    filtered read, bounded ms) seeds the admission-cost EWMAs from
+    THIS box's storage instead of the class-constant defaults."""
     server = PufsServer(
-        MirrorService(MirrorStore(mirror_dir, max_cache_bytes), cas),
+        MirrorService(
+            MirrorStore(mirror_dir, max_cache_bytes, calibrate=calibrate),
+            cas,
+        ),
         host, port,
     )
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -1546,7 +1552,10 @@ def _fleet_worker(mirror_dir, host, port, max_cache_bytes, cas_factory, q):
     try:
         cas = cas_factory() if cas_factory is not None else None
         server = _ReuseportServer(
-            MirrorService(MirrorStore(mirror_dir, max_cache_bytes), cas),
+            MirrorService(
+                MirrorStore(mirror_dir, max_cache_bytes, calibrate=True),
+                cas,
+            ),
             host, port,
         )
     except Exception as exc:  # report, don't hang the parent's q.get

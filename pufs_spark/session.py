@@ -38,7 +38,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("PUFS_DRIVER_MEM", "8g"))
+        # In local mode the driver heap IS the executor heap: 8g split
+        # 32 ways left ~150 MB execution memory per task and made any
+        # corpus-sized broadcast an OOM (sf10 bench, r12). A real
+        # cluster gives each executor 16-64g; size the single local JVM
+        # like one. Env-overridable for small boxes.
+        .config("spark.driver.memory", os.environ.get("PUFS_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

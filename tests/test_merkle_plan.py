@@ -489,3 +489,74 @@ def test_gc_tolerates_label_landing_after_stale_inventory(spark, tmp_path):
     assert fresh.read_path("/m/dir/f0.dat") == b"v0" * 64
     assert fresh.read_path("/m/dir/f1.dat") == b"v1" * 64
     assert dict(y_bid)["rel"] == y  # sanity: label unchanged
+
+
+def test_strided_tile_freeze_levelwise_matches_single_task(spark):
+    """The sf-scaling tiles (tools/gen_scale.py) shift every key by
+    replica*1e7, which shifts customer/order INODES identically while
+    root/region/nation stay shared. A depth stamp thresholding the raw
+    inode (`inode < 100000` => dir depth 3) stamps every replica>0
+    customer DIR at file depth — the single-task plan survives (its
+    ordering is structural) but the LEVEL-WISE plan pairs depth d with
+    children at d+1 and silently hashes nations WITHOUT their shifted
+    customer children. Pin: build a two-replica strided tree, stamp
+    depth the way q_f1 does (pmod within the stride block), freeze
+    with BOTH strategies, and require bit-identical bids."""
+    from tests.conftest import SF_DIR
+
+    base = fstree.fs_nodes(spark, SF_DIR)
+    stride = 10_000_000
+    # replica 1: customer dirs + order files shift by the stride;
+    # customers keep their (shared) nation parents, orders follow
+    # their shifted customer parents. Distinct names avoid sibling
+    # collisions, as the real tile's shifted keys do.
+    shifted = (
+        base.where(F.col("inode") >= 100)
+        .select(
+            (F.col("inode") + stride).alias("inode"),
+            F.when(F.col("parent") >= 100, F.col("parent") + stride)
+            .otherwise(F.col("parent")).alias("parent"),
+            F.concat(F.col("name"), F.lit("~r1")).alias("name"),
+            "is_dir",
+            "size",
+            "bid",
+        )
+    )
+    nodes = base.unionByName(shifted)
+    off = F.pmod(F.col("inode"), F.lit(stride))
+    nodes = nodes.withColumn(
+        "depth",
+        F.when(F.col("inode") == 1, 0)
+        .when(off < 10, 1)
+        .when(off < 100, 2)
+        .when(off < 100000, 3)
+        .otherwise(4)
+        .cast("int"),
+    )
+    single = {
+        r["inode"]: r["bid"]
+        for r in merkle.freeze_nodes_df(
+            nodes, single_task_max_rows=10_000_000
+        ).where(F.col("is_dir")).select("inode", "bid").collect()
+    }
+    level = {
+        r["inode"]: r["bid"]
+        for r in merkle.freeze_nodes_df(
+            nodes, single_task_max_rows=0
+        ).where(F.col("is_dir")).select("inode", "bid").collect()
+    }
+    assert single == level and single[1] is not None
+    # the shifted replica actually changed the root (sanity: the tile
+    # isn't degenerate — new children reached every ancestor)
+    base_stamped = base.withColumn(
+        "depth",
+        F.when(F.col("inode") == 1, 0)
+        .when(off < 10, 1).when(off < 100, 2)
+        .when(off < 100000, 3).otherwise(4).cast("int"),
+    )
+    lone = {
+        r["inode"]: r["bid"]
+        for r in merkle.freeze_nodes_df(base_stamped)
+        .where(F.col("is_dir")).select("inode", "bid").collect()
+    }
+    assert lone[1] != single[1]

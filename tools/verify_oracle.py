@@ -95,7 +95,7 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
-        .config("spark.driver.memory", os.environ.get("PUFS_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("PUFS_DRIVER_MEM", "32g"))
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
