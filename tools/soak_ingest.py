@@ -87,15 +87,18 @@ def with_vec(df, dims=16, shifted=False):
 
 
 def with_vec_mild(df, dims=16, frac=0.25):
-    """Phase-3 vectors: a deterministic ``frac`` of docs move to the
-    DIAGONAL (components in every dim) — a region neither half-space
-    lineage trained on, but geometrically CLOSE to both (cos ~0.7 to a
-    pure-half centroid instead of ~0): per-affected-doc drop is
-    modest, so the batch mean_drop lands above the post-retrain
-    plateau but under the recalibrated threshold — the drift the
-    patience trigger cannot see. The rest keep the phase-2 (shifted)
-    construction, which IS the retrained lineage's in-distribution
-    mass."""
+    """Phase-3 vectors: a deterministic ``frac`` of docs NEGATE their
+    phase-2 (shifted) vector — anti-aligned with the retrained
+    lineage's B-half centroids (cos ≈ -c to the old nearest), so each
+    affected doc's drop is near the full-drift baseline, and the BATCH
+    mean_drop is ~frac × that: sized to land above the post-retrain
+    calibration plateau but under the recalibrated threshold — the
+    drift the patience trigger cannot see. (A first attempt used
+    diagonal all-dims vectors; they landed CLOSER to the mixed-corpus
+    centroids than the in-distribution mass and the window sat below
+    the plateau — anti-alignment is what actually buys distance from
+    every trained centroid.) The rest keep the phase-2 construction,
+    which IS the retrained lineage's in-distribution mass."""
     half_d = dims // 2
 
     def comp(i):
@@ -105,8 +108,10 @@ def with_vec_mild(df, dims=16, frac=0.25):
     is_mild = F.pmod(F.hash(F.col("doc_id") * 7919), F.lit(1000)) \
         < F.lit(int(frac * 1000))
     cols = [
-        F.when(is_mild, comp(i)).otherwise(
-            comp(i) if i >= half_d else F.lit(0.0).cast("float")
+        (
+            F.when(is_mild, -comp(i)).otherwise(comp(i))
+            if i >= half_d
+            else F.lit(0.0).cast("float")
         )
         for i in range(dims)
     ]
