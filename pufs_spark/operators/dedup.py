@@ -49,14 +49,43 @@ _ACTIVE_SIGS_BUDGET = 6
 # cap the semi-join plans without a hint (AQE may still pick broadcast
 # at runtime if the actual size allows).
 _SURVIVOR_BROADCAST_CAP = 1_000_000
-# Max docs whose minhash signature table may be broadcast-hinted in
-# near_dup_pairs' estimator joins: ~600 B/row (64 hashes + overhead),
-# so 600k ≈ 360 MB per side — comfortable under the 32 GB local JVM
-# (the unhinted sort-merge measured 4x slower at the 500k-doc sf10
-# tile: 107 s vs 25 s, r12); past the cap the plain shuffled join is
+# Ceiling on docs whose minhash signature table may be broadcast-
+# hinted in near_dup_pairs' estimator joins; the EFFECTIVE cap scales
+# with the session's actual heap (_sigs_broadcast_cap) — ADVICE r12:
+# a constant sized against the 32g default re-created the broadcast
+# OOM the moment PUFS_DRIVER_MEM was overridden lower. A signature
+# row is ~600 B (64 hashes + overhead); the rule is heap/60000 ≈ 1%
+# of heap per side (600k ≈ 360 MB at 32 GiB, the point measured safe
+# and 4x faster than the unhinted sort-merge at the 500k-doc sf10
+# tile: 107 s vs 25 s, r12). Past the cap the plain shuffled join is
 # the scalable path — a 10^9-doc corpus must never ship its signature
 # table to every executor.
-_SIGS_BROADCAST_CAP = 600_000
+_SIGS_BROADCAST_CEIL = 2_000_000
+
+
+def _sigs_broadcast_cap(spark) -> int:
+    """Heap-derived doc-count cap for signature broadcast hints.
+
+    Uses the smaller of driver and executor heap on a cluster (the
+    broadcast must fit BOTH the driver collect and every executor's
+    copy); in local mode there is one JVM and only the driver heap is
+    real — ``spark.executor.memory`` is ignored there and its default
+    would spuriously halve the cap."""
+    heap = _parse_mem(spark.conf.get("spark.driver.memory", "8g"))
+    if not spark.sparkContext.master.startswith("local"):
+        heap = min(
+            heap, _parse_mem(spark.conf.get("spark.executor.memory", "8g"))
+        )
+    return max(10_000, min(_SIGS_BROADCAST_CEIL, heap // 60_000))
+
+
+def _parse_mem(s: str) -> int:
+    """JVM memory string -> bytes ('32g', '8192m', '512k', plain)."""
+    s = s.strip().lower()
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -354,7 +383,7 @@ def near_dup_pairs(
     # falls back to a plain (shuffled, scalable) join.
     est = estimate_jaccard_pairs(
         sigs, cand, id_col,
-        broadcast_ok=sigs.count() <= _SIGS_BROADCAST_CAP,
+        broadcast_ok=sigs.count() <= _sigs_broadcast_cap(df.sparkSession),
     )
     survivors = est.where(
         F.col("est_jaccard") >= threshold - est_margin

@@ -384,9 +384,14 @@ class MirrorStore:
             out = dict(self._stats)
             out["decode_us_per_row"] = round(self.decode_us_per_row(), 3)
             out["point_read_cost_ms"] = round(self.point_read_cost_ms(), 3)
+            # Per-metric flags (ADVICE r12): a store whose largest
+            # bucket has zero row groups measures decode but never the
+            # point read — the combined flag alone would report the
+            # whole calibration as absent when half of it landed.
+            out["calibrated_decode"] = self._cal_decode_us_per_row is not None
+            out["calibrated_point"] = self._cal_point_read_ms is not None
             out["calibrated"] = (
-                self._cal_decode_us_per_row is not None
-                and self._cal_point_read_ms is not None
+                out["calibrated_decode"] and out["calibrated_point"]
             )
             return out
 
@@ -464,8 +469,36 @@ class MirrorStore:
         if not buckets:
             return None
         buckets.sort()
-        small = _os.path.join(state_dir, buckets[0][1])
         large = _os.path.join(state_dir, buckets[-1][1])
+        # Decode-seed bucket: the smallest one the PASSIVE path would
+        # also accept (>= CAL_MIN_DECODE_ROWS rows). Seeding from a
+        # tinier bucket measures fixed per-read overhead (file open +
+        # Arrow setup ~1 ms) as if it were per-row cost — ADVICE r12:
+        # a 5-row smallest bucket seeded up to the 1000 µs/row clamp
+        # and pushed every admission threshold to POINT_ADMIT_CEIL
+        # until a real >=1024-row decode corrected it. Footer num_rows
+        # is a metadata-only read; a size floor derived from the
+        # largest bucket's bytes/row skips footers that cannot
+        # qualify, so the walk is a handful of reads, not O(buckets).
+        # No qualifying bucket -> decode the LARGEST (least-biased
+        # measurement available).
+        meta_large = pq.ParquetFile(large).metadata
+        small = None
+        if meta_large.num_rows >= self.CAL_MIN_DECODE_ROWS:
+            bpr = max(1, buckets[-1][0] // max(meta_large.num_rows, 1))
+            min_bytes = self.CAL_MIN_DECODE_ROWS * bpr // 2
+            for size, f in buckets:
+                if size < min_bytes:
+                    continue
+                p = _os.path.join(state_dir, f)
+                if (
+                    pq.ParquetFile(p).metadata.num_rows
+                    >= self.CAL_MIN_DECODE_ROWS
+                ):
+                    small = p
+                    break
+        if small is None:
+            small = large
         t0 = _time.perf_counter()
         t = pq.read_table(small)
         # materialize like _bucket_entry does — the Python dict build
@@ -482,21 +515,34 @@ class MirrorStore:
         # timed read decodes a real matching row group, not a
         # stats-pruned no-op (one row-group column read to find it —
         # bounded, init-only)
-        pf = pq.ParquetFile(large)
+        pf_path, pf = large, pq.ParquetFile(large)
+        if pf.metadata.num_rows == 0:
+            # the largest file can be a schema-only table; the point
+            # probe needs a real row or calibrated_point stays False
+            # forever on an otherwise-healthy store (ADVICE r12)
+            for _size, f in reversed(buckets[:-1]):
+                cand_path = _os.path.join(state_dir, f)
+                cand = pq.ParquetFile(cand_path)
+                if cand.metadata.num_rows > 0:
+                    pf_path, pf = cand_path, cand
+                    break
         probe = (
             pf.read_row_group(0, columns=["path"])["path"][0].as_py()
-            if pf.num_row_groups else None
+            if pf.metadata.num_rows > 0 else None
         )
         if probe is not None:
             t0 = _time.perf_counter()
-            pq.read_table(large, filters=[("path", "==", probe)])
+            pq.read_table(pf_path, filters=[("path", "==", probe)])
             pr_s = _time.perf_counter() - t0
             self._note_point_cost(pr_s)
         else:
             pr_s = None
-        # seed the decode EWMA even for a small bucket: a biased-high
-        # seed beats another box's constant, and real decodes correct it
-        if rows and dec_s > 0:
+        if len(rows) >= self.CAL_MIN_DECODE_ROWS:
+            # same acceptance rule as the passive path
+            self._note_decode_cost(len(rows), dec_s)
+        elif rows and dec_s > 0:
+            # every bucket is tiny: a biased-high seed still beats
+            # another box's constant, and real decodes correct it
             us = min(1000.0, max(0.5, dec_s * 1e6 / len(rows)))
             with self._lock:
                 cur = self._cal_decode_us_per_row
@@ -650,9 +696,9 @@ class MirrorStore:
                 # live-measured costs (the decode just memoized the
                 # actual size, a raced fold can change it, and the
                 # point-cost EWMA drifts between accesses): re-admit-
-                # on-first-access must hold under all of them, and the
-                # access-time `min(count, need)` clamp re-bounds the
-                # counter anyway.
+                # on-first-access must hold under all of them, and
+                # POINT_ADMIT_CEIL — the same bound _note_point_read
+                # clamps at — keeps the counter finite under any drift.
                 with self._lock:
                     self._point_freq[fname] = self.POINT_ADMIT_CEIL
         return rows, kids

@@ -11,6 +11,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """Local-JVM heap default: ``min(32g, ~70% of MemTotal)``, floor 2g.
+
+    32g is the target on bench-class boxes (a cluster executor's
+    share); 70% leaves the OS, the Python workers (one per core), and
+    Arrow transfer buffers headroom so the heap never races the
+    OOM-killer on small hosts. /proc/meminfo is Linux-only — any
+    failure falls back to the conservative pre-r12 8g."""
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    return f"{max(2, min(32, int(total_gib * 0.7)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "pufs_spark",
     cpus: int | None = None,
@@ -42,8 +61,14 @@ def get_spark(
         # 32 ways left ~150 MB execution memory per task and made any
         # corpus-sized broadcast an OOM (sf10 bench, r12). A real
         # cluster gives each executor 16-64g; size the single local JVM
-        # like one. Env-overridable for small boxes.
-        .config("spark.driver.memory", os.environ.get("PUFS_DRIVER_MEM", "32g"))
+        # like one — but derive the default from the BOX (ADVICE r12:
+        # a flat 32g on a <32 GB host trades a contained Java OOM for
+        # the OS OOM-killer once the lazily-committed heap fills).
+        # PUFS_DRIVER_MEM still overrides outright.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("PUFS_DRIVER_MEM", _default_driver_mem()),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

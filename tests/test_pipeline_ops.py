@@ -999,3 +999,20 @@ def test_update_bm25_index_replay_is_noop(spark, docs, tmp_path_factory):
     finally:
         spark.sql("DROP TABLE IF EXISTS bm25_rp")
         spark.sql("DROP TABLE IF EXISTS bm25_rp_stats")
+
+
+def test_sigs_broadcast_cap_scales_with_heap(spark):
+    """ADVICE r12: the signature-broadcast cap was a constant sized for
+    the 32g default heap; with PUFS_DRIVER_MEM overridden lower the
+    hinted broadcast could re-create the OOM it was built to prevent.
+    The cap must derive from the session's actual heap."""
+    assert dedup._parse_mem("32g") == 32 << 30
+    assert dedup._parse_mem("8192m") == 8 << 30
+    assert dedup._parse_mem("512k") == 512 << 10
+    assert dedup._parse_mem("1024") == 1024
+
+    cap = dedup._sigs_broadcast_cap(spark)
+    heap = dedup._parse_mem(spark.conf.get("spark.driver.memory", "8g"))
+    assert cap == max(10_000, min(dedup._SIGS_BROADCAST_CEIL, heap // 60_000))
+    # the measured-safe point: 32 GiB -> ~572k docs (was the 600k const)
+    assert abs((32 << 30) // 60_000 - 600_000) < 40_000

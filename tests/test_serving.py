@@ -1664,6 +1664,42 @@ def test_calibrate_seeds_measured_costs(spark, tmp_path):
     assert s2.stats()["calibrated"] is False
 
 
+def test_calibrate_decode_seed_skips_noise_floor_buckets(spark, tmp_path):
+    """ADVICE r12: the decode seed came from the SMALLEST bucket even
+    below CAL_MIN_DECODE_ROWS — a measurement the passive path rejects
+    as fixed-overhead noise — so a mirror with one tiny bucket started
+    at up to the 1000 µs/row clamp and pushed every admission threshold
+    to POINT_ADMIT_CEIL. The seed must come from a bucket the passive
+    path would also accept when one exists, and stats() must report
+    calibration per-metric."""
+    from pufs_spark.streaming import mirror as M
+
+    row = _cdc_row_factory()
+    batch = [row(1, "upsert", "/", True, 0, None),
+             row(1, "upsert", "/tiny", True, 0, None),
+             row(1, "upsert", "/big", True, 0, None)]
+    for j in range(3):  # noise-floor bucket
+        batch.append(row(1, "upsert", f"/tiny/f{j}", False, 10 + j, f"t-{j}"))
+    # one >= CAL_MIN_DECODE_ROWS bucket: paths bucket on their first
+    # BUCKET_DEPTH(=2) components, so files at depth 3 under a shared
+    # /big/sub prefix all land in a single bucket
+    batch.append(row(1, "upsert", "/big/sub", True, 0, None))
+    for j in range(1500):
+        batch.append(row(1, "upsert", f"/big/sub/f{j}", False, 10 + j, f"b-{j}"))
+    mdir = str(tmp_path / "mirror")
+    M._fold_rows(str(tmp_path / "cat"), mdir, batch, spark=spark)
+
+    store = serving.MirrorStore(mdir)
+    out = store.calibrate()
+    assert out["decode_rows"] >= store.CAL_MIN_DECODE_ROWS
+    st = store.stats()
+    assert st["calibrated_decode"] is True
+    assert st["calibrated_point"] is True
+    # the seed is a real marginal-cost number, nowhere near the clamp a
+    # 3-row decode would have hit
+    assert store._cal_decode_us_per_row < 1000.0
+
+
 def test_passive_point_cost_measured_from_real_reads(spark, tmp_path):
     """Every filtered point read the store actually serves feeds the
     point-cost EWMA — the threshold tracks live storage with no

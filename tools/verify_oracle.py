@@ -22,6 +22,7 @@ from pyspark.sql import SparkSession
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod  # noqa: E402
+from pufs_spark.session import _default_driver_mem  # noqa: E402
 from pufs_spark.tables import TPCH_TABLES  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
@@ -95,7 +96,13 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.host", "127.0.0.1")
-        .config("spark.driver.memory", os.environ.get("PUFS_DRIVER_MEM", "32g"))
+        # box-derived heap, same rule as pufs_spark.session (ADVICE
+        # r12: a flat 32g assumes a large bench box); the import pulls
+        # only the helper — the session stays conf-plain otherwise
+        .config(
+            "spark.driver.memory",
+            os.environ.get("PUFS_DRIVER_MEM", _default_driver_mem()),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")
