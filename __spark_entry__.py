@@ -83,7 +83,25 @@ def _fs_memo(spark: SparkSession, sf_dir: str, what: str) -> DataFrame:
             pass  # dead context: nothing to unpersist
     key = (app_id, os.path.abspath(sf_dir), what)
     if key not in _FS_MEMO:
-        _FS_MEMO[key] = build(spark, sf_dir).persist()
+        df = build(spark, sf_dir)
+        if what == "regions":
+            # Cache the regions log PRE-PARTITIONED on its key: every
+            # interval query (R1-R4, R6, A1) windows or joins on bid,
+            # so the one exchange runs at cache build and each query's
+            # window/join reuses the cached hashpartitioning(bid) with
+            # NO exchange of its own (r13; at sf10 the per-query 60M-row
+            # shuffle was ~40% of R2's wall). This is the local-mode
+            # analog of bucketing the hot table by its join key — on a
+            # real cluster the regions log would be written bucketed by
+            # bid for the same reason.
+            # Explicit count (4x cores), not AQE-planned: the cached
+            # layout feeds every downstream stage its parallelism, and
+            # AQE's advisory-size coalesce would cache ~12 fat
+            # partitions at sf10 — capping the window sorts and range
+            # joins at 12-way on 32 cores (measured: R1 9->15 s).
+            par = 4 * spark.sparkContext.defaultParallelism
+            df = df.repartition(par, F.col("bid"))
+        _FS_MEMO[key] = df.persist()
     return _FS_MEMO[key]
 
 

@@ -72,7 +72,17 @@ def force(df) -> None:
 #   3. recorded box state: loadavg before/after, CPU count, and
 #      whether the Derby metastore / spark-warehouse dirs pre-existed
 #      (a warm metastore changes first-query wall).
-LOAD_GATE = 8.0  # 32-CPU box; >8 means real concurrent work
+#   4. taint verdict (r13): this box shows intermittent multi-second
+#      host-steal spikes (idle-box vmstat confirmed, r12); a run is
+#      stamped `"tainted": true` when the load gate fails OR any
+#      query's max/min spread exceeds SPREAD_TAINT_RATIO with an
+#      absolute gap over SPREAD_TAINT_ABS (tiny queries jitter 3x
+#      harmlessly; a 1 s+ gap at 3x is a steal event). `value_min`
+#      (sum of per-query mins) is the cross-round statistic to quote
+#      on this box — mins are the spike-free draws.
+LOAD_GATE = 4.0  # was 8.0: r12's 7.94 "pass" was visibly contended
+SPREAD_TAINT_RATIO = 3.0
+SPREAD_TAINT_ABS = 1.0  # seconds
 
 
 def box_state() -> dict:
@@ -148,9 +158,24 @@ def main() -> None:
         if not errors
         else None
     )
+    # value_min: the sum of per-query MINS — on a box with steal
+    # spikes this is the comparable cross-round statistic (the median
+    # still absorbs a spike when 3 of 5 draws are hit).
+    value_min = (
+        round(sum(s[0] for s in spread.values()), 3) if not errors else None
+    )
+    spiky = sorted(
+        n
+        for n, s in spread.items()
+        if s[0] > 0
+        and s[1] / s[0] > SPREAD_TAINT_RATIO
+        and s[1] - s[0] > SPREAD_TAINT_ABS
+    )
+    tainted = (not load_ok) or bool(spiky)
     out = {
         "metric": "headline_suite_wall",
         "value": total,
+        "value_min": value_min,
         "unit": "sec",
         "queries": timings,
         "spread": spread,
@@ -158,6 +183,8 @@ def main() -> None:
         "protocol": {
             "n_runs": n_runs,
             "load_gate": "ok" if load_ok else "FAIL",
+            "tainted": tainted,
+            "taint_spiky_queries": spiky,
             "box_before": pre_state,
             "box_after": box_state(),
         },

@@ -27,22 +27,51 @@ def merge_intervals(df: DataFrame, key: str = KEY) -> DataFrame:
     Gaps-and-islands: a row starts a new island iff its start lies
     strictly past the running max end of all earlier rows (ties/adjacent
     merge). One shuffle on ``key``; everything else stays in the same
-    partitioning.
-    """
+    partitioning AND the same sort.
+
+    Window-only formulation (r13): the classic island-id + groupBy
+    finisher built a hash aggregate over O(islands) fine-grained keys —
+    at sf10 that was 25M (key,island) groups probing a saturated hash
+    map 528 times per key on average, 75% of the whole query's CPU
+    (event-log profile, tools/out/bench_r13 notes). Islands are
+    ordered, so no aggregation is needed:
+
+    - the running max of ``end`` over earlier rows (``prev_max_end``)
+      marks island STARTS (``start > prev_max_end``);
+    - islands ascend: every row of island k has ``end`` < island k+1's
+      start, so at an island's LAST row the running max *including the
+      row* equals that island's merged end;
+    - a row is its island's last iff the next row starts a new island
+      (or there is no next row);
+    - the island's merged start is carried forward to its last row by
+      ``last(start where is_start, ignorenulls)``.
+
+    Three window passes over one sort replace the 2-pass-plus-hash-agg
+    plan; every pass is an O(1)-per-row frame. Output is one row per
+    island, identical values to the groupBy form (equality-tested)."""
     w = Window.partitionBy(key).orderBy("start", "end")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_max_end = F.max("end").over(
         w.rowsBetween(Window.unboundedPreceding, -1)
     )
-    island = F.sum(
-        F.when(
-            F.col("start") > F.coalesce(prev_max_end, F.lit(-(1 << 62))), 1
-        ).otherwise(0)
-    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    with_flag = df.withColumn(
+        "_is_start",
+        F.col("start") > F.coalesce(prev_max_end, F.lit(-(1 << 62))),
+    )
+    island_start = F.last(
+        F.when(F.col("_is_start"), F.col("start")), ignorenulls=True
+    ).over(run)
+    island_end = F.max("end").over(run)
+    next_is_start = F.lead("_is_start", 1, True).over(w)
     return (
-        df.withColumn("_island", island)
-        .groupBy(key, "_island")
-        .agg(F.min("start").alias("start"), F.max("end").alias("end"))
-        .drop("_island")
+        with_flag.select(
+            F.col(key),
+            island_start.alias("start"),
+            island_end.alias("end"),
+            next_is_start.alias("_closes"),
+        )
+        .where(F.col("_closes"))
+        .drop("_closes")
     )
 
 

@@ -178,6 +178,16 @@ def lsh_topk(
     ]
     buckets = _bucket_udf(tables, dim)
 
+    # Vectors stay OUT of the bucket join (r13, was the S1 scale
+    # killer at sf10): the previous shape carried the full embedding
+    # through posexplode — every corpus vector shipped n_tables times
+    # (~1 KB x 8 per row) through the bucket exchange AND through the
+    # candidate distinct(). Bucket rows are now (id, table, bucket) —
+    # ~24 B — the distinct() dedups bare id pairs, and the vectors
+    # join back ONCE per side by id afterwards (the query side is
+    # tiny and AQE broadcasts it; the corpus side ships each vector
+    # once, not n_tables times). Norms are computed once per side
+    # here too, not re-aggregated per candidate pair.
     def bucketed(df, id_alias):
         # spread first: the Arrow-batched hyperplane matmul is
         # compute-dense and embeddings tables are small-bytes (a 50k x
@@ -185,41 +195,35 @@ def lsh_topk(
         # ran on 1-2 of 32 cores at sf1.0; see util.spread_for_compute)
         from pufs_spark.operators.util import spread_for_compute
 
-        out = spread_for_compute(df, [id_col, vec_col]).select(
+        return spread_for_compute(df, [id_col, vec_col]).select(
             F.col(id_col).alias(id_alias),
-            F.col(vec_col).alias(f"_{id_alias}_v"),
             F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
         )
-        return out.select(id_alias, f"_{id_alias}_v", "table", "bucket")
 
     qb = bucketed(queries, "query_id")
     cb = bucketed(corpus, "neighbor_id")
-    cand = (
+    cand_ids = (
         qb.join(cb, ["table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "_query_id_v", "neighbor_id", "_neighbor_id_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
+    qv = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col("_norm").alias("_qn"),
+    )
+    cv = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_nv"),
+        F.col("_norm").alias("_nn"),
+    )
     sim = (
-        cand.withColumn(
+        cand_ids.join(cv, "neighbor_id")
+        .join(qv, "query_id")
+        .withColumn(
             "cosine",
-            cosine_sim_col("_query_id_v", "_neighbor_id_v")
-            / (
-                F.sqrt(
-                    F.aggregate(
-                        _as_double(F.col("_query_id_v")),
-                        F.lit(0.0),
-                        lambda a, x: a + x * x,
-                    )
-                )
-                * F.sqrt(
-                    F.aggregate(
-                        _as_double(F.col("_neighbor_id_v")),
-                        F.lit(0.0),
-                        lambda a, x: a + x * x,
-                    )
-                )
-            ),
+            cosine_sim_col("_qv", "_nv") / (F.col("_qn") * F.col("_nn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -727,39 +731,46 @@ def embedding_near_dup_pairs_lsh(
     buckets = _bucket_udf(tables, dim)
     from pufs_spark.operators.util import spread_for_compute
 
+    # id-only bucket rows; vectors join back by id after the distinct
+    # (same restructure as lsh_topk — the self-join otherwise ships
+    # every vector n_tables times and dedups ~KB-wide pairs)
     banded = spread_for_compute(df, [id_col, vec_col]).select(
         F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
-    ).select("_id", "_v", "table", "bucket")
-    left = banded.select(
-        F.col("_id").alias("a"), F.col("_v").alias("_av"), "table", "bucket"
     )
-    right = banded.select(
-        F.col("_id").alias("b"), F.col("_v").alias("_bv"), "table", "bucket"
-    )
+    left = banded.select(F.col("_id").alias("a"), "table", "bucket")
+    right = banded.select(F.col("_id").alias("b"), "table", "bucket")
     cand = (
         left.join(right, ["table", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "_av", "b", "_bv")
+        .select("a", "b")
         .distinct()
     )
+    vecs = with_norm(df, vec_col).select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_v"),
+        F.col("_norm").alias("_n"),
+    )
     return (
-        cand.withColumn(
-            "cosine",
-            cosine_sim_col("_av", "_bv")
-            / (
-                F.sqrt(
-                    F.aggregate(
-                        _as_double(F.col("_av")), F.lit(0.0), lambda x, y: x + y * y
-                    )
-                )
-                * F.sqrt(
-                    F.aggregate(
-                        _as_double(F.col("_bv")), F.lit(0.0), lambda x, y: x + y * y
-                    )
-                )
+        cand.join(
+            vecs.select(
+                F.col("_vid").alias("a"),
+                F.col("_v").alias("_av"),
+                F.col("_n").alias("_an"),
             ),
+            "a",
+        )
+        .join(
+            vecs.select(
+                F.col("_vid").alias("b"),
+                F.col("_v").alias("_bv"),
+                F.col("_n").alias("_bn"),
+            ),
+            "b",
+        )
+        .withColumn(
+            "cosine",
+            cosine_sim_col("_av", "_bv") / (F.col("_an") * F.col("_bn")),
         )
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")

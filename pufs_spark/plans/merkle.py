@@ -403,10 +403,13 @@ def freeze_nodes_df(
     - **level-wise** (larger): level-synchronous hashing where every
       per-level frame stays dir-count-sized and broadcast-joined;
       depth× small jobs, but no single task ever holds all dir
-      metadata. The threshold gates on DIRS, not catalog rows (r12:
-      since the leaf tier left the single task, FILE rows never reach
-      it — a 60M-file / 1.5M-dir catalog is fine single-task): 4M dirs
-      ≈ 400MB of leaf manifest lines through the one exchange and a
+      metadata. The threshold gates on DIRS plus files whose parent
+      is INTERIOR (r13; r12 gated dirs alone, which undercounted on
+      bushy trees — interior dirs' own file children DO reach the
+      task as manifest-line groups, only leaf-dir file lines hash
+      JVM-side). A leaf-heavy 60M-file / 1.5M-dir catalog is still
+      fine single-task (interior-file count ~0); 4M gated rows
+      ≈ 400MB of manifest lines through the one exchange and a
       dir-count-sized broadcast for the join-back — beyond that, go
       level-wise.
 
@@ -432,9 +435,37 @@ def freeze_nodes_df(
         # never re-persisted (r12 profile: the redundant second cache
         # write was ~2 s of the memoized floor).
         leveled = leveled.persist()
-    single_task = (
-        leveled.where(F.col("is_dir")).count() <= single_task_max_rows
-    )
+    # Two-stage gate (ADVICE r12): dirs alone are not the task's whole
+    # input — INTERIOR dirs' own file children become manifest-line
+    # groups that flow through the repartition(1) exchange (only
+    # LEAF-dir file lines hash JVM-side). A tree where every dir has
+    # both subdirs and many files passes a dir-only gate yet ships a
+    # catalog-sized manifest into one task. Stage 1 bounds the dir
+    # count (also bounds the interior-id broadcast below); stage 2
+    # adds the count of files whose parent is interior — the one
+    # quantity not bounded by the dir count — so the gated total is
+    # exactly the row volume the single task will receive. On the
+    # leaf-heavy trees real catalogs look like, stage 2 counts ~0 and
+    # the r12 behavior is unchanged.
+    d_gate = leveled.where(F.col("is_dir"))
+    n_dirs = d_gate.count()
+    single_task = n_dirs <= single_task_max_rows
+    if single_task:
+        interior_gate = (
+            d_gate.where(F.col("parent") != F.col("inode"))
+            .select(F.col("parent").alias("_ip"))
+            .distinct()
+        )
+        n_interior_files = (
+            leveled.where(~F.col("is_dir"))
+            .join(
+                F.broadcast(interior_gate),
+                F.col("parent") == F.col("_ip"),
+                "left_semi",
+            )
+            .count()
+        )
+        single_task = n_dirs + n_interior_files <= single_task_max_rows
     if single_task:
         all_dir_bids = _freeze_dirs_single_task(leveled, memoized)
         # the bid table provably fits one task → broadcast the join-back

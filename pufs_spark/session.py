@@ -54,7 +54,41 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Input-sized shuffles (VERDICT r12 #1): a FIXED partition
+        # count is wrong in both directions — 32 partitions spill two
+        # data decades up (R1/R2 measured 8-9x wall per 10x data at
+        # sf10: each partition held 10x the rows it was sized for),
+        # while a large fixed count is scheduling overhead at small
+        # SFs. AQE coalescing only merges DOWN from the configured
+        # count, never splits up past it — so start HIGH and let AQE
+        # pick the runtime count from the actual map-output bytes
+        # (~advisory 64MB per partition once data outgrows
+        # cores-x-advisory; parallelismFirst keeps small compute-dense
+        # shuffles at full parallelism instead of size-collapsing
+        # them). 32x cores caps the planned count: at 64MB advisory
+        # that covers ~64GB of shuffle per stage on this box before
+        # partitions grow past the advisory again; a real cluster sets
+        # the same small multiple of total cores.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            os.environ.get(
+                "PUFS_SHUFFLE_INITIAL", str(max(shuffle_partitions, cpus * 32))
+            ),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Required companion of the high initialPartitionNum: AQE is
+        # forbidden from changing a CACHED plan's output partitioning
+        # by default, so every persist() (e.g. near_dup_pairs' shared
+        # signature frame) would materialize at the full initial
+        # count — 1024 tiny blocks whose per-task overhead ran D1 ~2x
+        # slower at sf1.0 (measured r13: min 10.0 s vs 5.0 s with this
+        # on). We never rely on a cached frame's physical partitioning
+        # for co-location, so letting AQE coalesce inside cached plans
+        # is strictly a win here.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # In local mode the driver heap IS the executor heap: 8g split

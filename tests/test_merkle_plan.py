@@ -560,3 +560,38 @@ def test_strided_tile_freeze_levelwise_matches_single_task(spark):
         .where(F.col("is_dir")).select("inode", "bid").collect()
     }
     assert lone[1] != single[1]
+
+
+def test_bushy_tree_gate_counts_interior_files(spark, tmp_path):
+    """ADVICE r12: the single-task gate counted DIRS only, but interior
+    dirs' own file children DO flow through the repartition(1) exchange
+    as manifest-line groups — a bushy tree (every dir has both a subdir
+    and many files) passed a dir-only gate while shipping a
+    catalog-sized manifest into one task. The gate must count
+    dirs + interior-parent files; results must be identical either way."""
+    ds = DataStore(str(tmp_path / "s"), remote=MemRemote())
+    cur = ROOT_INODE
+    for i in range(4):
+        cur = ds.mkdir(cur, f"d{i}")
+        for j in range(10):
+            ds.add_immutable_bytes(cur, f"f{j}", f"{i}-{j}".encode())
+    driver_root = ds.freeze()
+    nodes = queries.nodes_df(spark, ds).withColumn(
+        "bid", F.when(F.col("is_dir"), F.lit(None)).otherwise(F.col("bid"))
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().optimizedPlan().toString().lower()
+
+    # 5 dirs (root + d0..d3) pass a dir-only gate of 20; the 30 files
+    # under interior d0..d2 push the true task input to 35 > 20 ->
+    # must go level-wise (no Python map node in the plan)
+    level = merkle.freeze_nodes_df(nodes, single_task_max_rows=20)
+    assert "mapinpandas" not in plan_of(level)
+    # a cap that fits dirs + interior files stays single-task
+    single = merkle.freeze_nodes_df(nodes, single_task_max_rows=64)
+    assert "mapinpandas" in plan_of(single)
+
+    for frozen in (level, single):
+        got = {r["inode"]: r["bid"] for r in frozen.collect()}
+        assert got[ROOT_INODE] == driver_root
