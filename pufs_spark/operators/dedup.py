@@ -88,6 +88,22 @@ def _parse_mem(s: str) -> int:
     return int(s)
 
 
+def _persist_spread(df: DataFrame, key: str) -> DataFrame:
+    """Persist with a PINNED layout: hash-partitioned on ``key`` at
+    4x cores. A bare ``persist()`` caches whatever partitioning AQE
+    planned, and both failure modes hit the signature cache (r13):
+    with the high initialPartitionNum and cached-plan coalescing OFF
+    it cached ~1024 tiny blocks (per-task overhead ran D1 2x slow at
+    sf1.0); with coalescing ON it cached a few advisory-sized fat
+    blocks at sf10 and capped every downstream estimator join at
+    their count (D1 warm 50 s vs 20 s). An explicit count is immune
+    to both, and hashing on the id aligns the cache with the joins
+    that consume it. The extra exchange is signature-sized (~600 B x
+    docs), well under the banding shuffles it feeds."""
+    par = 4 * df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(par, key).persist()
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """U1 at corpus scale: keep the min-id representative per content
     hash. Returns (doc_id, fp, dup_count) — in that column order, so
@@ -364,7 +380,9 @@ def near_dup_pairs(
     # results still executes both against cached sigs) — an eager
     # checkpoint here would also bound the cache, but the barrier
     # serializes the pipeline into extra jobs (+40% wall, measured).
-    sigs = minhash_signatures(df, text_col, id_col, k, num_hashes).persist()
+    sigs = _persist_spread(
+        minhash_signatures(df, text_col, id_col, k, num_hashes), id_col
+    )
     with _ACTIVE_SIGS_LOCK:
         _ACTIVE_SIGS.append(sigs)
         while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
@@ -506,7 +524,9 @@ def cross_near_dup_pairs(
             f"num_hashes={num_hashes} < bands*rows={bands * rows}: the "
             "banding would index past the signature array"
         )
-    sigs_n = minhash_signatures(new_df, text_col, id_col, k, num_hashes).persist()
+    sigs_n = _persist_spread(
+        minhash_signatures(new_df, text_col, id_col, k, num_hashes), id_col
+    )
     with _ACTIVE_SIGS_LOCK:
         _ACTIVE_SIGS.append(sigs_n)
         while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:
@@ -535,9 +555,10 @@ def cross_near_dup_pairs(
             .select("a", "b", "est_jaccard")
         )
     else:
-        sigs_c = minhash_signatures(
-            corpus_df, text_col, id_col, k, num_hashes
-        ).persist()
+        sigs_c = _persist_spread(
+            minhash_signatures(corpus_df, text_col, id_col, k, num_hashes),
+            id_col,
+        )
         with _ACTIVE_SIGS_LOCK:
             _ACTIVE_SIGS.append(sigs_c)
             while len(_ACTIVE_SIGS) > _ACTIVE_SIGS_BUDGET:

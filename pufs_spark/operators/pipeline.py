@@ -204,7 +204,7 @@ def stream_clean_corpus(
     min_alpha_ratio: float = 0.5,
     lang: str | None = "en",
     watermark: str = "10 minutes",
-    spread: int | None = None,
+    spread: int | str | None = "auto",
 ) -> DataFrame:
     """``clean_corpus`` for a STREAM — the ingest-time gate a
     continuously-arriving corpus needs: the same quality and language
@@ -237,12 +237,21 @@ def stream_clean_corpus(
     (``spark_partition_id() < -1``: partition ids are non-negative, so
     semantics are unchanged) which pins it, and every filter above it,
     past the exchange. Measured (tools/bench_stream_spread.py, r12):
-    see BASELINE.md. Leave None for sources that already plan many
-    splits (real many-file feeds, Kafka with many partitions) — there
-    the shuffle is pure cost; the better fix for FILE feeds, when you
-    control the session, is lowering
-    ``spark.sql.files.maxPartitionBytes`` so the source itself plans
-    enough splits (no extra shuffle at all)."""
+    see BASELINE.md.
+
+    ``spread="auto"`` (the default, r13): probe the stream's source at
+    plan time — for a FILE source, list the feed directory and estimate
+    its planned splits from bytes/``maxPartitionBytes``; inject the
+    exchange only when splits come to under half the cores. Many-split
+    feeds and non-file sources (Kafka with many partitions, rate)
+    resolve to no exchange, so the heuristic cannot regress them; pass
+    an int to force, ``None`` to disable. The probe sees the feed AS OF
+    stream start — a feed that starts compact and grows stays spread
+    (harmless: the exchange is per-batch and cheap relative to gates);
+    one that starts huge and turns compact keeps source parallelism
+    (the r11 behavior). The better fix for FILE feeds, when you control
+    the session, is lowering ``spark.sql.files.maxPartitionBytes`` so
+    the source itself plans enough splits (no extra shuffle at all)."""
     from pufs_spark.streaming.monitor import stream_dedup
 
     out = _gate_corpus(
@@ -254,6 +263,83 @@ def stream_clean_corpus(
     )
 
 
+def _auto_spread(stream: DataFrame) -> int | None:
+    """Resolve ``spread="auto"``: the core count when the source will
+    plan far fewer splits than cores, else None (no exchange).
+
+    Batch frames use the actual partition count (same rule as
+    ``spread_for_compute``). Streaming plans can't be asked for
+    partitions pre-execution, but a FILE source's split count is
+    computable at plan time from the feed directory it was bound to:
+    sum over data files of ceil(bytes / maxPartitionBytes). The source
+    path comes from the analyzed plan's StreamingRelation leaf
+    (rendered ``FileSource[<path>]``); any non-file source — Kafka,
+    rate, socket, a custom DataSource — doesn't match and resolves to
+    None, so the heuristic can only ADD parallelism to provably-compact
+    file feeds, never an exchange to a feed that already has splits."""
+    import logging
+    import math
+    import re
+
+    sc = stream.sparkSession.sparkContext
+    cores = sc.defaultParallelism
+    if not stream.isStreaming:
+        n = stream.rdd.getNumPartitions()
+        return cores if n < cores else None
+    try:
+        plan = stream._jdf.queryExecution().analyzed().toString()
+        m = re.search(r"FileSource\[([^\]]+)\]", plan)
+        if not m:
+            return None
+        path = m.group(1)
+        files = _feed_data_files(path)
+        if not files:
+            return None
+        mpb = dedup._parse_mem(
+            stream.sparkSession.conf.get(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+            ).rstrip("b")  # bytesConf renders as e.g. "134217728b"
+        )
+        splits = sum(max(1, math.ceil(sz / mpb)) for sz in files)
+        if splits < cores // 2:
+            logging.getLogger("pufs_spark").info(
+                "stream_clean_corpus auto-spread: %d planned splits for "
+                "%d files under %s < %d cores/2 -> repartition(%d)",
+                splits, len(files), path, cores, cores,
+            )
+            return cores
+        return None
+    except Exception:  # noqa: BLE001 — a probe failure must never kill
+        return None     # the stream; no spread is the safe default
+
+
+def _feed_data_files(path: str) -> list[int]:
+    """Sizes of the data files a file stream source would list under
+    ``path`` (glob-aware, metadata/hidden files excluded)."""
+    import glob as _glob
+    import os
+
+    if any(c in path for c in "*?["):
+        roots = _glob.glob(path)
+    else:
+        roots = [path]
+    sizes: list[int] = []
+    for root in roots:
+        if os.path.isfile(root):
+            sizes.append(os.path.getsize(root))
+            continue
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames[:] = [d for d in dirnames if not d.startswith(("_", "."))]
+            for f in filenames:
+                if f.startswith(("_", ".")) or f.endswith(".crc"):
+                    continue
+                try:
+                    sizes.append(os.path.getsize(os.path.join(dirpath, f)))
+                except OSError:
+                    continue
+    return sizes
+
+
 def _gate_corpus(
     stream: DataFrame,
     text_col: str,
@@ -261,12 +347,14 @@ def _gate_corpus(
     max_punct_ratio: float,
     min_alpha_ratio: float,
     lang: str | None,
-    spread: int | None,
+    spread: int | str | None,
 ) -> DataFrame:
     """The stateless gate stage of ``stream_clean_corpus`` (quality +
     lang filters + ``_fp``), factored out so the spread plan shape is
     testable on a batch frame (dropDuplicatesWithinWatermark refuses
     batch input; the Catalyst rules that matter here are shared)."""
+    if spread == "auto":
+        spread = _auto_spread(stream)
     gate_guard = F.lit(False)
     if spread:
         stream = stream.repartition(spread)

@@ -455,3 +455,57 @@ def test_stream_clean_corpus_spread_pins_gates_past_exchange(
             r["_fp"] for r in spark.read.parquet(out).select("_fp").collect()
         }
     assert fps["plain"] == fps["spread"] and fps["plain"]
+
+
+def test_auto_spread_resolves_from_feed_shape(spark, tmp_path):
+    """``spread="auto"`` (the r13 default) must inject the exchange
+    exactly when the FILE feed is provably compact: planned splits
+    (bytes/maxPartitionBytes per file) under half the cores. Many-split
+    feeds and non-file sources resolve to None — the heuristic may only
+    ADD parallelism to compact feeds, never an exchange elsewhere."""
+    import os as _os
+
+    import pandas as pd
+
+    from pufs_spark.operators import pipeline as P
+
+    pdf = pd.DataFrame(
+        {"doc_id": range(100), "text": ["hello world one two three"] * 100,
+         "ts": pd.Timestamp("2026-01-01")}
+    )
+    src = str(tmp_path / "compact")
+    _os.makedirs(src)
+    pdf.to_parquet(f"{src}/part0.parquet", index=False,
+                   coerce_timestamps="us")
+    schema = "doc_id long, text string, ts timestamp"
+    cores = spark.sparkContext.defaultParallelism
+
+    # compact single-file feed -> spread to cores
+    stream = spark.readStream.schema(schema).parquet(src)
+    assert P._auto_spread(stream) == cores
+
+    # a feed that already plans >= cores/2 splits -> no exchange
+    many = str(tmp_path / "many")
+    _os.makedirs(many)
+    for i in range(max(2, cores)):
+        pdf.to_parquet(f"{many}/part{i}.parquet", index=False,
+                       coerce_timestamps="us")
+    wide = spark.readStream.schema(schema).parquet(many)
+    assert P._auto_spread(wide) is None
+
+    # non-file source -> None (never an exchange for Kafka/rate/...)
+    rate = spark.readStream.format("rate").load()
+    assert P._auto_spread(rate) is None
+
+    # default "auto" builds the pinned-gate plan on the compact feed
+    # (batch surrogate: _gate_corpus treats batch like
+    # spread_for_compute — partitions < cores -> spread)
+    batch = spark.read.schema(schema).parquet(src)
+    plan = (
+        P._gate_corpus(batch, "text", 5, 0.2, 0.5, "en", spread="auto")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange RoundRobinPartitioning" in plan
+    assert plan.lower().index("spark_partition_id") < plan.index(
+        "Exchange RoundRobinPartitioning"
+    )
