@@ -81,7 +81,9 @@ def _manifest_line():
     )
 
 
-def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
+def _freeze_dirs_single_task(
+    leveled: DataFrame, memoized: bool, prune_clean: bool = True
+) -> DataFrame:
     """Dir bids for a catalog whose DIR METADATA fits one task: the
     LEAF tier (dirs with no dir children — in a real FS tree nearly
     all dirs, holding nearly all file lines) is hashed DISTRIBUTED by
@@ -104,7 +106,7 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
     empty dirs hash the empty manifest (sha256(""))."""
     d_all = leveled.where(F.col("is_dir"))
     files = leveled.where(~F.col("is_dir"))
-    if memoized:
+    if memoized and prune_clean:
         # The reference's core incremental contract
         # (core/datastore.go:1123-1125): a dir with a bid IS its
         # unchanged subtree, so its file lines are never read — prune
@@ -191,7 +193,7 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
         .groupBy(F.col("parent").alias("inode"))
         .agg(F.collect_list("_line").alias("_flines"))
     )
-    if memoized:
+    if memoized and prune_clean:
         # a clean interior parent short-circuits on its bid and never
         # reads lines — don't ship its (leaf-count-sized) line groups
         # through the single-task exchange
@@ -291,7 +293,10 @@ def _freeze_dirs_single_task(leveled: DataFrame, memoized: bool) -> DataFrame:
 
 
 def _freeze_dirs_levelwise(
-    leveled: DataFrame, memoized: bool, checkpoint_every: int
+    leveled: DataFrame,
+    memoized: bool,
+    checkpoint_every: int,
+    prune_clean: bool = True,
 ) -> DataFrame:
     """Dir bids for catalogs whose dir metadata does NOT fit one task:
     level-synchronous bottom-up hashing. Still only ONE catalog-sized
@@ -308,7 +313,7 @@ def _freeze_dirs_levelwise(
     levels."""
     max_d = leveled.agg(F.max("depth")).collect()[0][0] or 0
     lw_files = leveled.where(~F.col("is_dir"))
-    if memoized:
+    if memoized and prune_clean:
         # Same dirty-prune as the single-task path: only null-bid dirs
         # ever read their file lines, so filter files to dirty parents
         # BEFORE the catalog-sized collect_list. Here the dirty set can
@@ -380,6 +385,13 @@ def _freeze_dirs_levelwise(
     return all_dir_bids
 
 
+# Dirty-DIR fraction past which a memoized freeze runs the full plan
+# instead: measured crossover at sf1.0 (tools/profile_f1_crossover.py,
+# r13) — memoized ties full up to ~40% dirty dirs and loses ~1.7x by
+# ~65%; 0.5 splits the measured bracket.
+_MEMO_MAX_DIRTY_FRAC = 0.5
+
+
 def freeze_nodes_df(
     nodes: DataFrame,
     max_depth: int = 64,
@@ -448,7 +460,26 @@ def freeze_nodes_df(
     # leaf-heavy trees real catalogs look like, stage 2 counts ~0 and
     # the r12 behavior is unchanged.
     d_gate = leveled.where(F.col("is_dir"))
-    n_dirs = d_gate.count()
+    gate_row = d_gate.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when(F.col("bid").isNull(), 1).otherwise(0)
+        ).alias("dirty"),
+    ).first()
+    n_dirs = gate_row["n"]
+    # Auto-switch (r13 crossover, tools/profile_f1_crossover.py /
+    # BASELINE.md): the dirty-prune's broadcasts and semi-joins are
+    # pure overhead once most dirs re-hash anyway — at sf1.0 the
+    # memoized plan ties the full freeze up to ~40% dirty DIRS and
+    # loses ~1.7x by ~65% (10% dirty FILES: each leaf dir holds ~10
+    # files, so file-dirt compounds). Past the threshold, drop only
+    # the PRUNE machinery; preset bids are still honored everywhere
+    # (memoized's contract — a set bid IS its subtree — must not
+    # depend on the dirty ratio). The dirty count rides the gate
+    # aggregate — no extra job.
+    prune_clean = (
+        memoized and gate_row["dirty"] <= _MEMO_MAX_DIRTY_FRAC * n_dirs
+    )
     single_task = n_dirs <= single_task_max_rows
     if single_task:
         interior_gate = (
@@ -467,14 +498,16 @@ def freeze_nodes_df(
         )
         single_task = n_dirs + n_interior_files <= single_task_max_rows
     if single_task:
-        all_dir_bids = _freeze_dirs_single_task(leveled, memoized)
+        all_dir_bids = _freeze_dirs_single_task(leveled, memoized, prune_clean)
         # the bid table provably fits one task → broadcast the join-back
         all_dir_bids = F.broadcast(all_dir_bids)
     else:
         # dir metadata exceeds one task: a broadcast would collect it
         # through the driver — shuffle-join instead (AQE may still
         # downgrade if the bid table turns out small)
-        all_dir_bids = _freeze_dirs_levelwise(leveled, memoized, checkpoint_every)
+        all_dir_bids = _freeze_dirs_levelwise(
+            leveled, memoized, checkpoint_every, prune_clean
+        )
     files = leveled.where(~F.col("is_dir"))
     dirs_out = (
         leveled.where(F.col("is_dir"))

@@ -87,6 +87,7 @@ def main():
     drain_once(spark, feed, os.path.join(WORK, "ckpt-warm"), None)
     for name, spread, maxpb in (
         ("baseline", None, None),
+        ("auto", "auto", None),  # r13 default: should match spread32 here
         ("spread32", 32, None),
         ("maxpb512k", None, str(512 * 1024)),
     ):
@@ -114,6 +115,29 @@ def main():
         c["vs_baseline"] = round(c["median_s"] / base, 3) if base else None
     # all configs must agree on output rows (same gate semantics)
     assert len({c["rows_out"] for c in out["configs"].values()}) == 1
+
+    # many-split arm (r13 auto-spread Done criterion): a feed that
+    # already plans >= cores/2 splits must resolve auto -> no exchange,
+    # so "auto" and "off" are the SAME plan — measured to pin that the
+    # probe itself costs nothing visible.
+    wide = os.path.join(WORK, "feed-wide")
+    (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .select("doc_id", "text")
+        .withColumn("ts", F.current_timestamp())
+        .repartition(64)
+        .write.mode("overwrite").parquet(wide)
+    )
+    out["wide_feed"] = {}
+    for name, spread in (("off", None), ("auto", "auto")):
+        walls = []
+        for _ in range(runs):
+            i += 1
+            w, r = drain_once(spark, wide, os.path.join(WORK, f"ckpt{i}"), spread)
+            walls.append(w)
+        out["wide_feed"][name] = {
+            "median_s": round(statistics.median(walls), 3), "walls": walls,
+        }
     print(json.dumps(out))
 
 

@@ -60,7 +60,12 @@ def main():
         "n": n,
         "load_start": round(os.getloadavg()[0], 1),
     }
+    # untimed warmup: the freeze's codegen + Arrow paths JIT on first
+    # execution; without it the first timed point absorbs ~10 s of C2
+    # compile and the cross-point comparison is ordering-biased
+    force(merkle.freeze_nodes_df(nodes))
     out["full"] = runs_of(lambda: force(merkle.freeze_nodes_df(nodes)), n)
+    print("full:", out["full"], file=sys.stderr, flush=True)
 
     frozen = merkle.freeze_nodes_df(nodes).persist()
     frozen.count()
@@ -95,12 +100,28 @@ def main():
                 ).otherwise(F.col("bid")),
             )
             .drop("_d", "_dirty_file")
+            # freeze output DROPS depth; re-stamp it (pmod within the
+            # key-stride block — the r12 profiler stamped without pmod,
+            # which mis-depths every replica>0 dir on a tiled sf) or
+            # every memoized freeze here would time the pointer-doubling
+            # depth DERIVATION instead of the memo path (~+12 s, the
+            # r13 false-regression this comment exists to prevent)
+            .withColumn(
+                "depth",
+                F.when(F.col("inode") == 1, 0)
+                .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 10, 1)
+                .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 100, 2)
+                .when(F.pmod(F.col("inode"), F.lit(10_000_000)) < 100000, 3)
+                .otherwise(4)
+                .cast("int"),
+            )
             .persist()
         )
         redo.count()
         out[f"memo_{pct:g}"] = runs_of(
             lambda r=redo: force(merkle.freeze_nodes_df(r, memoized=True)), n
         )
+        print(f"memo_{pct:g}:", out[f"memo_{pct:g}"], file=sys.stderr, flush=True)
         redo.unpersist()
     out["load_end"] = round(os.getloadavg()[0], 1)
     print(json.dumps(out))
