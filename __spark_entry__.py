@@ -28,7 +28,7 @@ from pufs_spark.operators import (
 )
 from pufs_spark.plans import diff, fstree, merkle
 from pufs_spark.streaming import monitor
-from pufs_spark.tables import load_table
+from pufs_spark.tables import load_table, table_row_count
 
 # ---------------------------------------------------------------------------
 # Shared oracle SQL prefix: the derived FS tree + region log + merged mask
@@ -615,7 +615,18 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionByName(planted)
-    return similarity.lsh_topk(qs, corpus, k=5, n_tables=8, dim=64)
+    # Corpus size from parquet footers (no sizing count() job — VERDICT
+    # r13 #3): emb rows + 5 planted per query (vec_id%50==0).
+    n_emb = table_row_count(sf_dir, "embeddings")
+    # ids are 0..n-1, queries are multiples of 50: floor((n-1)/50)+1
+    n_corpus = (
+        n_emb + 5 * ((n_emb - 1) // 50 + 1)
+        if n_emb
+        else None
+    )
+    return similarity.lsh_topk(
+        qs, corpus, k=5, n_tables=8, dim=64, n_rows=n_corpus
+    )
 
 
 def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -647,9 +658,10 @@ def q_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = base.unionByName(pert)
-    return similarity.embedding_near_dup_pairs_lsh(corpus, threshold=0.95).select(
-        "a", "b"
-    )
+    n_emb = table_row_count(sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs_lsh(
+        corpus, threshold=0.95, n_rows=2 * n_emb if n_emb else None
+    ).select("a", "b")
 
 
 def q_e1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1484,7 +1496,9 @@ def q_x_emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via LSH candidates (the scale path; S2's
     brute-force is the oracle-checked baseline) — rows-only."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs_lsh(emb, threshold=0.6)
+    return similarity.embedding_near_dup_pairs_lsh(
+        emb, threshold=0.6, n_rows=table_row_count(sf_dir, "embeddings")
+    )
 
 
 def q_x_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1509,8 +1523,16 @@ def q_x_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.where(F.col("vec_id") % 50 == 0)
     # n_planes=None: bucket count auto-sizes to the corpus so candidate
-    # volume stays linear in N across scale factors
-    return similarity.lsh_topk(qs, emb, k=5, n_planes=None, n_tables=8)
+    # volume stays linear in N across scale factors; corpus size comes
+    # from parquet footers (no sizing count() job)
+    return similarity.lsh_topk(
+        qs,
+        emb,
+        k=5,
+        n_planes=None,
+        n_tables=8,
+        n_rows=table_row_count(sf_dir, "embeddings"),
+    )
 
 
 def q_x_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

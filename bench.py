@@ -114,7 +114,16 @@ def main() -> None:
             file=sys.stderr,
         )
     n_runs = max(5, int(os.environ.get("SPARK_GRAFT_BENCH_N", "5")))
-    spark = get_spark(app_name="pufs_spark_bench")
+    # Input-sized shuffle start (r14): pass the sf dir's on-disk bytes
+    # so initialPartitionNum scales with the workload instead of
+    # sitting at the 32x-cores cap (which cost ~25%/query at sf0.1 —
+    # tools/out/bench_r14_ab_initial32.json).
+    input_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(sf_dir)
+        for f in fs
+    )
+    spark = get_spark(app_name="pufs_spark_bench", input_bytes=input_bytes)
     qs = entrymod.queries()
 
     # Warm the JVM + parquet footers once so per-query numbers measure
@@ -135,6 +144,7 @@ def main() -> None:
     # regression (median moved beyond the spread) from noise.
     timings: dict[str, float | None] = {}
     spread: dict[str, list[float]] = {}
+    steady_max: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
         runs: list[float] = []
@@ -143,6 +153,14 @@ def main() -> None:
                 t0 = time.monotonic()
                 force(qs[name](spark, sf_dir))
                 runs.append(time.monotonic() - t0)
+            # The chronologically FIRST run carries deterministic
+            # one-time costs (plan compile, codegen, Python worker
+            # spin-up for UDF queries) — S1's first draw ran 5x its
+            # steady state on a provably quiet box (r14 anchor). Keep
+            # it in median/spread (cold cost is real cost), but judge
+            # SPIKINESS on runs 2..n only, so compile doesn't
+            # masquerade as host steal.
+            steady_max[name] = max(runs[1:]) if len(runs) > 1 else runs[0]
             runs.sort()
             timings[name] = round(runs[len(runs) // 2], 3)
             spread[name] = [round(runs[0], 3), round(runs[-1], 3)]
@@ -168,8 +186,8 @@ def main() -> None:
         n
         for n, s in spread.items()
         if s[0] > 0
-        and s[1] / s[0] > SPREAD_TAINT_RATIO
-        and s[1] - s[0] > SPREAD_TAINT_ABS
+        and steady_max.get(n, s[1]) / s[0] > SPREAD_TAINT_RATIO
+        and steady_max.get(n, s[1]) - s[0] > SPREAD_TAINT_ABS
     )
     tainted = (not load_ok) or bool(spiky)
     out = {

@@ -48,7 +48,15 @@ def merge_intervals(df: DataFrame, key: str = KEY) -> DataFrame:
 
     Three window passes over one sort replace the 2-pass-plus-hash-agg
     plan; every pass is an O(1)-per-row frame. Output is one row per
-    island, identical values to the groupBy form (equality-tested)."""
+    island, identical values to the groupBy form (equality-tested).
+
+    Precondition (ADVICE r13): intervals must be valid half-open ranges
+    with ``end >= start`` — the reference's region log guarantees this
+    (region/regions.go commit path) and ``validate_mask`` flags
+    violations. A malformed row with ``end < start`` would see the
+    running ``max(end)`` carry a PREVIOUS island's larger end into its
+    own, where the old groupBy form kept per-island maxima; run
+    ``validate_mask`` first if the input is untrusted."""
     w = Window.partitionBy(key).orderBy("start", "end")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
     prev_max_end = F.max("end").over(

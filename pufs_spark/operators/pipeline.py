@@ -313,11 +313,28 @@ def _auto_spread(stream: DataFrame) -> int | None:
         return None     # the stream; no spread is the safe default
 
 
-def _feed_data_files(path: str) -> list[int]:
+def _feed_data_files(path: str) -> list[int] | None:
     """Sizes of the data files a file stream source would list under
-    ``path`` (glob-aware, metadata/hidden files excluded)."""
+    ``path`` (glob-aware, metadata/hidden files excluded).
+
+    Accepts bare local paths and ``file:`` URIs (ADVICE r13: a feed
+    bound via ``file:/...`` must not silently skip the spread probe).
+    Non-local schemes (hdfs://, s3a://, ...) return None — the probe
+    can't stat them driver-side; the caller logs and takes no-spread."""
     import glob as _glob
+    import logging
     import os
+    from urllib.parse import urlparse
+
+    parsed = urlparse(path)
+    if parsed.scheme and len(parsed.scheme) > 1:  # len>1: skip C:\ paths
+        if parsed.scheme != "file":
+            logging.getLogger("pufs_spark").debug(
+                "auto-spread probe: non-local scheme %s:// for %s — "
+                "skipping (no spread)", parsed.scheme, path,
+            )
+            return None
+        path = parsed.path or "/"
 
     if any(c in path for c in "*?["):
         roots = _glob.glob(path)

@@ -16,10 +16,32 @@ DuckDB oracle's list arithmetic bit-for-bit).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# Corpus-size gate for lsh_topk's two physical shapes (r14, VERDICT
+# r13 #3 — same count-gated idiom as dedup._sigs_broadcast_cap):
+# below the cap, vectors ride the bucket rows inline (the r12 shape —
+# one exchange, no join-backs; at 64 doubles x n_tables the extra
+# shuffle bytes are n*~4KB, trivial under the cap), above it they
+# join back once per side (the r13 shape that took S1 sf10 warm
+# 22.4 -> 7.7 s; inline there would ship ~0.8 GB through the bucket
+# exchange AND the candidate distinct). 64k rows x 8 tables x 520 B
+# ~= 270 MB planned shuffle at the cap — well inside one box's
+# comfort, and per-partition bytes shrink linearly on a real cluster.
+_VEC_INLINE_MAX_ROWS = int(
+    os.environ.get("PUFS_LSH_INLINE_MAX_ROWS", str(64 * 1024))
+)
+
+# Below this row count the hyperplane matmul is microseconds of work —
+# spread_for_compute's plan compile (+exchange) costs more than the
+# single-core compute it would parallelize (measured: the sf0.1 S1
+# corpus is 2.2k rows; the spread win was measured at 20k+, sf1.0).
+_SPREAD_MIN_ROWS = int(os.environ.get("PUFS_LSH_SPREAD_MIN_ROWS", "10000"))
 
 
 def _as_double(col):
@@ -167,65 +189,109 @@ def lsh_topk(
     at 10^3 vectors melts at 10^5 — candidate volume is
     N * bucket_size * tables, so bucket size must stay ~constant as N
     grows. Pass ``n_rows`` when the corpus size is already known to
-    skip the sizing count() pass."""
+    skip the sizing count() pass.
+
+    Two physical shapes, gated on corpus size (r14 — see
+    _VEC_INLINE_MAX_ROWS): small corpora carry vectors inline on the
+    bucket rows (one exchange, candidate pairs re-ranked in place);
+    large corpora bucket (id, table, bucket) rows only — ~24 B vs
+    ~4 KB through the exchange AND the candidate distinct — and the
+    vectors/norms join back ONCE per side afterwards (the query side
+    is tiny and AQE broadcasts it; each corpus vector ships once, not
+    n_tables times). The r13 join-back shape alone took S1 sf10 warm
+    22.4 -> 7.7 s but was pure overhead at sf0.1's 2.2k-row corpus
+    (min 1.43 -> 3.30 s, VERDICT r13 #3); the gate pays each cost
+    only where it buys something. When neither ``n_rows`` nor a
+    sizing count is available (``n_planes`` given explicitly), the
+    scale shape is the safe default."""
     import math
 
+    n = n_rows
     if n_planes is None:
-        n = n_rows if n_rows is not None else corpus.count()
+        if n is None:
+            n = corpus.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / target_bucket_rows)))
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
     ]
     buckets = _bucket_udf(tables, dim)
+    inline_vectors = n is not None and n <= _VEC_INLINE_MAX_ROWS
+    spread = n is None or n >= _SPREAD_MIN_ROWS
 
-    # Vectors stay OUT of the bucket join (r13, was the S1 scale
-    # killer at sf10): the previous shape carried the full embedding
-    # through posexplode — every corpus vector shipped n_tables times
-    # (~1 KB x 8 per row) through the bucket exchange AND through the
-    # candidate distinct(). Bucket rows are now (id, table, bucket) —
-    # ~24 B — the distinct() dedups bare id pairs, and the vectors
-    # join back ONCE per side by id afterwards (the query side is
-    # tiny and AQE broadcasts it; the corpus side ships each vector
-    # once, not n_tables times). Norms are computed once per side
-    # here too, not re-aggregated per candidate pair.
-    def bucketed(df, id_alias):
+    def bucketed(df, id_alias, carry_vec):
         # spread first: the Arrow-batched hyperplane matmul is
         # compute-dense and embeddings tables are small-bytes (a 50k x
         # 64-float corpus is one 128MB scan split — the whole bucketing
-        # ran on 1-2 of 32 cores at sf1.0; see util.spread_for_compute)
+        # ran on 1-2 of 32 cores at sf1.0; see util.spread_for_compute).
+        # Skipped below _SPREAD_MIN_ROWS: the plan compile + exchange
+        # cost more than the single-split matmul they parallelize.
         from pufs_spark.operators.util import spread_for_compute
 
-        return spread_for_compute(df, [id_col, vec_col]).select(
-            F.col(id_col).alias(id_alias),
+        src = spread_for_compute(df, [id_col, vec_col]) if spread else df
+        cols = [F.col(id_col).alias(id_alias)]
+        if carry_vec:
+            cols.append(F.col(vec_col).alias(f"_{id_alias}_v"))
+        return src.select(
+            *cols,
             F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
         )
 
-    qb = bucketed(queries, "query_id")
-    cb = bucketed(corpus, "neighbor_id")
-    cand_ids = (
-        qb.join(cb, ["table", "bucket"])
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    qv = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        F.col("_norm").alias("_qn"),
-    )
-    cv = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_nv"),
-        F.col("_norm").alias("_nn"),
-    )
-    sim = (
-        cand_ids.join(cv, "neighbor_id")
-        .join(qv, "query_id")
-        .withColumn(
-            "cosine",
-            cosine_sim_col("_qv", "_nv") / (F.col("_qn") * F.col("_nn")),
+    qb = bucketed(queries, "query_id", inline_vectors)
+    cb = bucketed(corpus, "neighbor_id", inline_vectors)
+    if inline_vectors:
+        cand = (
+            qb.join(cb, ["table", "bucket"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select(
+                "query_id", "_query_id_v", "neighbor_id", "_neighbor_id_v"
+            )
+            .distinct()
         )
-    )
+        sim = cand.withColumn(
+            "cosine",
+            cosine_sim_col("_query_id_v", "_neighbor_id_v")
+            / (
+                F.sqrt(
+                    F.aggregate(
+                        _as_double(F.col("_query_id_v")),
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        _as_double(F.col("_neighbor_id_v")),
+                        F.lit(0.0),
+                        lambda a, x: a + x * x,
+                    )
+                )
+            ),
+        )
+    else:
+        cand_ids = (
+            qb.join(cb, ["table", "bucket"])
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        qv = with_norm(queries, vec_col).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.col("_norm").alias("_qn"),
+        )
+        cv = with_norm(corpus, vec_col).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_nv"),
+            F.col("_norm").alias("_nn"),
+        )
+        sim = (
+            cand_ids.join(cv, "neighbor_id")
+            .join(qv, "query_id")
+            .withColumn(
+                "cosine",
+                cosine_sim_col("_qv", "_nv") / (F.col("_qn") * F.col("_nn")),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
@@ -719,11 +785,19 @@ def embedding_near_dup_pairs_lsh(
     only. Recall at high thresholds is excellent — a pair at cosine c
     collides per table with prob (1-θ/π)^planes, θ=acos(c) — and grows
     with n_tables; the brute-force half-matrix below is the verifier.
-    Pass ``n_rows`` when known to skip the sizing count() pass."""
+    Pass ``n_rows`` when known to skip the sizing count() pass.
+
+    Physical shape is size-gated like lsh_topk's (r14): under
+    _VEC_INLINE_MAX_ROWS vectors+norms ride the bucket rows (one
+    exchange, no join-backs); above it, id-only bucket rows with a
+    single vector join-back per side (the self-join otherwise ships
+    every vector n_tables times and dedups ~KB-wide pairs)."""
     import math
 
+    n = n_rows
     if n_planes is None:
-        n = n_rows if n_rows is not None else df.count()
+        if n is None:
+            n = df.count()
         n_planes = max(4, math.ceil(math.log2(max(n, 2) / 16)))
     tables = [
         (t, _hyperplanes(dim, n_planes, seed + t)) for t in range(n_tables)
@@ -731,10 +805,45 @@ def embedding_near_dup_pairs_lsh(
     buckets = _bucket_udf(tables, dim)
     from pufs_spark.operators.util import spread_for_compute
 
-    # id-only bucket rows; vectors join back by id after the distinct
-    # (same restructure as lsh_topk — the self-join otherwise ships
-    # every vector n_tables times and dedups ~KB-wide pairs)
-    banded = spread_for_compute(df, [id_col, vec_col]).select(
+    inline_vectors = n is not None and n <= _VEC_INLINE_MAX_ROWS
+    spread = n is None or n >= _SPREAD_MIN_ROWS
+    src = spread_for_compute(df, [id_col, vec_col]) if spread else df
+
+    if inline_vectors:
+        banded = with_norm(src, vec_col).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            F.col("_norm").alias("_n"),
+            F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
+        )
+        left = banded.select(
+            F.col("_id").alias("a"),
+            F.col("_v").alias("_av"),
+            F.col("_n").alias("_an"),
+            "table",
+            "bucket",
+        )
+        right = banded.select(
+            F.col("_id").alias("b"),
+            F.col("_v").alias("_bv"),
+            F.col("_n").alias("_bn"),
+            "table",
+            "bucket",
+        )
+        return (
+            left.join(right, ["table", "bucket"])
+            .where(F.col("a") < F.col("b"))
+            .select("a", "b", "_av", "_an", "_bv", "_bn")
+            .distinct()
+            .withColumn(
+                "cosine",
+                cosine_sim_col("_av", "_bv") / (F.col("_an") * F.col("_bn")),
+            )
+            .where(F.col("cosine") >= threshold)
+            .select("a", "b", "cosine")
+        )
+
+    banded = src.select(
         F.col(id_col).alias("_id"),
         F.posexplode(buckets(F.col(vec_col))).alias("table", "bucket"),
     )

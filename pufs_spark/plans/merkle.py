@@ -477,8 +477,11 @@ def freeze_nodes_df(
     # (memoized's contract — a set bid IS its subtree — must not
     # depend on the dirty ratio). The dirty count rides the gate
     # aggregate — no extra job.
+    # sum() over zero rows is SQL NULL: a dir-less frame must take the
+    # prune path (nothing to re-hash), not raise on None <= float.
     prune_clean = (
-        memoized and gate_row["dirty"] <= _MEMO_MAX_DIRTY_FRAC * n_dirs
+        memoized
+        and (gate_row["dirty"] or 0) <= _MEMO_MAX_DIRTY_FRAC * n_dirs
     )
     single_task = n_dirs <= single_task_max_rows
     if single_task:

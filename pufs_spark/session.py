@@ -30,11 +30,31 @@ def _default_driver_mem() -> str:
     return "8g"
 
 
+def _initial_shuffle_partitions(
+    input_bytes: int | None, floor: int, cap: int
+) -> int:
+    """Size AQE's initialPartitionNum to the workload (VERDICT r13
+    #2/#6): a flat 32x-cores start is right once shuffles carry GBs
+    (R2 sf10 cached-merge A/B: 14-48 s at 1024 vs 70-140 s at 32) but
+    costs ~25% per query at tiny SFs (r14 quiet-box A/B,
+    tools/out/bench_r14_ab_initial32.json: 18 of 21 queries 17-53%
+    faster at 32 on a 17.5 MB input). One planned partition per ~1 MB
+    of ON-DISK input approximates 64 MB of in-memory shuffle per
+    partition at parquet's typical 5-10x decompression factor —
+    17.5 MB (sf0.1) floors at the core count, ~1.8 GB (sf10) caps at
+    32x cores; both measured endpoints land on their measured-best
+    setting, and the ramp between is monotone in data size."""
+    if input_bytes is None:
+        return cap
+    return max(floor, min(cap, input_bytes // (1 << 20)))
+
+
 def get_spark(
     app_name: str = "pufs_spark",
     cpus: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    input_bytes: int | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
@@ -68,11 +88,21 @@ def get_spark(
         # them). 32x cores caps the planned count: at 64MB advisory
         # that covers ~64GB of shuffle per stage on this box before
         # partitions grow past the advisory again; a real cluster sets
-        # the same small multiple of total cores.
+        # the same small multiple of total cores. When the caller
+        # knows its input size (bench passes the sf dir's bytes), the
+        # start count scales with it instead of sitting at the cap —
+        # see _initial_shuffle_partitions.
         .config(
             "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             os.environ.get(
-                "PUFS_SHUFFLE_INITIAL", str(max(shuffle_partitions, cpus * 32))
+                "PUFS_SHUFFLE_INITIAL",
+                str(
+                    _initial_shuffle_partitions(
+                        input_bytes,
+                        floor=max(shuffle_partitions, cpus),
+                        cap=max(shuffle_partitions, cpus * 32),
+                    )
+                ),
             ),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -83,6 +83,32 @@ def _load_via_arrow(spark: SparkSession, path: str) -> DataFrame:
     return spark.createDataFrame(pdf)
 
 
+def table_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count from parquet FOOTERS, no Spark job.
+
+    For operators whose physical shape is gated on input size (e.g.
+    lsh_topk's inline-vector cap), a driver-side footer walk replaces a
+    cluster-wide sizing count(): O(files) metadata reads, zero tasks.
+    Returns None when the path isn't local parquet (caller falls back
+    to counting or to the scale-safe shape)."""
+    import glob
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+        if not files:
+            return None
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 

@@ -1016,3 +1016,44 @@ def test_sigs_broadcast_cap_scales_with_heap(spark):
     assert cap == max(10_000, min(dedup._SIGS_BROADCAST_CEIL, heap // 60_000))
     # the measured-safe point: 32 GiB -> ~572k docs (was the 600k const)
     assert abs((32 << 30) // 60_000 - 600_000) < 40_000
+
+
+def test_lsh_topk_shapes_agree(spark, emb):
+    """The size-gated physical shapes (inline vectors vs id-only +
+    join-back, r14) must return identical rows — only placement of the
+    vector bytes changes. Forced via n_rows on either side of
+    _VEC_INLINE_MAX_ROWS with every other parameter pinned."""
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    kw = dict(k=3, n_planes=6, n_tables=8)
+    n = emb.count()
+    inline = similarity.lsh_topk(q, emb, n_rows=n, **kw)  # n << cap
+    assert n <= similarity._VEC_INLINE_MAX_ROWS
+    joined = similarity.lsh_topk(
+        q, emb, n_rows=similarity._VEC_INLINE_MAX_ROWS + 1, **kw
+    )
+    a = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in inline.collect()}
+    b = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in joined.collect()}
+    assert a == b and len(a) > 0
+
+
+def test_near_dup_lsh_shapes_agree(spark, emb):
+    """Same shape-equality pin for embedding_near_dup_pairs_lsh."""
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"), lambda x: x + F.lit(0.005)
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(pert)
+    n = corpus.count()
+    kw = dict(threshold=0.95, n_planes=6, n_tables=8)
+    inline = similarity.embedding_near_dup_pairs_lsh(corpus, n_rows=n, **kw)
+    joined = similarity.embedding_near_dup_pairs_lsh(
+        corpus, n_rows=similarity._VEC_INLINE_MAX_ROWS + 1, **kw
+    )
+    a = {(r["a"], r["b"]) for r in inline.collect()}
+    b = {(r["a"], r["b"]) for r in joined.collect()}
+    assert a == b and len(a) > 0
