@@ -2172,11 +2172,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT '/n_' || CAST(key AS VARCHAR) || '/f' || CAST(j AS VARCHAR),
                    'added', FALSE, 1::BIGINT
             FROM later, LATERAL unnest(range(files)) AS t(j)""",
+        # MATERIALIZED on pairs/e is load-bearing (r14): the recursive
+        # reach CTE references e per iteration, and DuckDB re-inlines
+        # unmaterialized CTEs — each fixpoint round re-ran the full
+        # quadratic shingle-overlap join (25 GB / 20+ min at sf0.1,
+        # where the D1 twin without the recursion finishes fine).
         "X4_neardup_groups": ov_pairs.replace(
             "WITH d AS MATERIALIZED", "WITH RECURSIVE d AS MATERIALIZED"
-        )
+        ).replace("pairs AS (", "pairs AS MATERIALIZED (")
         + """,
-            e AS (SELECT a AS x, b AS y FROM pairs
+            e AS MATERIALIZED (SELECT a AS x, b AS y FROM pairs
                   UNION SELECT b, a FROM pairs),
             reach(x, y) AS (
               SELECT x, y FROM e

@@ -176,6 +176,16 @@ def winnow_fingerprints(
     winnowing guarantees hold for any deterministic hash.
 
     Returns (id, fp) exploded — one row per distinct fingerprint."""
+    from pufs_spark.operators.util import spread_for_compute
+
+    # The nested HOFs here (per-char substring -> per-gram hash ->
+    # per-position slice+array_min) run INTERPRETED (whole-stage
+    # codegen doesn't cover higher-order functions), ~40 us/char — the
+    # most compute-dense operator per input byte in the text family.
+    # A small-bytes corpus arrives as ONE scan split and ran 20+ min
+    # on one core at sf0.1 (r14, jstack'd mid-run); spreading is the
+    # same measured fix as D1/T1/T2 (util.spread_for_compute).
+    df = spread_for_compute(df, [id_col, text_col])
     n = F.length(F.col(text_col))
     grams = (
         F.when(n == 0, F.array().cast("array<string>"))
