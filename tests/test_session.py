@@ -84,3 +84,43 @@ def test_ship_package_does_not_accrete_temp_zips(spark, tmp_path, monkeypatch):
         if n.startswith(f"pufs_spark_pkg_{uid}_{os.getpid()}")
     ]
     assert mine == [os.path.basename(first)], f"accreted: {mine}"
+
+
+def test_initial_shuffle_partitions_scales_with_input():
+    """r14: AQE's planned start count follows input bytes — floor at
+    the core count for tiny SFs (the flat 32x-cores start cost
+    ~25%/query at sf0.1, tools/out/bench_r14_ab_initial32.json), cap
+    at 32x cores for decade-scale tiles, 1 partition/MB between."""
+    from pufs_spark.session import _initial_shuffle_partitions as f
+
+    floor, cap = 32, 1024
+    assert f(None, floor, cap) == cap           # unknown input: scale-safe
+    assert f(17_500_000, floor, cap) == floor   # sf0.1-sized: floor
+    assert f(512 << 20, floor, cap) == 512      # ramp: 1 per MiB
+    assert f(2_505_240_175, floor, cap) == cap  # sf10 tile: cap
+    assert f(0, floor, cap) == floor
+
+
+def test_table_row_count_matches_footers(spark):
+    """Footer walk equals a real count, and misses return None."""
+    from pufs_spark.tables import load_table, table_row_count
+
+    sf = "/root/testdata/sf0.001"
+    n = table_row_count(sf, "embeddings")
+    assert n == load_table(spark, sf, "embeddings").count()
+    assert table_row_count(sf, "no_such_table") is None
+
+
+def test_feed_probe_handles_file_uri_and_remote_schemes(tmp_path):
+    """ADVICE r13: a feed bound as file:/... must probe like a bare
+    path; non-local schemes return None (observable no-op)."""
+    from pufs_spark.operators.pipeline import _feed_data_files
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "a.json").write_text("x" * 100)
+    bare = _feed_data_files(str(p))
+    uri = _feed_data_files(f"file://{p}")
+    assert bare == uri == [100]
+    assert _feed_data_files("hdfs://nn/feed") is None
+    assert _feed_data_files("s3a://bucket/feed") is None
