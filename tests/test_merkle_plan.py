@@ -595,3 +595,19 @@ def test_bushy_tree_gate_counts_interior_files(spark, tmp_path):
     for frozen in (level, single):
         got = {r["inode"]: r["bid"] for r in frozen.collect()}
         assert got[ROOT_INODE] == driver_root
+
+
+def test_memoized_freeze_on_dirless_frame(spark, tmp_path):
+    """ADVICE r13: sum() over zero dir rows is SQL NULL — the memoized
+    gate must treat it as 0 dirty (prune path) instead of raising
+    TypeError on None <= float. A dir-less frame is necessarily
+    orphaned (files hang off dirs), so with_depth legitimately drops
+    the unreachable rows — the pinned contract is ONLY that the gate
+    runs; before the fix this line raised."""
+    ds = DataStore(str(tmp_path / "s"), remote=MemRemote())
+    a = ds.mkdir(ROOT_INODE, "a")
+    ds.add_immutable_bytes(a, "f1", b"one")
+    ds.freeze()
+    nodes = queries.nodes_df(spark, ds).where(~F.col("is_dir"))
+    out = merkle.freeze_nodes_df(nodes, memoized=True)
+    assert out.count() == 0  # orphans dropped, no TypeError raised
