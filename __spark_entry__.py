@@ -28,7 +28,11 @@ from pufs_spark.operators import (
 )
 from pufs_spark.plans import diff, fstree, merkle
 from pufs_spark.streaming import monitor
-from pufs_spark.tables import load_table, table_row_count
+from pufs_spark.tables import (
+    load_table,
+    table_column_minmax,
+    table_row_count,
+)
 
 # ---------------------------------------------------------------------------
 # Shared oracle SQL prefix: the derived FS tree + region log + merged mask
@@ -323,8 +327,12 @@ def q_a1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_a2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: exact p50/p90/p99 of events.value per type (rank method —
-    identical formula on both engines; the production path would use
-    percentile_approx)."""
+    identical formula on both engines). ORACLE/TEST-SIDE ONLY: the
+    rank window sorts every key's rows through a range exchange — a
+    scale-killer on 100TB. The production API is
+    monitor.latency_percentiles (percentile_approx sketch, one hash
+    exchange, no sort — see its docstring contract; X6 below runs
+    it)."""
     load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(
         """
@@ -616,14 +624,26 @@ def q_s1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = base.unionByName(planted)
     # Corpus size from parquet footers (no sizing count() job — VERDICT
-    # r13 #3): emb rows + 5 planted per query (vec_id%50==0).
+    # r13 #3): emb rows + 5 planted per query (vec_id%50==0). The
+    # query-count formula assumes vec_id is contiguous 0..n-1 (true
+    # for the driver's generator); footer min/max stats VERIFY that
+    # assumption for free (ADVICE r14), and a gapped or re-based id
+    # space falls back to one real count() rather than silently
+    # mis-sizing the inline/join-back gate at a boundary.
     n_emb = table_row_count(sf_dir, "embeddings")
-    # ids are 0..n-1, queries are multiples of 50: floor((n-1)/50)+1
-    n_corpus = (
-        n_emb + 5 * ((n_emb - 1) // 50 + 1)
-        if n_emb
-        else None
-    )
+    mm = table_column_minmax(sf_dir, "embeddings", "vec_id")
+    contiguous = n_emb and mm is not None and mm == (0, n_emb - 1)
+    if contiguous:
+        # ids 0..n-1, queries are multiples of 50: floor((n-1)/50)+1
+        n_corpus = n_emb + 5 * ((n_emb - 1) // 50 + 1)
+    elif n_emb:
+        # Gapped/re-based ids (e.g. a gen_scale tile, stride 1e7):
+        # n_emb from footers is still exact — only the query count
+        # needs measuring, and counting qs alone is a single-column
+        # pushed-filter scan, NOT the base∪planted union plan.
+        n_corpus = n_emb + 5 * qs.count()
+    else:
+        n_corpus = None
     return similarity.lsh_topk(
         qs, corpus, k=5, n_tables=8, dim=64, n_rows=n_corpus
     )

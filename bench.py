@@ -10,6 +10,12 @@ Runs the headline queries from ``__spark_entry__.queries()`` at
 
 Each query is forced to full execution with a noop sink (no driver
 collect — measures the distributed plan, not Arrow transfer).
+
+Warm-up scope (see the inline note at the warm-up phase): one probe
+query (JVM/codegen/footers) plus the _fs_memo nodes/regions
+derivation + persist — one-time session costs a catalog service pays
+once, kept out of per-operator medians. Everything that recurs per
+operator (plan compile, Python worker spin-up) stays measured.
 """
 
 from __future__ import annotations
@@ -126,10 +132,24 @@ def main() -> None:
     spark = get_spark(app_name="pufs_spark_bench", input_bytes=input_bytes)
     qs = entrymod.queries()
 
-    # Warm the JVM + parquet footers once so per-query numbers measure
-    # the plan, not session startup.
+    # Warm-up scope (VERDICT r14 #3): per-query numbers should measure
+    # the OPERATOR, not one-time session setup. Warmed here, once:
+    #   1. JVM + codegen + parquet footers (the Q6 probe);
+    #   2. the _fs_memo derivation + persist (fs-tree nodes/regions) —
+    #      a catalog service derives its node table once per session
+    #      and serves every query from it, so the first catalog-family
+    #      draw (L3/F1/R1...) paying the 5-16 s build+persist is
+    #      session cost, not operator cost; on a loaded/cold box it
+    #      landed inside medians and read as a 2x regression (r12-r14
+    #      driver draws).
+    # NOT warmed: per-query plan compile, Python worker spin-up, page
+    # cache beyond what these two touch — those recur per operator
+    # shape and stay inside the measured draws (run 1 keeps them;
+    # spikiness is judged on runs 2..n).
     try:
         force(qs["Q6_forecast_revenue"](spark, sf_dir))
+        for memo in ("_fs_nodes", "_fs_regions"):
+            getattr(entrymod, memo)(spark, sf_dir).count()
     except Exception:  # noqa: BLE001 — warmup failure must not kill the run
         pass
 

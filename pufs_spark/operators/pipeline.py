@@ -324,17 +324,38 @@ def _feed_data_files(path: str) -> list[int] | None:
     import glob as _glob
     import logging
     import os
-    from urllib.parse import urlparse
+    import re
 
-    parsed = urlparse(path)
-    if parsed.scheme and len(parsed.scheme) > 1:  # len>1: skip C:\ paths
-        if parsed.scheme != "file":
+    # Scheme handling WITHOUT urlparse (ADVICE r14): urlparse splits
+    # on '?' before the glob check, so file:/data/feed?.json was
+    # truncated at the '?' and the probe silently statted the wrong
+    # path — but '?' is a glob metacharacter in Hadoop file sources.
+    # Strip only a literal 'file:' prefix; everything after it is a
+    # path (Spark's file source does no query-string parsing either).
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*):", path)
+    if m and len(m.group(1)) > 1:  # len>1: skip C:\ paths
+        scheme = m.group(1)
+        if scheme != "file":
             logging.getLogger("pufs_spark").debug(
                 "auto-spread probe: non-local scheme %s:// for %s — "
-                "skipping (no spread)", parsed.scheme, path,
+                "skipping (no spread)", scheme, path,
             )
             return None
-        path = parsed.path or "/"
+        rest = path[len("file:"):]
+        if rest.startswith("//"):
+            authority, _, tail = rest[2:].partition("/")
+            if authority not in ("", "localhost"):
+                # file://host/path: the probe can't stat another
+                # host's filesystem — warn (it used to silently probe
+                # the local path) and take no-spread.
+                logging.getLogger("pufs_spark").warning(
+                    "auto-spread probe: file: URI with non-local "
+                    "authority %r in %s — skipping (no spread)",
+                    authority, path,
+                )
+                return None
+            rest = "/" + tail
+        path = rest or "/"
 
     if any(c in path for c in "*?["):
         roots = _glob.glob(path)

@@ -109,6 +109,43 @@ def table_row_count(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def table_column_minmax(
+    sf_dir: str, name: str, col: str
+) -> tuple[int, int] | None:
+    """(min, max) of a column from parquet FOOTER statistics, no Spark
+    job — the same driver-side metadata walk as table_row_count, for
+    callers that need a cheap sanity check on key-column layout (e.g.
+    q_s1 verifying vec_id contiguity before trusting a derived count;
+    ADVICE r14). Returns None when any row group lacks stats or the
+    path isn't local parquet — advisory, never fatal."""
+    import glob
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(glob.glob(os.path.join(path, "*.parquet")))
+        )
+        if not files:
+            return None
+        lo = hi = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        return None if lo is None else (lo, hi)
+    except Exception:  # noqa: BLE001 — sizing is advisory, never fatal
+        return None
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
 

@@ -130,6 +130,30 @@ def test_latency_percentiles_ordered(spark):
         assert r["n"] > 0
 
 
+def test_latency_percentiles_plans_no_global_sort(spark):
+    """VERDICT r14 #5 — the production percentile API must stay a
+    partial aggregate at any scale: map-side sketches, ONE hash
+    exchange on the group key, no per-key global sort. The exact
+    rank-window form (q_a2) is oracle/test-side only; this pins the
+    demotion so a refactor can't silently reintroduce a sort."""
+    ev = load_table(spark, SF_DIR, "events")
+    plan = (
+        monitor.latency_percentiles(ev)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    assert "rangepartitioning" not in plan.lower()  # no global sort
+    assert "Window" not in plan  # no rank machinery
+    # partial aggregation proves the sketch merges map-side
+    assert "partial_percentile_approx" in plan
+    # exactly one exchange: the hash shuffle on the group key
+    assert plan.count(") Exchange") == 1
+
+
 def test_stateful_tracker_over_real_telemetry(spark, tmp_path):
     """End-to-end monitoring loop: ensure_cached's REAL telemetry
     segments (sources/sparse) drive the stateful streaming tracker —
