@@ -98,12 +98,36 @@ def _fs_memo(spark: SparkSession, sf_dir: str, what: str) -> DataFrame:
             # analog of bucketing the hot table by its join key — on a
             # real cluster the regions log would be written bucketed by
             # bid for the same reason.
-            # Explicit count (4x cores), not AQE-planned: the cached
-            # layout feeds every downstream stage its parallelism, and
-            # AQE's advisory-size coalesce would cache ~12 fat
-            # partitions at sf10 — capping the window sorts and range
-            # joins at 12-way on 32 cores (measured: R1 9->15 s).
-            par = 4 * spark.sparkContext.defaultParallelism
+            # Explicit count, not AQE-planned: the cached layout feeds
+            # every downstream stage its parallelism, and AQE's
+            # advisory-size coalesce would cache ~12 fat partitions at
+            # sf10 — capping the window sorts and range joins at
+            # 12-way on 32 cores (measured: R1 9->15 s). The count is
+            # INPUT-SIZED (r15, guide §2.2 "fewer, larger partitions"):
+            # the flat 4x-cores (128) meant every interval query at
+            # sf0.1 paid 128 near-empty tasks per stage — ~4k cached
+            # rows each — pure scheduling overhead (R1's hot stage: 129
+            # tasks, 16.3 run-s vs 3.0 cpu-s). One partition per MB of
+            # the source log's on-disk bytes (same ratio as
+            # session._initial_shuffle_partitions), floored at the core
+            # count (compute density) and capped at 4x cores (the r13
+            # sf10 measured-best): sf0.1 -> cores, sf10 -> 4x cores,
+            # monotone between; scales with SPARK_GRAFT_CPUS either way.
+            cores = spark.sparkContext.defaultParallelism
+            src = os.path.join(sf_dir, "lineitem.parquet")
+            try:
+                src_bytes = (
+                    os.path.getsize(src)
+                    if os.path.isfile(src)
+                    else sum(
+                        os.path.getsize(os.path.join(dp, f))
+                        for dp, _, fs in os.walk(src)
+                        for f in fs
+                    )
+                )
+            except OSError:
+                src_bytes = 0
+            par = max(cores, min(4 * cores, src_bytes // (1 << 20)))
             df = df.repartition(par, F.col("bid"))
         _FS_MEMO[key] = df.persist()
     return _FS_MEMO[key]
@@ -263,9 +287,18 @@ def q_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R1: missing regions of [0, 32768) per sampled block."""
+    """R1: missing regions of [0, 32768) per sampled block.
+
+    The mask is merged only over the QUERIED blocks (broadcast
+    semi-join before merge_intervals — guide §2.3/§3.2, same idiom as
+    L3): missing_regions' output keys are exactly the query keys (both
+    its union arms derive from ``qs``), so mask rows for never-queried
+    bids can't reach the output and merging them is pure cost — at
+    sf0.1 the 1%-sampled query set cut the merged log 100x (r15:
+    window sort over ~6k rows instead of 600k; R1 min 1.04→0.35 s).
+    At lake scale this is the difference between a per-request job and
+    a full-log shuffle per request."""
     regions = _fs_regions(spark, sf_dir)
-    mask = intervals.merge_intervals(regions)
     orders = load_table(spark, sf_dir, "orders")
     qs = orders.where(F.col("o_orderkey") % 100 == 0).select(
         F.concat(F.lit("blk_"), F.col("o_orderkey")).alias("bid"),
@@ -273,6 +306,10 @@ def q_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("qstart"),
         F.lit(32768).cast("long").alias("qend"),
     )
+    queried = regions.join(
+        F.broadcast(qs.select("bid")), "bid", "left_semi"
+    )
+    mask = intervals.merge_intervals(queried)
     return intervals.missing_regions(mask, qs)
 
 
@@ -288,9 +325,10 @@ def q_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4: first missing region per sampled query."""
+    """R4: first missing region per sampled query. Mask merged over the
+    queried blocks only (same pre-merge semi-join as q_r1; the output
+    keys are the query keys, so the filter is result-invariant)."""
     regions = _fs_regions(spark, sf_dir)
-    mask = intervals.merge_intervals(regions)
     orders = load_table(spark, sf_dir, "orders")
     qs = orders.where(F.col("o_orderkey") % 100 == 0).select(
         F.concat(F.lit("blk_"), F.col("o_orderkey")).alias("bid"),
@@ -298,6 +336,10 @@ def q_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("qstart"),
         F.lit(1 << 20).cast("long").alias("qend"),
     )
+    queried = regions.join(
+        F.broadcast(qs.select("bid")), "bid", "left_semi"
+    )
+    mask = intervals.merge_intervals(queried)
     return intervals.first_missing(mask, qs)
 
 

@@ -89,18 +89,33 @@ def _parse_mem(s: str) -> int:
 
 
 def _persist_spread(df: DataFrame, key: str) -> DataFrame:
-    """Persist with a PINNED layout: hash-partitioned on ``key`` at
-    4x cores. A bare ``persist()`` caches whatever partitioning AQE
-    planned, and both failure modes hit the signature cache (r13):
-    with the high initialPartitionNum and cached-plan coalescing OFF
-    it cached ~1024 tiny blocks (per-task overhead ran D1 2x slow at
-    sf1.0); with coalescing ON it cached a few advisory-sized fat
-    blocks at sf10 and capped every downstream estimator join at
-    their count (D1 warm 50 s vs 20 s). An explicit count is immune
-    to both, and hashing on the id aligns the cache with the joins
-    that consume it. The extra exchange is signature-sized (~600 B x
-    docs), well under the banding shuffles it feeds."""
-    par = 4 * df.sparkSession.sparkContext.defaultParallelism
+    """Persist with a PINNED layout: hash-partitioned on ``key``. A
+    bare ``persist()`` caches whatever partitioning AQE planned, and
+    both failure modes hit the signature cache (r13): with the high
+    initialPartitionNum and cached-plan coalescing OFF it cached ~1024
+    tiny blocks (per-task overhead ran D1 2x slow at sf1.0); with
+    coalescing ON it cached a few advisory-sized fat blocks at sf10
+    and capped every downstream estimator join at their count (D1 warm
+    50 s vs 20 s). An explicit count is immune to both, and hashing on
+    the id aligns the cache with the joins that consume it. The extra
+    exchange is signature-sized (~600 B x docs), well under the
+    banding shuffles it feeds.
+
+    The count is INPUT-SIZED (r15, guide §2.2): the flat 4x-cores
+    (128) meant a 5k-doc gate corpus cached 128 near-empty blocks and
+    every downstream stage paid 128 tiny tasks. One partition per MB
+    of the corpus' on-disk bytes, floored at cores (compute density)
+    and capped at 4x cores (the r13 sf10 measured-best): sf0.1 ->
+    cores, sf10 -> 4x cores, monotone between; non-file-rooted frames
+    keep the scale-safe cap."""
+    from pufs_spark.operators.util import _estimated_scan_bytes
+
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    src_bytes = _estimated_scan_bytes(df)
+    if src_bytes is None:
+        par = 4 * cores
+    else:
+        par = max(cores, min(4 * cores, src_bytes // (1 << 20)))
     return df.repartition(par, key).persist()
 
 
@@ -323,10 +338,21 @@ def estimate_jaccard_pairs(
 
     ``sigs_b`` resolves the ``b`` side from a different signature set
     (cross-corpus dedup)."""
+    same = sigs_b is None
     sa = sigs.select(F.col(id_col).alias("a"), F.col("sig").alias("sig_a"))
-    sb = (sigs_b if sigs_b is not None else sigs).select(
-        F.col(id_col).alias("b"), F.col("sig").alias("sig_b")
-    )
+    if same:
+        # Identical select for BOTH sides (only the post-join renames
+        # differ): the two broadcast subplans then canonicalize equal
+        # and ReuseExchange ships ONE broadcast instead of two — at the
+        # self-join scale this halves the collect+build cost (r15;
+        # 500k-doc sigs are ~300 MB per broadcast at sf10).
+        sb = sa.select(
+            F.col("a").alias("b"), F.col("sig_a").alias("sig_b")
+        )
+    else:
+        sb = sigs_b.select(
+            F.col(id_col).alias("b"), F.col("sig").alias("sig_b")
+        )
     if broadcast_ok:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
     return (

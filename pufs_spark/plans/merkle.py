@@ -82,7 +82,10 @@ def _manifest_line():
 
 
 def _freeze_dirs_single_task(
-    leveled: DataFrame, memoized: bool, prune_clean: bool = True
+    leveled: DataFrame,
+    memoized: bool,
+    prune_clean: bool = True,
+    interior_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Dir bids for a catalog whose DIR METADATA fits one task: the
     LEAF tier (dirs with no dir children — in a real FS tree nearly
@@ -136,13 +139,15 @@ def _freeze_dirs_single_task(
         .agg(F.collect_list("_line").alias("_flines"))
         .localCheckpoint(eager=False)
     )
-    # dirs having at least one DIR child (root's self-loop excluded)
-    interior_ids = (
-        d_all.where(F.col("parent") != F.col("inode"))
-        .select(F.col("parent").alias("inode"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
+    # dirs having at least one DIR child (root's self-loop excluded);
+    # the gate may pass its already-checkpointed copy in (r15)
+    if interior_ids is None:
+        interior_ids = (
+            d_all.where(F.col("parent") != F.col("inode"))
+            .select(F.col("parent").alias("inode"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
 
     manifest = F.concat(
         F.array_join(F.array_sort(F.col("_flines")), "\n"), F.lit("\n")
@@ -452,21 +457,26 @@ def freeze_nodes_df(
     # groups that flow through the repartition(1) exchange (only
     # LEAF-dir file lines hash JVM-side). A tree where every dir has
     # both subdirs and many files passes a dir-only gate yet ships a
-    # catalog-sized manifest into one task. Stage 1 bounds the dir
-    # count (also bounds the interior-id broadcast below); stage 2
-    # adds the count of files whose parent is interior — the one
-    # quantity not bounded by the dir count — so the gated total is
-    # exactly the row volume the single task will receive. On the
-    # leaf-heavy trees real catalogs look like, stage 2 counts ~0 and
-    # the r12 behavior is unchanged.
-    d_gate = leveled.where(F.col("is_dir"))
-    gate_row = d_gate.agg(
-        F.count(F.lit(1)).alias("n"),
+    # catalog-sized manifest into one task. The dir-count bound also
+    # bounds the interior-id broadcast below; the count of files whose
+    # parent is interior — the one quantity not bounded by the dir
+    # count — is added before the final verdict. On the leaf-heavy
+    # trees real catalogs look like it counts ~0.
+    # One gate job, three counters (r15, guide §1.2 "remove passes"):
+    # n_files rides the same cached-nodes scan as the dir counters, so
+    # catalogs where dirs+files already fit one task — every gate SF —
+    # skip the interior-file job below entirely (n_interior_files <=
+    # n_files bounds it; the old unconditional two-job gate cost F1 a
+    # full job+gap per call: ~0.3 s at sf0.1, 1-2 s at sf10).
+    gate_row = leveled.agg(
+        F.sum(F.when(F.col("is_dir"), 1).otherwise(0)).alias("n"),
         F.sum(
-            F.when(F.col("bid").isNull(), 1).otherwise(0)
+            F.when(F.col("is_dir") & F.col("bid").isNull(), 1).otherwise(0)
         ).alias("dirty"),
+        F.sum(F.when(~F.col("is_dir"), 1).otherwise(0)).alias("n_files"),
     ).first()
-    n_dirs = gate_row["n"]
+    n_dirs = gate_row["n"] or 0
+    n_files = gate_row["n_files"] or 0
     # Auto-switch (r13 crossover, tools/profile_f1_crossover.py /
     # BASELINE.md): the dirty-prune's broadcasts and semi-joins are
     # pure overhead once most dirs re-hash anyway — at sf1.0 the
@@ -484,16 +494,25 @@ def freeze_nodes_df(
         and (gate_row["dirty"] or 0) <= _MEMO_MAX_DIRTY_FRAC * n_dirs
     )
     single_task = n_dirs <= single_task_max_rows
-    if single_task:
-        interior_gate = (
-            d_gate.where(F.col("parent") != F.col("inode"))
-            .select(F.col("parent").alias("_ip"))
+    interior_ids = None
+    if single_task and n_dirs + n_files > single_task_max_rows:
+        # Only mid-size catalogs (dirs fit, dirs+files don't) need the
+        # exact interior-file count; n_interior_files <= n_files bounds
+        # everything smaller. The interior set is checkpointed so the
+        # single-task plan below reuses the materialized RDD instead of
+        # re-running the distinct exchange (one fewer AQE stage job).
+        interior_ids = (
+            leveled.where(
+                F.col("is_dir") & (F.col("parent") != F.col("inode"))
+            )
+            .select(F.col("parent").alias("inode"))
             .distinct()
+            .localCheckpoint(eager=False)
         )
         n_interior_files = (
             leveled.where(~F.col("is_dir"))
             .join(
-                F.broadcast(interior_gate),
+                F.broadcast(interior_ids.withColumnRenamed("inode", "_ip")),
                 F.col("parent") == F.col("_ip"),
                 "left_semi",
             )
@@ -501,7 +520,9 @@ def freeze_nodes_df(
         )
         single_task = n_dirs + n_interior_files <= single_task_max_rows
     if single_task:
-        all_dir_bids = _freeze_dirs_single_task(leveled, memoized, prune_clean)
+        all_dir_bids = _freeze_dirs_single_task(
+            leveled, memoized, prune_clean, interior_ids=interior_ids
+        )
         # the bid table provably fits one task → broadcast the join-back
         all_dir_bids = F.broadcast(all_dir_bids)
     else:
