@@ -199,42 +199,45 @@ def minhash_signatures(
     hashed = _spread_for_compute(df, [id_col, text_col]).select(
         F.col(id_col), F.explode_outer(hashed_shingles).alias("_x")
     )
-    aggs = [
-        F.min(
-            F.pmod(F.col("_x") * F.lit(a) + F.lit(b), F.lit(MERSENNE31))
-        ).alias(f"_m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    g = hashed.groupBy(id_col).agg(*aggs)
+    # ONE parsed expression for the whole signature (r15): composing
+    # num_hashes separate min-aggregates + the coalesce array from
+    # Column objects cost ~1.0 s of py4j round trips PER CALL (measured
+    # — the single largest piece of D1's wall at sf0.1); a single
+    # F.expr string is one parser call and yields the identical
+    # aggregate tree (values bit-equal: same pmod/min/coalesce(-1)
+    # arithmetic, L-suffixed literals keep the multiply in bigint
+    # exactly as the auto-promoted Column form did).
     # explode_outer keeps empty-shingle docs as a NULL row → NULL mins
     # → -1 sentinel (matches prior API).
-    sig = F.array(
-        *[
-            F.coalesce(F.col(f"_m{i}"), F.lit(-1)).cast("long")
-            for i in range(num_hashes)
-        ]
-    )
-    return g.select(F.col(id_col), sig.alias("sig"))
+    sig = F.expr(
+        "array("
+        + ", ".join(
+            f"coalesce(min(pmod(_x * {a}L + {b}L, {MERSENNE31}L)), -1L)"
+            for a, b in params
+        )
+        + ")"
+    ).alias("sig")
+    return hashed.groupBy(id_col).agg(sig)
 
 
 def _banded(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
-    """(id, band, key) — each signature exploded into its band keys."""
-    return sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            ":", *[F.col("sig")[i * rows + r] for r in range(rows)]
-                        ).alias("key"),
-                    )
-                    for i in range(bands)
-                ]
+    """(id, band, key) — each signature exploded into its band keys.
+    One parsed expression (r15): the Column-composed bands×rows struct
+    array cost ~0.3 s of py4j per call; identical tree, one parse."""
+    bk = F.expr(
+        "explode(array("
+        + ", ".join(
+            "named_struct('band', {i}, 'key', concat_ws(':', {slots}))".format(
+                i=i,
+                slots=", ".join(
+                    f"sig[{i * rows + r}]" for r in range(rows)
+                ),
             )
-        ).alias("bk"),
-    ).select(id_col, "bk.band", "bk.key")
+            for i in range(bands)
+        )
+        + "))"
+    ).alias("bk")
+    return sigs.select(F.col(id_col), bk).select(id_col, "bk.band", "bk.key")
 
 
 def lsh_candidate_pairs(

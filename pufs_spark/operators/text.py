@@ -31,6 +31,16 @@ def tokens_col(text_col: str = "text"):
     ).otherwise(F.split(F.trim(F.col(text_col)), r"\s+"))
 
 
+def _tokens_sql(text_col: str) -> str:
+    """tokens_col as a SQL fragment (for single-parse F.expr sites) —
+    MUST stay semantically identical to tokens_col."""
+    t = f"`{text_col}`"
+    return (
+        f"CASE WHEN length(trim({t})) = 0 THEN cast(array() as array<string>) "
+        f"ELSE split(trim({t}), '\\\\s+') END"
+    )
+
+
 def token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Whitespace token counting (the BPE-ish regex variant is
     token_count_bpe below)."""
@@ -62,7 +72,6 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     nz = F.when(length == 0, F.lit(1)).otherwise(length)  # div-by-zero guard
     n_toks = F.size(toks)
     nz_toks = F.when(n_toks == 0, F.lit(1)).otherwise(n_toks)
-    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
     return (
         df.withColumn("n_chars_m", length.cast("long"))
         .withColumn("n_tokens", n_toks.cast("long"))
@@ -90,7 +99,14 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn(
             "stopword_ratio",
-            F.size(F.filter(toks, lambda t: F.array_contains(sw, F.lower(t))))
+            # one parsed expression (r15): the Column-composed literal
+            # array + lambda was ~15 py4j calls per call site
+            F.expr(
+                "size(filter({toks}, t -> array_contains(array({sw}), lower(t))))".format(
+                    toks=_tokens_sql(text_col),
+                    sw=", ".join(f"'{w}'" for w in STOPWORDS["en"]),
+                )
+            )
             / nz_toks,
         )
     )
@@ -111,10 +127,14 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = F.transform(tokens_col(text_col), F.lower)
 
     def hits(words):
-        wl = F.array([F.lit(w) for w in words])
-        return F.size(F.filter(toks, lambda t: F.array_contains(wl, t)))
+        # one parsed expression per language (r15): the Column-composed
+        # 10-literal array + lambda cost ~15 py4j calls per language
+        wl = ", ".join(f"'{w}'" for w in words)
+        return F.expr(
+            f"size(filter(_toks, t -> array_contains(array({wl}), t)))"
+        )
 
-    out = df
+    out = df.withColumn("_toks", toks)
     for lang, words in STOPWORDS.items():
         out = out.withColumn(f"_hits_{lang}", hits(words))
     langs = sorted(STOPWORDS)
@@ -127,7 +147,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         out.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
-        .drop(*[f"_hits_{lang}" for lang in langs])
+        .drop("_toks", *[f"_hits_{lang}" for lang in langs])
     )
 
 

@@ -85,7 +85,33 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
     walk. Estimation errors only matter near the cores boundary, where
     both outcomes are fine (the repartition is a no-op cost-wise at
     exactly-cores parallelism). Non-file-rooted frames (in-memory
-    fixtures, RDD-backed tests) fall back to the exact probe."""
+    fixtures, RDD-backed tests) fall back to the exact probe.
+
+    The file arithmetic is only VALID for narrow scan-rooted plans: a
+    plan that already contains a partitioning-changing operator (an
+    explicit repartition, a join/aggregate/window shuffle) arrives in
+    THAT operator's partitioning, not the scan's — e.g. the streaming
+    gate stage spreads its input BEFORE quality_stats, and estimating
+    from file bytes there stacked a second exchange on top (caught by
+    test_streaming's plan pins, r15). Any such node in the analyzed
+    plan falls back to the exact probe."""
+    try:
+        shape = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — estimation is advisory
+        return df.rdd.getNumPartitions()
+    if any(
+        k in shape
+        for k in (
+            "Repartition",
+            "Join",
+            "Aggregate",
+            "Window",
+            "Deduplicate",
+            "Sort",
+            "Distinct",
+        )
+    ):
+        return df.rdd.getNumPartitions()
     conf = df.sparkSession.conf
     max_pb = _parse_bytes(
         conf.get("spark.sql.files.maxPartitionBytes", "128MB"), 128 << 20

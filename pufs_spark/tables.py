@@ -32,7 +32,34 @@ _NANOS_TS_COLUMNS = {
 }
 
 
+# DataFrame HANDLE memo — not a data cache. Each load_table call costs
+# ~95 ms (r15 measured): spark.read.parquet re-lists the path and
+# re-reads footers for schema on every call, and the headline suite
+# makes ~35 such calls per bench pass (~3 s of pure driver time).
+# A real service resolves a table reference once per session; the memo
+# does the same for the immutable driver testdata. No persist() — the
+# scan still reads parquet every execution; only the plan handle is
+# reused. Keyed per session (dead-session entries evicted like
+# _FS_MEMO); PUFS_ENTRY_CACHE=0 disables, matching the entry's memo
+# switch (plan-assert tests run cold).
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if os.environ.get("PUFS_ENTRY_CACHE", "1") != "1":
+        return _load_table_uncached(spark, sf_dir, name)
+    app_id = spark.sparkContext.applicationId
+    for k in [k for k in _TABLE_MEMO if k[0] != app_id]:
+        _TABLE_MEMO.pop(k, None)
+    key = (app_id, os.path.abspath(sf_dir), name)
+    df = _TABLE_MEMO.get(key)
+    if df is None:
+        df = _load_table_uncached(spark, sf_dir, name)
+        _TABLE_MEMO[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Some driver parquet files store TIMESTAMP(NANOS), which Spark rejects
     # unless nanosAsLong is set. It's a runtime SQL conf, so set it on the
     # *caller's* session here rather than relying on our own session factory
