@@ -23,6 +23,44 @@ from pyspark.sql import functions as F
 
 from pufs_spark.catalog.datastore import ROOT_INODE
 
+# Shared-subplan frames of in-flight freezes (see _shared): bounded
+# FIFO, two freezes' worth (4 frames each: file lines, interior ids,
+# leaf bids, gate interior set) so a caller holding one lazy frozen
+# result still executes against its persisted intermediates while the
+# next freeze builds. Evicting early only costs a recompute from
+# lineage, never correctness.
+_ACTIVE_FREEZE_FRAMES: list = []
+_ACTIVE_FREEZE_BUDGET = 8
+_ACTIVE_FREEZE_LOCK = __import__("threading").Lock()
+
+
+def _shared(df: DataFrame) -> DataFrame:
+    """Dedup a subplan that feeds multiple union/join branches.
+
+    Spark re-executes a subplan per consuming branch (no cross-branch
+    CSE), so these frames must be materialized once. r12-r14 used
+    ``localCheckpoint(eager=False)``, but on an AQE plan Spark 4.1
+    EXECUTES the subplan's query stages at checkpoint CREATION time
+    (toRdd finalizes the adaptive plan) — three SERIAL stage
+    executions during plan construction, ~0.6 s per freeze at sf0.1
+    and the bulk of the freeze's sequential-job count at sf10
+    (measured r15). ``persist()`` is genuinely lazy: all branches
+    share one in-memory materialization that happens INSIDE the final
+    job, where independent stages run concurrently. The module-level
+    budget unpersists old frames so repeated freezes do not grow the
+    cache registry unboundedly (the `_ACTIVE_SIGS` pattern from
+    operators/dedup.py)."""
+    p = df.persist()
+    with _ACTIVE_FREEZE_LOCK:
+        _ACTIVE_FREEZE_FRAMES.append(p)
+        while len(_ACTIVE_FREEZE_FRAMES) > _ACTIVE_FREEZE_BUDGET:
+            old = _ACTIVE_FREEZE_FRAMES.pop(0)
+            try:
+                old.unpersist()
+            except Exception:  # noqa: BLE001 — dead context
+                pass
+    return p
+
 
 def with_depth(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
     """Annotate each node with its depth (root=0) via pointer doubling:
@@ -120,33 +158,31 @@ def _freeze_dirs_single_task(
         # O(dirty files). The dirty set is dir-count-bounded (≤ the
         # single-task precondition) and broadcast, so the prune is a
         # map-side hash filter — no extra exchange.
-        dirty_ids = (
+        dirty_ids = _shared(
             d_all.where(F.col("bid").isNull())
             .select(F.col("inode").alias("parent"))
-            .localCheckpoint(eager=False)
         )
         files = files.join(F.broadcast(dirty_ids), "parent", "left_semi")
     # Frames feeding MULTIPLE union branches below: Spark re-executes a
-    # subplan per branch (no cross-branch CSE): without the lazy
-    # localCheckpoints the collect_list aggregation ran twice and the
-    # interior-ids distinct three times (~4.5 s of the 7 s sf1.0 wall).
-    # Checkpointed, each materializes once on first use. Sizes are
-    # bounded by the single-task precondition (catalog fits one task),
-    # so executor-resident blocks are safe here.
-    file_lines_all = (
+    # subplan per branch (no cross-branch CSE): unshared, the
+    # collect_list aggregation ran twice and the interior-ids distinct
+    # three times (~4.5 s of the 7 s sf1.0 wall, r12). _shared persists
+    # each so it materializes once, inside the final job (see _shared
+    # for why not localCheckpoint). Sizes are bounded by the
+    # single-task precondition (catalog fits one task), so
+    # executor-resident blocks are safe here.
+    file_lines_all = _shared(
         files.withColumn("_line", _manifest_line())
         .groupBy(F.col("parent").alias("inode"))
         .agg(F.collect_list("_line").alias("_flines"))
-        .localCheckpoint(eager=False)
     )
     # dirs having at least one DIR child (root's self-loop excluded);
-    # the gate may pass its already-checkpointed copy in (r15)
+    # the gate may pass its already-shared copy in (r15)
     if interior_ids is None:
-        interior_ids = (
+        interior_ids = _shared(
             d_all.where(F.col("parent") != F.col("inode"))
             .select(F.col("parent").alias("inode"))
             .distinct()
-            .localCheckpoint(eager=False)
         )
 
     manifest = F.concat(
@@ -175,7 +211,7 @@ def _freeze_dirs_single_task(
     # whose only remaining purpose was contributing ONE manifest line
     # to the parent). Checkpointed: feeds the parent-lines branch and
     # the final output union.
-    leaf_bids = (
+    leaf_bids = _shared(
         d_all.join(interior_ids, "inode", "left_anti")
         .join(leaf_hash, "inode", "left")
         .select(
@@ -185,7 +221,6 @@ def _freeze_dirs_single_task(
             F.col("size").cast("long").alias("size"),
             leaf_bid.alias("bid"),
         )
-        .localCheckpoint(eager=False)
     )
     # Each hashed leaf dir becomes one manifest line in its PARENT's
     # group — JVM-side groupBy, so the task's input shrinks to the
@@ -498,16 +533,15 @@ def freeze_nodes_df(
     if single_task and n_dirs + n_files > single_task_max_rows:
         # Only mid-size catalogs (dirs fit, dirs+files don't) need the
         # exact interior-file count; n_interior_files <= n_files bounds
-        # everything smaller. The interior set is checkpointed so the
+        # everything smaller. The interior set is shared (persisted) so the
         # single-task plan below reuses the materialized RDD instead of
         # re-running the distinct exchange (one fewer AQE stage job).
-        interior_ids = (
+        interior_ids = _shared(
             leveled.where(
                 F.col("is_dir") & (F.col("parent") != F.col("inode"))
             )
             .select(F.col("parent").alias("inode"))
             .distinct()
-            .localCheckpoint(eager=False)
         )
         n_interior_files = (
             leveled.where(~F.col("is_dir"))

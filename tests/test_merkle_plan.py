@@ -611,3 +611,64 @@ def test_memoized_freeze_on_dirless_frame(spark, tmp_path):
     nodes = queries.nodes_df(spark, ds).where(~F.col("is_dir"))
     out = merkle.freeze_nodes_df(nodes, memoized=True)
     assert out.count() == 0  # orphans dropped, no TypeError raised
+
+
+def test_small_catalog_gate_runs_one_job(spark, tmp_path):
+    """r15: the strategy gate is ONE Spark job for catalogs whose
+    dirs+files already fit a single task (n_interior_files <= n_files
+    bounds the verdict, so the old second interior-count job is
+    skipped). Plan construction must not run any other action: the
+    lazy localCheckpoints plan but never execute at build time.
+    Depth is stamped (the real-catalog fast path) so the pointer-
+    doubling derivation — which runs its own convergence jobs — stays
+    out of the count."""
+    ds = DataStore(str(tmp_path / "s"), remote=MemRemote())
+    a = ds.mkdir(ROOT_INODE, "a")
+    ds.add_immutable_bytes(a, "f1", b"one")
+    ds.add_immutable_bytes(ROOT_INODE, "top", b"two")
+    nodes = (
+        queries.nodes_df(spark, ds)
+        .withColumn(
+            "bid",
+            F.when(F.col("is_dir"), F.lit(None)).otherwise(F.col("bid")),
+        )
+        .withColumn(
+            "depth",
+            F.when(F.col("inode") == ROOT_INODE, 0)
+            .when(F.col("parent") == ROOT_INODE, 1)
+            .otherwise(2)
+            .cast("int"),
+        )
+    )
+    sc = spark.sparkContext
+    # Baseline: the gate aggregate alone (one action; AQE may split it
+    # into a few stage jobs — count them so the pin below is exact).
+    sc.setJobGroup("gate_only_r15", "gate-only")
+    from pufs_spark.plans.merkle import with_depth
+
+    leveled = with_depth(nodes, 64)
+    leveled.agg(
+        F.sum(F.when(F.col("is_dir"), 1).otherwise(0)).alias("n"),
+        F.sum(
+            F.when(F.col("is_dir") & F.col("bid").isNull(), 1).otherwise(0)
+        ).alias("dirty"),
+        F.sum(F.when(~F.col("is_dir"), 1).otherwise(0)).alias("n_files"),
+    ).first()
+    gate_jobs = len(sc.statusTracker().getJobIdsForGroup("gate_only_r15"))
+
+    sc.setJobGroup("gate_probe_r15", "gate")
+    try:
+        frozen = merkle.freeze_nodes_df(nodes)  # build only
+        jobs = len(sc.statusTracker().getJobIdsForGroup("gate_probe_r15"))
+        # small catalog: the build runs EXACTLY the gate action — no
+        # interior-file count job, and no eager subplan execution from
+        # the shared frames (the r12-r14 lazy localCheckpoints executed
+        # their stages at build time; _shared/persist must not)
+        assert jobs == gate_jobs, (
+            f"freeze build ran {jobs} jobs vs {gate_jobs} for the gate "
+            "aggregate alone — an extra build-time action crept in"
+        )
+    finally:
+        sc.setJobGroup(None, None)
+    got = {r["inode"]: r["bid"] for r in frozen.collect()}
+    assert got[ROOT_INODE] == ds.freeze()

@@ -109,3 +109,59 @@ def test_spread_for_compute_by_key_skips_payload_sort(spark):
     assert "roundrobin" not in plan.lower(), plan
     got = {r["media_id"]: bytes(r["content"]) for r in out.collect()}
     assert len(got) == 64 and got[3] == b"x3" * 200
+
+
+def test_estimated_scan_partitions_matches_exact_probe(spark, tmp_path):
+    """r15: spread_for_compute gates on a file-size ESTIMATE instead of
+    .rdd.getNumPartitions() (which costs a physical plan per call). The
+    estimate must agree with the exact probe on the frames that matter:
+    (a) a narrow scan-rooted frame (estimator path — no physical
+    planning), and (b) a frame with an explicit repartition, where the
+    file arithmetic is invalid and the fallback must return the
+    repartition's count (the r15 streaming-gate pin caught a double
+    exchange here)."""
+    import pandas as pd
+
+    from pufs_spark.operators.util import _estimated_scan_partitions
+
+    src = str(tmp_path / "small")
+    pd.DataFrame({"id": range(100), "text": ["x"] * 100}).to_parquet(
+        src + ".parquet", index=False
+    )
+    scan = spark.read.parquet(src + ".parquet").select("id", "text")
+    # (a) narrow scan: small single file -> both say 1 split
+    assert _estimated_scan_partitions(scan) == scan.rdd.getNumPartitions() == 1
+    # (b) repartitioned frame: fallback must see the explicit count,
+    #     not the file bytes
+    rep = scan.repartition(7)
+    assert _estimated_scan_partitions(rep) == 7
+    # (c) non-file frame: falls back to the exact probe
+    rng = spark.range(10).coalesce(2)
+    assert _estimated_scan_partitions(rng) == 2
+
+
+def test_load_table_memoizes_handle_per_session(spark):
+    """r15: load_table returns the SAME DataFrame handle for repeated
+    calls (a ~95 ms path re-list + footer re-read per call otherwise),
+    and PUFS_ENTRY_CACHE=0 bypasses the memo. Handle reuse only — the
+    scan still reads parquet at execution (no persist in the plan)."""
+    import os as _os
+
+    from pufs_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    a = load_table(spark, SF_DIR, "orders")
+    b = load_table(spark, SF_DIR, "orders")
+    assert a is b
+    assert "InMemoryRelation" not in a._jdf.queryExecution().optimizedPlan().toString()
+    old = _os.environ.get("PUFS_ENTRY_CACHE")
+    _os.environ["PUFS_ENTRY_CACHE"] = "0"
+    try:
+        c = load_table(spark, SF_DIR, "orders")
+        assert c is not a
+        assert c.count() == a.count()
+    finally:
+        if old is None:
+            _os.environ.pop("PUFS_ENTRY_CACHE", None)
+        else:
+            _os.environ["PUFS_ENTRY_CACHE"] = old
