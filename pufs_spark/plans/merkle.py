@@ -23,14 +23,18 @@ from pyspark.sql import functions as F
 
 from pufs_spark.catalog.datastore import ROOT_INODE
 
-# Shared-subplan frames of in-flight freezes (see _shared): bounded
-# FIFO, two freezes' worth (4 frames each: file lines, interior ids,
-# leaf bids, gate interior set) so a caller holding one lazy frozen
-# result still executes against its persisted intermediates while the
-# next freeze builds. Evicting early only costs a recompute from
-# lineage, never correctness.
+# Shared-subplan frames of the in-flight freeze (see _shared): bounded
+# FIFO, ONE freeze's worth (up to 4 frames: dirty set / file lines /
+# interior ids / leaf bids). The bound is deliberately tight: persist()
+# registers the plan with the CacheManager, and a LOOSER budget would
+# let the next freeze's byte-identical subplans silently read the
+# previous run's cached blocks — cross-run result reuse the bench must
+# not have (A/B at sf0.1: budget 4 is wall-flat vs 8, so the tight
+# bound costs nothing). Evicting early only costs a recompute from
+# lineage, never correctness; a caller still holding an older lazy
+# frozen result just recomputes on collect.
 _ACTIVE_FREEZE_FRAMES: list = []
-_ACTIVE_FREEZE_BUDGET = 8
+_ACTIVE_FREEZE_BUDGET = 4
 _ACTIVE_FREEZE_LOCK = __import__("threading").Lock()
 
 

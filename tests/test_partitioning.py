@@ -150,13 +150,21 @@ def test_load_table_memoizes_handle_per_session(spark):
     from pufs_spark.tables import load_table
     from tests.conftest import SF_DIR
 
-    a = load_table(spark, SF_DIR, "orders")
-    b = load_table(spark, SF_DIR, "orders")
-    assert a is b
-    assert "InMemoryRelation" not in a._jdf.queryExecution().optimizedPlan().toString()
+    # test_plans.py sets PUFS_ENTRY_CACHE=0 at module level, which
+    # pytest evaluates at COLLECTION time for the whole process — pin
+    # the env explicitly for each branch rather than trusting the
+    # process default.
     old = _os.environ.get("PUFS_ENTRY_CACHE")
-    _os.environ["PUFS_ENTRY_CACHE"] = "0"
     try:
+        _os.environ["PUFS_ENTRY_CACHE"] = "1"
+        a = load_table(spark, SF_DIR, "orders")
+        b = load_table(spark, SF_DIR, "orders")
+        assert a is b
+        assert (
+            "InMemoryRelation"
+            not in a._jdf.queryExecution().optimizedPlan().toString()
+        )
+        _os.environ["PUFS_ENTRY_CACHE"] = "0"
         c = load_table(spark, SF_DIR, "orders")
         assert c is not a
         assert c.count() == a.count()
