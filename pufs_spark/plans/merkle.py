@@ -113,13 +113,12 @@ def with_depth(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
 
 def _manifest_line():
     """One child's manifest line — MUST match
-    catalog.datastore.encode_dir_manifest: name\\tis_dir\\tbid\\tsize."""
-    return F.concat_ws(
-        "\t",
-        F.col("name"),
-        F.when(F.col("is_dir"), F.lit("1")).otherwise(F.lit("0")),
-        F.col("bid"),
-        F.col("size").cast("string"),
+    catalog.datastore.encode_dir_manifest: name\\tis_dir\\tbid\\tsize.
+    Single-parse F.expr (r15): same tree, one py4j call per use."""
+    return F.expr(
+        "concat_ws('\\t', name,"
+        " CASE WHEN is_dir THEN '1' ELSE '0' END,"
+        " bid, CAST(size AS STRING))"
     )
 
 
@@ -206,8 +205,10 @@ def _freeze_dirs_single_task(
     leaf_hash = file_lines_all.select(
         "inode", F.sha2(manifest, 256).alias("_fbid")
     )
-    computed = F.coalesce(F.col("_fbid"), F.lit(EMPTY_MANIFEST_SHA))
-    leaf_bid = F.coalesce(F.col("bid"), computed) if memoized else computed
+    computed_sql = f"coalesce(_fbid, '{EMPTY_MANIFEST_SHA}')"
+    leaf_bid_sql = (
+        f"coalesce(bid, {computed_sql})" if memoized else computed_sql
+    )
     # Finished leaf bids — these NEVER enter the single task (r12: the
     # task previously received every leaf dir as a pre-memoized row,
     # so the repartition(1) exchange and the Python loop were both
@@ -218,12 +219,12 @@ def _freeze_dirs_single_task(
     leaf_bids = _shared(
         d_all.join(interior_ids, "inode", "left_anti")
         .join(leaf_hash, "inode", "left")
-        .select(
+        .selectExpr(
             "inode",
-            F.col("parent").cast("long").alias("parent"),
+            "CAST(parent AS BIGINT) AS parent",
             "name",
-            F.col("size").cast("long").alias("size"),
-            leaf_bid.alias("bid"),
+            "CAST(size AS BIGINT) AS size",
+            leaf_bid_sql + " AS bid",
         )
     )
     # Each hashed leaf dir becomes one manifest line in its PARENT's
@@ -250,27 +251,27 @@ def _freeze_dirs_single_task(
         )
 
     def _as_line_rows(grouped: DataFrame) -> DataFrame:
-        return grouped.select(
+        return grouped.selectExpr(
             "inode",
-            F.lit(None).cast("long").alias("parent"),
-            F.lit(None).cast("string").alias("name"),
-            F.lit(None).cast("long").alias("size"),
-            F.lit(None).cast("int").alias("depth"),
-            F.lit(None).cast("string").alias("bid"),
+            "CAST(NULL AS BIGINT) AS parent",
+            "CAST(NULL AS STRING) AS name",
+            "CAST(NULL AS BIGINT) AS size",
+            "CAST(NULL AS INT) AS depth",
+            "CAST(NULL AS STRING) AS bid",
             "_flines",
         )
 
     file_lines = _as_line_rows(
         file_lines_all.join(interior_ids, "inode", "left_semi")
     ).unionByName(_as_line_rows(leaf_lines))
-    dirs = d_all.join(interior_ids, "inode", "left_semi").select(
+    dirs = d_all.join(interior_ids, "inode", "left_semi").selectExpr(
         "inode",
-        F.col("parent").cast("long").alias("parent"),
+        "CAST(parent AS BIGINT) AS parent",
         "name",
-        F.col("size").cast("long").alias("size"),
+        "CAST(size AS BIGINT) AS size",
         "depth",
-        "bid" if memoized else F.lit(None).cast("string").alias("bid"),
-        F.lit(None).cast("array<string>").alias("_flines"),
+        "bid" if memoized else "CAST(NULL AS STRING) AS bid",
+        "CAST(NULL AS ARRAY<STRING>) AS _flines",
     )
 
     def hash_part(pdfs):
