@@ -23,6 +23,18 @@ STOPWORDS = {
     "it": ["il", "la", "gli", "le", "che", "di", "un", "una", "per", "con"],
 }
 
+# Guard the single-parse F.expr sites below (ADVICE r15): the words are
+# interpolated as raw single-quoted SQL literals, so a future word
+# containing a quote/backslash (French "l'") would become a parse error
+# or a wrong predicate. Fail at import, next to the data, not at the
+# call site.
+for _words in STOPWORDS.values():
+    for _w in _words:
+        assert _w.isascii() and _w.isalpha() and _w.islower(), (
+            f"stopword {_w!r} is not a bare [a-z]+ word; the F.expr "
+            "literal interpolation in quality_stats/lang_id would break"
+        )
+
 
 def tokens_col(text_col: str = "text"):
     """Whitespace tokenization; empty/blank text → empty array."""
@@ -131,10 +143,13 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         # 10-literal array + lambda cost ~15 py4j calls per language
         wl = ", ".join(f"'{w}'" for w in words)
         return F.expr(
-            f"size(filter(_toks, t -> array_contains(array({wl}), t)))"
+            f"size(filter(__pufs_toks, t -> array_contains(array({wl}), t)))"
         )
 
-    out = df.withColumn("_toks", toks)
+    # collision-resistant working name (ADVICE r15): an input frame
+    # that already carries `_toks` must not be silently overwritten
+    assert "__pufs_toks" not in df.columns
+    out = df.withColumn("__pufs_toks", toks)
     for lang, words in STOPWORDS.items():
         out = out.withColumn(f"_hits_{lang}", hits(words))
     langs = sorted(STOPWORDS)
@@ -147,7 +162,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return (
         out.withColumn("pred_lang", F.when(best > 0, pred).otherwise(F.lit("und")))
-        .drop("_toks", *[f"_hits_{lang}" for lang in langs])
+        .drop("__pufs_toks", *[f"_hits_{lang}" for lang in langs])
     )
 
 

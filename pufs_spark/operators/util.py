@@ -71,6 +71,46 @@ def spread_for_compute(
     return slim
 
 
+# Logical nodes that KEEP their child's partitioning (row-local
+# transforms over one input). Everything else — joins, aggregates,
+# windows, repartitions, limits (GlobalLimit collapses to ~1 partition
+# at execution), samples, unions, set ops — invalidates the file
+# arithmetic and routes to the exact probe. Unknown / future node
+# names fail safe the same way.
+_PARTITION_PRESERVING = frozenset(
+    {
+        "Relation",  # LogicalRelation (file scans)
+        "LogicalRDD",
+        "Project",
+        "Filter",
+        "SubqueryAlias",
+        "View",
+        "Generate",  # explode — per-row fanout, same partitions
+        "Expand",
+        "WithColumns",
+        "UnresolvedRelation",
+    }
+)
+
+
+def _analyzed_node_names(df: DataFrame) -> list[str] | None:
+    """Node class names of ``df``'s ANALYZED logical plan (one tree
+    walk over py4j — no physical planning). None when the walk fails
+    (estimation is advisory; callers fall back to the exact probe)."""
+    try:
+        stack = [df._jdf.queryExecution().analyzed()]
+        names: list[str] = []
+        while stack:
+            node = stack.pop()
+            names.append(node.nodeName())
+            children = node.children()
+            for i in range(children.size()):
+                stack.append(children.apply(i))
+        return names
+    except Exception:  # noqa: BLE001 — advisory
+        return None
+
+
 def _estimated_scan_partitions(df: DataFrame) -> int:
     """Estimate how many partitions ``df`` arrives in, cheaply.
 
@@ -89,28 +129,21 @@ def _estimated_scan_partitions(df: DataFrame) -> int:
 
     The file arithmetic is only VALID for narrow scan-rooted plans: a
     plan that already contains a partitioning-changing operator (an
-    explicit repartition, a join/aggregate/window shuffle) arrives in
-    THAT operator's partitioning, not the scan's — e.g. the streaming
-    gate stage spreads its input BEFORE quality_stats, and estimating
-    from file bytes there stacked a second exchange on top (caught by
-    test_streaming's plan pins, r15). Any such node in the analyzed
-    plan falls back to the exact probe."""
-    try:
-        shape = df._jdf.queryExecution().analyzed().toString()
-    except Exception:  # noqa: BLE001 — estimation is advisory
-        return df.rdd.getNumPartitions()
-    if any(
-        k in shape
-        for k in (
-            "Repartition",
-            "Join",
-            "Aggregate",
-            "Window",
-            "Deduplicate",
-            "Sort",
-            "Distinct",
-        )
-    ):
+    explicit repartition, a join/aggregate/window shuffle, a limit,
+    a sample, a union) arrives in THAT operator's partitioning, not
+    the scan's — e.g. the streaming gate stage spreads its input
+    BEFORE quality_stats, and estimating from file bytes there stacked
+    a second exchange on top (caught by test_streaming's plan pins,
+    r15). r15 denylisted substrings of the plan STRING, which (a)
+    missed GlobalLimit/Sample/Union-shaped plans entirely and (b)
+    false-positived on literals/column names containing e.g. 'Sort'
+    (ADVICE r15). r16 walks the analyzed plan's NODE NAMES via py4j
+    and allows only nodes that provably preserve the scan's
+    partitioning — anything unrecognized falls back to the exact
+    probe, so estimation errors stay in the safe (slow-probe)
+    direction."""
+    names = _analyzed_node_names(df)
+    if names is None or any(n not in _PARTITION_PRESERVING for n in names):
         return df.rdd.getNumPartitions()
     conf = df.sparkSession.conf
     max_pb = _parse_bytes(

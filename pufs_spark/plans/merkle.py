@@ -23,19 +23,43 @@ from pyspark.sql import functions as F
 
 from pufs_spark.catalog.datastore import ROOT_INODE
 
-# Shared-subplan frames of the in-flight freeze (see _shared): bounded
-# FIFO, ONE freeze's worth (up to 4 frames: dirty set / file lines /
-# interior ids / leaf bids). The bound is deliberately tight: persist()
-# registers the plan with the CacheManager, and a LOOSER budget would
-# let the next freeze's byte-identical subplans silently read the
-# previous run's cached blocks — cross-run result reuse the bench must
-# not have (A/B at sf0.1: budget 4 is wall-flat vs 8, so the tight
-# bound costs nothing). Evicting early only costs a recompute from
-# lineage, never correctness; a caller still holding an older lazy
-# frozen result just recomputes on collect.
+# Shared-subplan frames of the in-flight freeze (see _shared). r15
+# bounded this with a tight FIFO (4 frames — one freeze's worth), which
+# prevented cross-run cache reuse only by COINCIDENCE of eviction
+# order, and self-cancelled sharing on repeated freezes in one session
+# (VERDICT r15 #2): freeze N+1's persist() was a no-op on the
+# canonically-identical entry still registered from freeze N, and the
+# FIFO eviction that followed unpersisted that shared entry — so every
+# freeze after the first ran with NO cross-branch sharing (collect_list
+# x2, distinct x3 re-executed; wall-flat at sf0.1 but real money at
+# sf10). r16: the lifetime is scoped per INVOCATION instead —
+# freeze_nodes_df drains every frame of the previous freeze before it
+# persists its own, which (a) keeps in-run sharing on every freeze, and
+# (b) deterministically prevents a later run's byte-identical subplans
+# from reading an earlier run's cached blocks (the bench must recompute
+# from parquet every run). The budget stays only as a leak backstop for
+# _shared callers outside freeze_nodes_df; it is sized above any one
+# freeze's frame count (level-wise registers one frame per tree level).
 _ACTIVE_FREEZE_FRAMES: list = []
-_ACTIVE_FREEZE_BUDGET = 4
+_ACTIVE_FREEZE_BUDGET = 128
 _ACTIVE_FREEZE_LOCK = __import__("threading").Lock()
+
+
+def _drain_freeze_frames() -> None:
+    """Unpersist every registered frame of previous freezes. Called at
+    the START of freeze_nodes_df: the previous invocation's lazy result
+    may still be held by a caller (recompute-from-lineage keeps it
+    correct), but its cached blocks must not serve this invocation."""
+    with _ACTIVE_FREEZE_LOCK:
+        frames, _ACTIVE_FREEZE_FRAMES[:] = (
+            list(_ACTIVE_FREEZE_FRAMES),
+            [],
+        )
+    for old in frames:
+        try:
+            old.unpersist()
+        except Exception:  # noqa: BLE001 — dead context
+            pass
 
 
 def _shared(df: DataFrame) -> DataFrame:
@@ -50,10 +74,8 @@ def _shared(df: DataFrame) -> DataFrame:
     and the bulk of the freeze's sequential-job count at sf10
     (measured r15). ``persist()`` is genuinely lazy: all branches
     share one in-memory materialization that happens INSIDE the final
-    job, where independent stages run concurrently. The module-level
-    budget unpersists old frames so repeated freezes do not grow the
-    cache registry unboundedly (the `_ACTIVE_SIGS` pattern from
-    operators/dedup.py)."""
+    job, where independent stages run concurrently. Frame lifetime is
+    per freeze invocation (see _drain_freeze_frames)."""
     p = df.persist()
     with _ACTIVE_FREEZE_LOCK:
         _ACTIVE_FREEZE_FRAMES.append(p)
@@ -475,6 +497,11 @@ def freeze_nodes_df(
     returned as-is and only null-bid (dirty) paths re-hash — safe
     because every mutation nulls bids up to the root (M8), so a set
     bid implies an unchanged subtree."""
+    # Scope the shared-frame lifetime to THIS invocation: drop the
+    # previous freeze's persisted frames before building (and
+    # persisting) canonically-identical ones, so every freeze gets
+    # in-run sharing and no freeze can read a predecessor's blocks.
+    _drain_freeze_frames()
     had_depth = "depth" in nodes.columns
     leveled = with_depth(nodes, max_depth)
     sl = leveled.storageLevel
@@ -491,7 +518,9 @@ def freeze_nodes_df(
         # standing mutation-loop state) are already resident and are
         # never re-persisted (r12 profile: the redundant second cache
         # write was ~2 s of the memoized floor).
-        leveled = leveled.persist()
+        # registered like every freeze frame so the next invocation's
+        # drain releases it (it was leaked before r16)
+        leveled = _shared(leveled)
     # Two-stage gate (ADVICE r12): dirs alone are not the task's whole
     # input — INTERIOR dirs' own file children become manifest-line
     # groups that flow through the repartition(1) exchange (only

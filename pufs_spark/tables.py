@@ -51,7 +51,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     app_id = spark.sparkContext.applicationId
     for k in [k for k in _TABLE_MEMO if k[0] != app_id]:
         _TABLE_MEMO.pop(k, None)
-    key = (app_id, os.path.abspath(sf_dir), name)
+    # id(spark) in the key (ADVICE r15): spark.newSession() shares the
+    # applicationId but not SQL-conf state — a handle bound to another
+    # session of the same app must not be served across sessions.
+    key = (app_id, id(spark), os.path.abspath(sf_dir), name)
     df = _TABLE_MEMO.get(key)
     if df is None:
         df = _load_table_uncached(spark, sf_dir, name)

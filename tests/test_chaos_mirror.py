@@ -12,6 +12,9 @@ import time
 
 import pytest
 
+# chaos writer/reader fleet soak (~2 min total) — opt-in (see pytest.ini)
+pytestmark = pytest.mark.soak
+
 from pufs_spark.catalog import commitlog as CL
 from pufs_spark.catalog.datastore import ROOT_INODE
 from pufs_spark.streaming import mirror as M

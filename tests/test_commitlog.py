@@ -346,6 +346,7 @@ def test_history_df_excludes_mid_write_records(tmp_path, spark):
     assert all(r["writer"] == "w0" for r in rows)
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_history_df_never_corrupt_under_concurrent_commits(tmp_path, spark):
     """A thread committing in a loop while history_df reads: no read
     may ever yield a null/corrupt row (the raw directory listing can

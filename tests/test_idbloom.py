@@ -289,6 +289,7 @@ def test_bloom_matches_distributed_build(spark, docs, nd_index):
             assert hit, f"false negative for indexed id {did}"
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_ingest_loop_uses_bloom_and_still_catches_collisions(
     spark, docs, tmp_path_factory, monkeypatch
 ):
@@ -332,6 +333,7 @@ def test_ingest_loop_uses_bloom_and_still_catches_collisions(
         _drop(spark, "blg_nd", "blg_nd_meta", "blg_bm", "blg_bm_stats")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_crash_between_bloom_and_fold_is_absorbed(
     spark, docs, tmp_path_factory
 ):

@@ -70,6 +70,7 @@ def test_bm25_updates_then_compact_equals_fresh_build(
         _drop(spark, "bm25_cf", "bm25_cf_stats", "bm25_ci", "bm25_ci_stats")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_near_dup_updates_then_compact_equals_fresh_build(
     spark, docs, tmp_path_factory
 ):
@@ -184,6 +185,7 @@ def test_recover_interrupted_compaction_swap(spark, docs, tmp_path_factory):
         _drop(spark, "bm25_rc", "bm25_rc_stats", "bm25_rc__compact")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_ivf_updates_then_compact_equals_frozen_centroid_assignment(
     spark, tmp_path_factory
 ):
@@ -287,6 +289,7 @@ def test_ivf_drift_signal_flags_shifted_batch(spark, tmp_path_factory):
               "ivf_dr_drift")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_drift_log_compaction_bounds_files_preserves_rows(
     spark, tmp_path_factory
 ):
@@ -327,6 +330,7 @@ def test_drift_log_compaction_bounds_files_preserves_rows(
               "ivf_dc_drift")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_drift_log_retention_caps_rows(spark, tmp_path_factory, monkeypatch):
     """VERDICT r8 finding 2 + ADVICE r9: the drift log gained one row
     per applied batch FOREVER, and compaction collect()ed the whole
@@ -498,6 +502,7 @@ def test_ivf_retrain_at_same_path_resets_drift_log(spark, tmp_path_factory):
               "ivf_rt_drift")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_guarded_append_replay_horizon(spark, tmp_path_factory, monkeypatch):
     """The guarded_append docstring's REPLAY HORIZON contract, pinned:
     a replay within ~2x META_BATCH_RING batches no-ops (ring evicted,

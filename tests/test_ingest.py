@@ -39,6 +39,7 @@ def _drop(spark):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_ingest_loop_two_batches_with_compaction(
     spark, corpus_batches, tmp_path_factory
 ):
@@ -128,6 +129,7 @@ def test_ingest_loop_two_batches_with_compaction(
         _drop(spark)
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_ingest_clean_gates_apply(spark, corpus_batches, tmp_path_factory):
     """skip_clean=False runs the quality/language gates before any
     index work — garbage rows never reach the dedup stages."""
@@ -152,6 +154,7 @@ def test_ingest_clean_gates_apply(spark, corpus_batches, tmp_path_factory):
         _drop(spark)
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_ingest_rejects_id_collision_but_allows_replay(
     spark, corpus_batches, tmp_path_factory
 ):

@@ -19,6 +19,9 @@ intent in the BM25 stats row)."""
 
 import pytest
 
+# crash-recovery soak fleet: every test replays multi-index ingest loops with injected crashes (~10 min total) — opt-in (see pytest.ini)
+pytestmark = pytest.mark.soak
+
 from pyspark.sql import functions as F
 
 from pufs_spark.operators import dedup, indexes, ingest, text

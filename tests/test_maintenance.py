@@ -41,6 +41,7 @@ def emb(spark):
     ).cache()
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_drift_triggered_retrain_exactly_once_ring_survives(
     spark, emb, tmp_path_factory
 ):
@@ -125,6 +126,7 @@ def test_drift_triggered_retrain_exactly_once_ring_survives(
               "mt_ann_drift")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_auto_calibrated_threshold_waits_then_fires(
     spark, emb, tmp_path_factory
 ):

@@ -672,3 +672,58 @@ def test_small_catalog_gate_runs_one_job(spark, tmp_path):
         sc.setJobGroup(None, None)
     got = {r["inode"]: r["bid"] for r in frozen.collect()}
     assert got[ROOT_INODE] == ds.freeze()
+
+
+def test_repeat_freeze_keeps_shared_frames(spark, tmp_path):
+    """VERDICT r15 #2: the r15 FIFO budget self-cancelled sharing on
+    repeated freezes — freeze N+1's persist() was a no-op against the
+    canonically-identical entry still registered from freeze N, and the
+    budget eviction then unpersisted that shared entry, so every freeze
+    after the first executed with NO cross-branch sharing. r16 scopes
+    the frame lifetime per invocation (drain at freeze start), which
+    must leave the SECOND freeze's frames genuinely cached, and must
+    empty the registry of the first freeze's handles (its blocks are
+    dropped before the new persists, so no freeze reads a
+    predecessor's materialization; a fresh process trivially cannot —
+    the frames are memory-only, nothing is written out)."""
+    ds = DataStore(str(tmp_path / "s"), remote=MemRemote())
+    a = ds.mkdir(ROOT_INODE, "a")
+    b = ds.mkdir(a, "b")
+    ds.add_immutable_bytes(b, "f1", b"one")
+    ds.add_immutable_bytes(a, "f2", b"two")
+    expect = ds.freeze()
+    nodes = (
+        queries.nodes_df(spark, ds)
+        .withColumn(
+            "bid",
+            F.when(F.col("is_dir"), F.lit(None)).otherwise(F.col("bid")),
+        )
+        .withColumn(
+            "depth",
+            F.when(F.col("inode") == ROOT_INODE, 0)
+            .when(F.col("parent") == ROOT_INODE, 1)
+            .otherwise(2)
+            .cast("int"),
+        )
+    )
+    frozen1 = merkle.freeze_nodes_df(nodes)
+    got1 = {r["inode"]: r["bid"] for r in frozen1.collect()}
+    frames1 = list(merkle._ACTIVE_FREEZE_FRAMES)
+    assert frames1, "freeze registered no shared frames"
+
+    frozen2 = merkle.freeze_nodes_df(nodes)
+    frames2 = list(merkle._ACTIVE_FREEZE_FRAMES)
+    assert frames2, "second freeze registered no shared frames"
+    # the registry holds ONLY the second freeze's handles
+    ids1 = {id(f) for f in frames1}
+    assert not ids1 & {id(f) for f in frames2}
+    # and those frames are genuinely cached (the r15 FIFO left the
+    # second freeze's persist() cancelled: storageLevel came back NONE)
+    for f in frames2:
+        sl = f.storageLevel
+        assert sl.useMemory or sl.useDisk, (
+            f"second freeze's shared frame lost its persist: {sl}"
+        )
+    got2 = {r["inode"]: r["bid"] for r in frozen2.collect()}
+    assert got1 == got2
+    assert got2[ROOT_INODE] == expect

@@ -56,7 +56,27 @@ NAIVE = {
 }
 
 
-@pytest.mark.parametrize("name", sorted(NAIVE))
+# The near-dup rewrites replay a quadratic brute-force join in DuckDB
+# (X4 ~100 s, D1 ~31 s, D3 ~12 s measured r16) — soak-marked so the
+# default suite stays under the driver-verify budget; run with
+# `-m soak` (they guard ORACLE integrity, which the driver's own
+# correctness gate re-checks every round anyway).
+_SLOW_REWRITES = {
+    "X4_neardup_groups",
+    "D1_minhash_lsh_neardup",
+    "D3_cross_corpus_neardup",
+}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.soak)
+        if n in _SLOW_REWRITES
+        else n
+        for n in sorted(NAIVE)
+    ],
+)
 def test_rewritten_oracle_equals_naive_form(name):
     con = duckdb.connect()
     con.sql(

@@ -140,6 +140,36 @@ def test_estimated_scan_partitions_matches_exact_probe(spark, tmp_path):
     assert _estimated_scan_partitions(rng) == 2
 
 
+def test_estimated_scan_partitions_limit_sample_union(spark, tmp_path):
+    """VERDICT r15 #9 / ADVICE: the r15 substring denylist missed
+    GlobalLimit/Sample/Union-shaped plans (a limit collapses to ~1
+    partition at execution, so the file arithmetic over-estimates and
+    the spread gate would SKIP a needed repartition). The node-name
+    allowlist must route all three to the exact probe."""
+    import pandas as pd
+
+    from pufs_spark.operators.util import _estimated_scan_partitions
+
+    src = str(tmp_path / "lsu")
+    pd.DataFrame({"id": range(100), "text": ["x"] * 100}).to_parquet(
+        src + ".parquet", index=False
+    )
+    scan = spark.read.parquet(src + ".parquet").select("id", "text")
+    for shaped in (
+        scan.limit(5),
+        scan.sample(fraction=0.5, seed=7),
+        scan.union(scan),
+    ):
+        assert (
+            _estimated_scan_partitions(shaped)
+            == shaped.rdd.getNumPartitions()
+        ), shaped._jdf.queryExecution().analyzed().toString()
+    # and a column literally NAMED like a denylist word must not kick
+    # a plain scan off the estimator path (the r15 false-positive)
+    sortish = scan.select(F.col("id").alias("SortOrderJoin"), "text")
+    assert _estimated_scan_partitions(sortish) == 1
+
+
 def test_load_table_memoizes_handle_per_session(spark):
     """r15: load_table returns the SAME DataFrame handle for repeated
     calls (a ~95 ms path re-list + footer re-read per call otherwise),

@@ -72,6 +72,7 @@ def test_shingles_match_expected(spark):
     assert rows[2] == []  # shorter than k
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_lsh_finds_known_near_dups(spark, docs):
     """LSH+verify equals brute-force exact Jaccard at the threshold."""
     pairs = dedup.near_dup_pairs(docs, threshold=0.7)
@@ -319,6 +320,7 @@ def test_boilerplate_ngrams_and_fraction(spark):
     assert frac[101] == pytest.approx(2 / 8)
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_clean_corpus_end_to_end(spark, docs):
     from pufs_spark.operators import pipeline
 
@@ -364,6 +366,7 @@ def test_embedding_near_dup_lsh_recall(spark, emb):
         assert len(approx & exact) >= int(0.7 * len(exact))
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_prefix_filter_equals_bruteforce(spark, docs):
     """Prefix filtering is exact by construction: the result must equal
     the brute-force threshold join, pair for pair."""
@@ -386,6 +389,7 @@ def test_prefix_filter_equals_bruteforce(spark, docs):
     assert pf == brute
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_prefix_filter_agrees_with_lsh_pipeline(spark, docs):
     pf = {
         (r["a"], r["b"])
@@ -547,6 +551,7 @@ def test_stratified_rates_respected(spark, docs):
 # -- incremental (cross-corpus) dedup -----------------------------------
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_cross_near_dup_matches_brute_force(spark, docs):
     new = docs.where(F.col("doc_id") < 40)
     corpus = docs.where(F.col("doc_id") >= 40)
@@ -595,6 +600,7 @@ def test_eval_contamination_properties(spark, docs):
         assert abs(rows[did]["contamination"] - want) < 1e-9, did
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_cross_near_dup_with_persisted_index(spark, docs, tmp_path):
     """The bucketed corpus index must (a) give exactly the same pairs
     as the index-less path, (b) actually be read bucket-aware so the
@@ -621,6 +627,7 @@ def test_cross_near_dup_with_persisted_index(spark, docs, tmp_path):
         spark.sql("DROP TABLE IF EXISTS nd_index")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_ivf_index_matches_fresh_path(spark, emb, tmp_path):
     """A persisted IVF index (centroids + bucketed inverted lists) must
     reproduce the index-less ivf_topk results computed with the same
@@ -661,6 +668,7 @@ def test_ivf_index_matches_fresh_path(spark, emb, tmp_path):
         spark.sql("DROP TABLE IF EXISTS ann_idx_centroids")
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_prepare_training_corpus_end_to_end(spark, docs, tmp_path):
     """Full corpus sink: clean -> decontaminate -> split -> partitioned
     layout. The written dataset must read back partition-pruned, splits

@@ -284,6 +284,7 @@ def test_mirror_pruned_state_retries_then_errors_in_band(
     assert svc.handle({"op": "get_dir_contents", "path": "/docs"})["errorMsg"] == ""
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_serving_survives_live_rebucket_and_folds(spark, tmp_path):
     """Requests racing a bucket-count migration + folds must never
     kill a connection: every response is ok or an in-band errorMsg,
@@ -1149,6 +1150,7 @@ def test_fleet_spawn_start_method(spark, tmp_path):
     assert fleet.alive() == 0
 
 
+@pytest.mark.soak  # multi-minute; see pytest.ini
 def test_fleet_survives_live_rebucket_and_folds(spark, tmp_path):
     """The fleet twin of the live-rebucket chaos: requests spread
     across N SO_REUSEPORT processes race a fold, a forced bucket-count
