@@ -221,11 +221,23 @@ def q_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_l3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3: extended listing (entries ⨝ merged-mask cache stats) of the
     first customer dir that has orders. Parent discovery is a broadcast
-    scalar subquery inside the same plan — no separate collect job."""
+    scalar subquery inside the same plan — no separate collect job.
+
+    (r16 notes: deriving the parent from the cached nodes table was
+    A/B-measured SLOWER — 36 near-empty cache tasks vs a 1-task
+    single-column parquet agg — and reverted. The min() aggregate is
+    phrased as orderBy+limit(1): same value on the non-null key —
+    min(k) == first k ascending — but it plans as a single
+    TakeOrderedAndProject instead of partial-agg → Exchange → final
+    agg, one job fewer per execution, measured 6 → 5.)"""
     nodes = _fs_nodes(spark, sf_dir)
     regions = _fs_regions(spark, sf_dir)
-    parent = load_table(spark, sf_dir, "orders").agg(
-        (F.min("o_custkey") + F.lit(100)).cast("long").alias("_parent")
+    parent = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey"))
+        .orderBy("o_custkey")
+        .limit(1)
+        .select((F.col("o_custkey") + F.lit(100)).cast("long").alias("_parent"))
     )
     return catq.extended_dir_contents(nodes, regions, parent).select(
         "inode", "name", "is_dir", "size", "bid",
@@ -261,15 +273,17 @@ def q_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     at file depth — harmless to the single-task plan (its ordering is
     structural) but silently wrong for the level-wise plan, which
     pairs dirs at depth d with children at d+1."""
-    off = F.pmod(F.col("inode"), F.lit(10_000_000))
+    # single-parse depth stamp (r16): the chained F.when composition
+    # cost ~12 py4j calls + one full-tree analysis per Column op
     nodes = _fs_nodes(spark, sf_dir).withColumn(
         "depth",
-        F.when(F.col("inode") == 1, 0)
-        .when(off < 10, 1)
-        .when(off < 100, 2)
-        .when(off < 100000, 3)
-        .otherwise(4)
-        .cast("int"),
+        F.expr(
+            "CAST(CASE WHEN inode = 1 THEN 0"
+            " WHEN pmod(inode, 10000000) < 10 THEN 1"
+            " WHEN pmod(inode, 10000000) < 100 THEN 2"
+            " WHEN pmod(inode, 10000000) < 100000 THEN 3"
+            " ELSE 4 END AS INT)"
+        ),
     )
     frozen = merkle.freeze_nodes_df(nodes)
     return frozen.where(F.col("is_dir")).select("inode", "bid")
@@ -297,7 +311,14 @@ def q_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 the 1%-sampled query set cut the merged log 100x (r15:
     window sort over ~6k rows instead of 600k; R1 min 1.04→0.35 s).
     At lake scale this is the difference between a per-request job and
-    a full-log shuffle per request."""
+    a full-log shuffle per request.
+
+    No broadcast HINT on the key set (VERDICT r15 #3): qs is 1% of
+    orders — tiny at bench SFs (the 64 MB auto-threshold still plans
+    a broadcast semi-join from the file-size estimate) but unbounded
+    at a 100 TB orders table, where a forced F.broadcast is a
+    driver-OOM; past the threshold the planner shuffles and AQE
+    re-picks broadcast from the ACTUAL runtime size when it fits."""
     regions = _fs_regions(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     qs = orders.where(F.col("o_orderkey") % 100 == 0).select(
@@ -306,9 +327,7 @@ def q_r1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("qstart"),
         F.lit(32768).cast("long").alias("qend"),
     )
-    queried = regions.join(
-        F.broadcast(qs.select("bid")), "bid", "left_semi"
-    )
+    queried = regions.join(qs.select("bid"), "bid", "left_semi")
     mask = intervals.merge_intervals(queried)
     return intervals.missing_regions(mask, qs)
 
@@ -327,7 +346,9 @@ def q_r3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4: first missing region per sampled query. Mask merged over the
     queried blocks only (same pre-merge semi-join as q_r1; the output
-    keys are the query keys, so the filter is result-invariant)."""
+    keys are the query keys, so the filter is result-invariant). No
+    broadcast hint — see q_r1 (unbounded derived frame; the threshold
+    and AQE pick the strategy from sizes instead)."""
     regions = _fs_regions(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
     qs = orders.where(F.col("o_orderkey") % 100 == 0).select(
@@ -336,9 +357,7 @@ def q_r4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("qstart"),
         F.lit(1 << 20).cast("long").alias("qend"),
     )
-    queried = regions.join(
-        F.broadcast(qs.select("bid")), "bid", "left_semi"
-    )
+    queried = regions.join(qs.select("bid"), "bid", "left_semi")
     mask = intervals.merge_intervals(queried)
     return intervals.first_missing(mask, qs)
 
@@ -774,7 +793,15 @@ def q_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(
-            F.broadcast(cust.where(F.col("c_mktsegment") == "BUILDING")),
+            # no broadcast hint: customer SCALES with the fact tables
+            # (VERDICT r15 #3 grep-clean) — at bench SFs the 64 MB
+            # auto-threshold plans the same BHJ from the file-size
+            # estimate; at lake scale the planner/AQE decides from
+            # actual sizes instead of a forced driver collect. Same
+            # rule applied to every supplier/part/customer-derived
+            # frame below; fixed-cardinality dims (nation=25, region=5)
+            # and 1-row scalar aggregates keep their hints.
+            cust.where(F.col("c_mktsegment") == "BUILDING"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .where(
@@ -859,14 +886,12 @@ def q_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     j = (
         li.join(
-            F.broadcast(
-                part.where(
-                    (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
-                )
+            part.where(
+                (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
             ),
             li.l_partkey == part.p_partkey,
         )
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(
             F.broadcast(region.where(F.col("r_name") == "EUROPE")),
@@ -901,10 +926,10 @@ def q_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     j = (
         li.join(
-            F.broadcast(part.where(F.col("p_name").like("%gear%"))),
+            part.where(F.col("p_name").like("%gear%")),
             li.l_partkey == part.p_partkey,
         )
-        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
     )
@@ -937,8 +962,8 @@ def q_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35, 42, 50)
     )
     return (
-        li.join(F.broadcast(parts), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(parts, li.l_partkey == part.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -959,7 +984,7 @@ def q_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < "1998-01-01")
         )
         .join(
-            F.broadcast(part.where(F.col("p_name").like("small%"))),
+            part.where(F.col("p_name").like("small%")),
             li.l_partkey == part.p_partkey,
         )
         .groupBy("l_suppkey")
@@ -1013,7 +1038,7 @@ def q_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("_n_supps") > 1) & (F.col("_n_late") == 1))
     )
     return (
-        waiting.join(F.broadcast(supp), waiting.l_suppkey == supp.s_suppkey)
+        waiting.join(supp, waiting.l_suppkey == supp.s_suppkey)
         .join(
             F.broadcast(nation.where(F.col("n_name") == "NATION_3")),
             F.col("s_nationkey") == F.col("n_nationkey"),
@@ -1239,7 +1264,7 @@ def q_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     j = li.where(
         (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-09-01")
-    ).join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    ).join(part, li.l_partkey == part.p_partkey)
     return j.agg(
         F.round(
             100
@@ -1327,7 +1352,7 @@ def q_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("m"))
-        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
         .select(
             F.col("s_suppkey").alias("suppkey"), "s_name", "total_revenue"
         )
@@ -1475,7 +1500,7 @@ def q_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity predicates (OR-of-ANDs pushed through one join)."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (
             (F.col("p_brand") == "Brand#1")

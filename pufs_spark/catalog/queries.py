@@ -141,7 +141,18 @@ def extended_dir_contents(
             [f.name for f in schemas.DIR_ENTRY.fields if f.name in entries.columns]
             + ["populated_region_count", "populated_size"]
         )
-        .orderBy("name")
+        # Same total order as orderBy("name") (one partition holds the
+        # whole listing, names are unique within a dir), WITHOUT the
+        # range-exchange: rangepartitioning needs partition bounds, so
+        # Spark runs a separate SAMPLING pass over the join output
+        # before the real map stage — one extra job and a second scan
+        # of the stream side per listing (measured r16: L3 ran 7 jobs,
+        # two of them this sort's sample+map twins). A listing is
+        # returned to one client and is dir-sized, so a single-task
+        # sort IS the scalable shape — repartition(1) keeps the
+        # upstream join parallel and sorts only the final rows.
+        .repartition(1)
+        .sortWithinPartitions("name")
     )
 
 

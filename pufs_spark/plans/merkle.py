@@ -133,15 +133,22 @@ def with_depth(nodes: DataFrame, max_depth: int = 64) -> DataFrame:
     return nodes.join(reach.select("inode", "depth"), "inode")
 
 
+# One child's manifest line — MUST match
+# catalog.datastore.encode_dir_manifest: name\tis_dir\tbid\tsize.
+# Kept as a SQL fragment so callers can FUSE it into a single-parse
+# aggregate expression (r16: each extra DataFrame op re-analyzes the
+# whole freeze tree JVM-side, ~2 ms/op at sf0.1 — the build was 0.84 s
+# of py4j/analysis across ~47 ops).
+_MANIFEST_LINE_SQL = (
+    "concat_ws('\\t', name,"
+    " CASE WHEN is_dir THEN '1' ELSE '0' END,"
+    " bid, CAST(size AS STRING))"
+)
+
+
 def _manifest_line():
-    """One child's manifest line — MUST match
-    catalog.datastore.encode_dir_manifest: name\\tis_dir\\tbid\\tsize.
-    Single-parse F.expr (r15): same tree, one py4j call per use."""
-    return F.expr(
-        "concat_ws('\\t', name,"
-        " CASE WHEN is_dir THEN '1' ELSE '0' END,"
-        " bid, CAST(size AS STRING))"
-    )
+    """_MANIFEST_LINE_SQL as a Column (single parse per use)."""
+    return F.expr(_MANIFEST_LINE_SQL)
 
 
 def _freeze_dirs_single_task(
@@ -197,9 +204,9 @@ def _freeze_dirs_single_task(
     # single-task precondition (catalog fits one task), so
     # executor-resident blocks are safe here.
     file_lines_all = _shared(
-        files.withColumn("_line", _manifest_line())
-        .groupBy(F.col("parent").alias("inode"))
-        .agg(F.collect_list("_line").alias("_flines"))
+        files.groupBy(F.col("parent").alias("inode")).agg(
+            F.expr(f"collect_list({_MANIFEST_LINE_SQL})").alias("_flines")
+        )
     )
     # dirs having at least one DIR child (root's self-loop excluded);
     # the gate may pass its already-shared copy in (r15)
@@ -210,9 +217,6 @@ def _freeze_dirs_single_task(
             .distinct()
         )
 
-    manifest = F.concat(
-        F.array_join(F.array_sort(F.col("_flines")), "\n"), F.lit("\n")
-    )
     # sha256("") — a leaf dir with no file lines hashes the empty
     # manifest; kept as a literal so the hash happens BEFORE the join
     EMPTY_MANIFEST_SHA = (
@@ -223,9 +227,11 @@ def _freeze_dirs_single_task(
     # previous shape joined _flines into d_all first and hashed after,
     # shipping the whole catalog's manifest text through one more
     # exchange (r12 profile: the leaf tier was 2.1 s of the 6.3 s
-    # sf1.0 wall, most of it that join).
-    leaf_hash = file_lines_all.select(
-        "inode", F.sha2(manifest, 256).alias("_fbid")
+    # sf1.0 wall, most of it that join). Single-parse (r16).
+    leaf_hash = file_lines_all.selectExpr(
+        "inode",
+        "sha2(concat(array_join(array_sort(_flines), '\\n'), '\\n'), 256)"
+        " AS _fbid",
     )
     computed_sql = f"coalesce(_fbid, '{EMPTY_MANIFEST_SHA}')"
     leaf_bid_sql = (
@@ -253,12 +259,19 @@ def _freeze_dirs_single_task(
     # group — JVM-side groupBy, so the task's input shrinks to the
     # INTERIOR DAG: interior dir rows + line groups (their own file
     # children + their leaf-dir children).
+    # is_dir is literally TRUE for every hashed leaf dir, so the
+    # manifest line folds to the '1' branch and the two withColumns
+    # fuse into the aggregate expression (r16 single-parse; same
+    # values, two fewer full-tree analyses per build)
     leaf_lines = (
         leaf_bids.where(F.col("parent") != F.col("inode"))
-        .withColumn("is_dir", F.lit(True))
-        .withColumn("_line", _manifest_line())
         .groupBy(F.col("parent").alias("inode"))
-        .agg(F.collect_list("_line").alias("_flines"))
+        .agg(
+            F.expr(
+                "collect_list(concat_ws('\\t', name, '1', bid,"
+                " CAST(size AS STRING)))"
+            ).alias("_flines")
+        )
     )
     if memoized and prune_clean:
         # a clean interior parent short-circuits on its bid and never
@@ -538,11 +551,13 @@ def freeze_nodes_df(
     # n_files bounds it; the old unconditional two-job gate cost F1 a
     # full job+gap per call: ~0.3 s at sf0.1, 1-2 s at sf10).
     gate_row = leveled.agg(
-        F.sum(F.when(F.col("is_dir"), 1).otherwise(0)).alias("n"),
-        F.sum(
-            F.when(F.col("is_dir") & F.col("bid").isNull(), 1).otherwise(0)
+        F.expr("sum(CASE WHEN is_dir THEN 1 ELSE 0 END)").alias("n"),
+        F.expr(
+            "sum(CASE WHEN is_dir AND bid IS NULL THEN 1 ELSE 0 END)"
         ).alias("dirty"),
-        F.sum(F.when(~F.col("is_dir"), 1).otherwise(0)).alias("n_files"),
+        F.expr("sum(CASE WHEN NOT is_dir THEN 1 ELSE 0 END)").alias(
+            "n_files"
+        ),
     ).first()
     n_dirs = gate_row["n"] or 0
     n_files = gate_row["n_files"] or 0
